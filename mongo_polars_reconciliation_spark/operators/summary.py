@@ -1,0 +1,40 @@
+"""Aggregate summaries of reconciliation buckets.
+
+Reference: ``save_aggregated_results`` (second_conciliate.py:450-483) — one
+``sum(amount)`` + ``count(_id)`` per outcome bucket, assembled with run
+metadata into a single summary document. SURVEY.md §2.6 A1.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_summary(
+    df: DataFrame,
+    bucket_name: str,
+    amount_col: str = "approved_transaction_amount",
+    id_col: str = "_id",
+) -> DataFrame:
+    """One-row frame: (bucket, row count, amount sum). Map-side partial
+    aggregation makes this one cheap shuffle of 32 partial rows at any scale."""
+    amount = (
+        F.coalesce(F.sum(amount_col), F.lit(0.0))
+        if amount_col in df.columns
+        else F.lit(0.0)
+    )
+    return df.agg(
+        F.lit(bucket_name).alias("bucket"),
+        F.count(id_col if id_col in df.columns else F.lit(1)).alias("n"),
+        F.round(amount, 2).alias("amount_sum"),
+    )
+
+
+def run_summary(buckets: dict[str, DataFrame], **kwargs) -> DataFrame:
+    """Union of per-bucket summaries — the engine's flagship output shape
+    ('what matched, what didn't, how much money')."""
+    parts = [bucket_summary(df, name, **kwargs) for name, df in buckets.items()]
+    return reduce(lambda x, y: x.unionByName(y), parts)

@@ -1,0 +1,151 @@
+"""Multi-pass reconciliation cascade (SURVEY.md §2.8, §3.4).
+
+Reference control flow (``Reconciliator`` + ``new_rc_step``,
+src/reconciliatior.py:13-17, 201-206; intended cascade shown in
+src/reconciliation.py:66-73): five accumulator buckets grown by diagonal
+concat across passes; after each pass the residuals become the next pass's
+inputs.
+
+Spark port fixes the reference's recomputation anti-pattern
+(second_conciliate.py:513-544 re-executes the plan per ``collect``): inputs
+and residuals are persisted between passes — each pass's match + two
+anti-joins reuse one pair of cached inputs, and ``persist`` between passes
+also cuts lineage so a long cascade doesn't re-shuffle pass 1 at pass 3.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from mongo_polars_reconciliation_spark.config import (
+    ReconConfig,
+    ToleranceRule,
+    ZeroEffectRule,
+)
+from mongo_polars_reconciliation_spark.operators.match import match_records
+from mongo_polars_reconciliation_spark.operators.residuals import (
+    residual_external,
+    residual_internal,
+)
+from mongo_polars_reconciliation_spark.operators.summary import run_summary
+from mongo_polars_reconciliation_spark.operators.tolerance import apply_tolerance
+from mongo_polars_reconciliation_spark.operators.zero_effect import apply_zero_effect
+
+
+@dataclass(frozen=True)
+class ExactPass:
+    """Exact multi-key match + residuals (match_records / not_match_records)."""
+
+    broadcast_b: bool = False
+
+
+@dataclass(frozen=True)
+class TolerancePass:
+    """Reduced-key tolerance re-match (apply_tolerance)."""
+
+    rules: tuple[ToleranceRule, ...]
+
+
+def _union(acc: DataFrame | None, df: DataFrame) -> DataFrame:
+    return df if acc is None else acc.unionByName(df, allowMissingColumns=True)
+
+
+@dataclass
+class Reconciliation:
+    """Accumulator-bucket pipeline mirroring the Reconciliator API
+    (src/reconciliatior.py:6-18) with persist-aware pass transitions."""
+
+    cfg: ReconConfig
+    a_df: DataFrame
+    b_df: DataFrame
+    a_to_b_mt: DataFrame | None = None
+    a_to_b_nmt: DataFrame | None = None
+    b_to_a_nmt: DataFrame | None = None
+    z_eff_a: DataFrame | None = None
+    iterations: int = 1
+    _persisted: list[DataFrame] = field(default_factory=list)
+
+    def _persist(self, df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted.append(df)
+        return df
+
+    def apply_zero_effect(self, rules: list[ZeroEffectRule]) -> None:
+        clean, pairs = apply_zero_effect(self.a_df, rules, self.cfg.id_col)
+        self.a_df = self._persist(clean)
+        self.z_eff_a = _union(self.z_eff_a, pairs)
+
+    def match_records(self, broadcast_b: bool = False) -> None:
+        matched, loser_b = match_records(
+            self.a_df, self.b_df, self.cfg, broadcast_b=broadcast_b
+        )
+        self.a_to_b_mt = _union(self.a_to_b_mt, matched)
+        self.b_to_a_nmt = _union(self.b_to_a_nmt, loser_b)
+
+    def not_match_records(self) -> None:
+        self.a_to_b_nmt = _union(
+            self.a_to_b_nmt, residual_internal(self.a_df, self.b_df, self.cfg)
+        )
+        self.b_to_a_nmt = _union(
+            self.b_to_a_nmt, residual_external(self.b_df, self.a_df, self.cfg)
+        )
+
+    def apply_tolerance(self, rules: list[ToleranceRule]) -> None:
+        matched, a_resid, b_resid = apply_tolerance(
+            self.a_df, self.b_df, self.cfg, list(rules)
+        )
+        self.a_to_b_mt = _union(self.a_to_b_mt, matched)
+        # tolerance *recomputes* both residual buckets (reconciliatior.py:143-148)
+        self.a_to_b_nmt = a_resid
+        self.b_to_a_nmt = b_resid
+
+    def new_rc_step(self) -> None:
+        """Residuals become next pass's inputs (src/reconciliatior.py:201-206)."""
+        self.a_df = self._persist(self.a_to_b_nmt)
+        self.b_df = self._persist(self.b_to_a_nmt)
+        self.a_to_b_nmt = None
+        self.b_to_a_nmt = None
+        self.iterations += 1
+
+    def run(
+        self,
+        passes: list[ExactPass | TolerancePass],
+        zero_effect_rules: list[ZeroEffectRule] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Execute a cascade (reference intended order: exact → tolerance →
+        exact, src/reconciliation.py:66-73) and return the final buckets."""
+        self.a_df = self._persist(self.a_df)
+        self.b_df = self._persist(self.b_df)
+        if zero_effect_rules:
+            self.apply_zero_effect(zero_effect_rules)
+        for i, p in enumerate(passes):
+            if isinstance(p, ExactPass):
+                self.match_records(broadcast_b=p.broadcast_b)
+                self.not_match_records()
+            else:
+                self.apply_tolerance(list(p.rules))
+            if i < len(passes) - 1:
+                self.new_rc_step()
+        return self.buckets()
+
+    def buckets(self) -> dict[str, DataFrame]:
+        empty_a = self.a_df.limit(0)
+        return {
+            "a_to_b_mt": self.a_to_b_mt if self.a_to_b_mt is not None else empty_a,
+            "a_to_b_nmt": self.a_to_b_nmt if self.a_to_b_nmt is not None else empty_a,
+            "b_to_a_nmt": self.b_to_a_nmt if self.b_to_a_nmt is not None else self.b_df.limit(0),
+            "z_eff_a": self.z_eff_a if self.z_eff_a is not None else empty_a,
+        }
+
+    def summary(self, amount_col: str, id_col: str | None = None) -> DataFrame:
+        return run_summary(
+            self.buckets(), amount_col=amount_col, id_col=id_col or self.cfg.id_col
+        )
+
+    def unpersist(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()

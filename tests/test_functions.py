@@ -1,0 +1,38 @@
+from conftest import rows
+
+from mongo_polars_reconciliation_spark.functions import (
+    duplicated_rows,
+    keep_first,
+    keep_last,
+    with_file_row_number,
+)
+
+
+def test_file_row_number_contiguous(spark):
+    df = spark.range(0, 1000).selectExpr("id", "id % 7 as grp")
+    out = with_file_row_number(df, ["id"], scalable=True, num_partitions=8)
+    got = rows(out, "id", "file_row_number")
+    assert got == [(i, i + 1) for i in range(1000)]
+    assert dict(out.dtypes)["file_row_number"] == "bigint"
+
+
+def test_file_row_number_simple(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",)], ["k"])
+    out = with_file_row_number(df, ["k"], scalable=False)
+    assert rows(out) == [("a", 1), ("b", 2), ("c", 3)]
+
+
+def test_duplicated_rows_marks_all_members(spark):
+    # Polars is_duplicated: every member of a >1 group, including the first
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 3), ("z", 4), ("z", 5), ("z", 6)], ["k", "v"]
+    )
+    assert rows(duplicated_rows(df, ["k"]), "v") == [(1,), (2,), (4,), (5,), (6,)]
+
+
+def test_keep_first_and_last(spark):
+    df = spark.createDataFrame(
+        [("x", 2, "b"), ("x", 1, "a"), ("y", 9, "c")], ["k", "ord", "v"]
+    )
+    assert rows(keep_first(df, ["k"], ["ord"]), "k", "v") == [("x", "a"), ("y", "c")]
+    assert rows(keep_last(df, ["k"], ["ord"]), "k", "v") == [("x", "b"), ("y", "c")]
