@@ -1,0 +1,166 @@
+"""Deterministic reconciliation fixtures over the driver's testdata.
+
+The reference reconciles a Mongo transaction table against a settlement CSV
+(FIXTURES.md §1-2). The driver's testdata is TPC-H-ish, so per FIXTURES.md §4
+we derive an internal table A and a perturbed external table B from
+``orders`` with *pure, deterministic* transformations that are mirrored
+1:1 in the DuckDB oracle SQL (harness/oracles.py). The perturbations inject
+exactly the mismatch classes the engine must detect (FIXTURES.md §2):
+
+- ``k % 19 == 3``  → row missing from B            (internal residuals)
+- ``k % 29 == 11`` → extra B-only row ``B<k>``     (external residuals)
+- ``k % 23 == 5``  → duplicated B row (k=2); ``k % 69 == 5`` adds a third
+                     copy (k=3 — pins the middle-candidate arbitration)
+- ``k % 17 == 2``  → amount off by +0.4            (tolerance re-match, ε=1)
+- ``k % 17 == 9``  → amount off by +7.25           (outside tolerance)
+- ``k % 10 == 9``  → A row is a VOID of SALE k−1   (zero-effect pair);
+  ``k % 100 == 49`` → VOID pointing at a missing SALE (must NOT cancel)
+
+All money stays raw float64 from the source (no intermediate rounding): both
+engines then compute bit-identical doubles, and aggregate sums go through
+DECIMAL so they are order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_polars_reconciliation_spark.config import (
+    KeyPair,
+    ReconConfig,
+    ToleranceRule,
+    ZeroEffectRule,
+)
+from mongo_polars_reconciliation_spark.sources.external import prepare_external
+
+ZE_RULE = ZeroEffectRule(
+    field="transaction_type",
+    values=("SALE", "VOID"),
+    b1_cols=("ticket_code", "amount"),
+    b2_cols=("sale_ticket_code", "amount"),
+)
+
+TOLERANCE_RULES = (ToleranceRule("importe", 1.0),)
+
+
+def recon_cfg(strict_compat: bool = False) -> ReconConfig:
+    return ReconConfig(
+        keys=[
+            KeyPair("transaction_code", "codigo"),
+            KeyPair("amount", "importe", "double"),
+            KeyPair("trx_date", "fecha"),
+        ],
+        strict_compat=strict_compat,
+    )
+
+
+def load_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amt"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("dt"),
+        F.col("o_custkey").alias("cust"),
+    )
+
+
+def build_internal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal table A (card_transaction analog, FIXTURES.md §1)."""
+    b = load_base(spark, sf_dir)
+    k = F.col("k")
+    ks = k.cast("string")
+    sale = b.where(k % 10 != 9).select(
+        ks.alias("_id"),
+        k,
+        ks.alias("transaction_code"),
+        F.col("amt").alias("amount"),
+        F.col("dt").alias("trx_date"),
+        F.lit("SALE").alias("transaction_type"),
+        ks.alias("ticket_code"),
+        F.lit(None).cast("string").alias("sale_ticket_code"),
+    )
+    v, s = b.alias("v"), b.alias("s")
+    void_paired = (
+        v.where((k % 10 == 9) & (k % 100 != 49))
+        .join(s, F.col("s.k") == F.col("v.k") - 1, "inner")
+        .select(
+            F.col("v.k").cast("string").alias("_id"),
+            F.col("v.k").alias("k"),
+            F.col("v.k").cast("string").alias("transaction_code"),
+            F.col("s.amt").alias("amount"),  # VOID carries its SALE's amount
+            F.col("v.dt").alias("trx_date"),
+            F.lit("VOID").alias("transaction_type"),
+            F.col("v.k").cast("string").alias("ticket_code"),
+            F.col("s.k").cast("string").alias("sale_ticket_code"),
+        )
+    )
+    void_orphan = b.where(k % 100 == 49).select(
+        ks.alias("_id"),
+        k,
+        ks.alias("transaction_code"),
+        F.col("amt").alias("amount"),
+        F.col("dt").alias("trx_date"),
+        F.lit("VOID").alias("transaction_type"),
+        ks.alias("ticket_code"),
+        F.concat(F.lit("X"), ks).alias("sale_ticket_code"),
+    )
+    return sale.unionByName(void_paired).unionByName(void_orphan)
+
+
+def build_external_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External settlement table B before engine preparation (raw CSV analog,
+    Spanish column names like the reference's settlement file)."""
+    b = load_base(spark, sf_dir)
+    k = F.col("k")
+    ks = k.cast("string")
+    pert = (
+        F.when(k % 17 == 2, F.lit(0.4))
+        .when(k % 17 == 9, F.lit(7.25))
+        .otherwise(F.lit(0.0))
+    )
+
+    def mk(df: DataFrame, cpy: int) -> DataFrame:
+        return df.select(
+            k,
+            ks.alias("codigo"),
+            (F.col("amt") + pert).alias("importe"),
+            F.col("dt").alias("fecha"),
+            F.lit(cpy).alias("cpy"),
+        )
+
+    main = mk(b.where(k % 19 != 3), 1)
+    dup2 = mk(b.where((k % 23 == 5) & (k % 19 != 3)), 2)
+    dup3 = mk(b.where((k % 69 == 5) & (k % 19 != 3)), 3)
+    b_only = b.where(k % 29 == 11).select(
+        k,
+        F.concat(F.lit("B"), ks).alias("codigo"),
+        F.col("amt").alias("importe"),
+        F.col("dt").alias("fecha"),
+        F.lit(1).alias("cpy"),
+    )
+    return main.unionByName(dup2).unionByName(dup3).unionByName(b_only)
+
+
+def build_external(
+    spark: SparkSession, sf_dir: str, cfg: ReconConfig | None = None
+) -> DataFrame:
+    """Prepared B: 1-based row index in (k, codigo, cpy) order — the explicit
+    stand-in for 'file order' — then ext_/exd_ prefixing and casts."""
+    cfg = cfg or recon_cfg()
+    raw = build_external_raw(spark, sf_dir)
+    return prepare_external(raw, cfg, order_by=["k", "codigo", "cpy"]).drop(
+        "ext_k", "ext_cpy"
+    )
+
+
+def build_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic reconciliation state table (FIXTURES.md §3): every 5th row
+    REMANENT, the rest CONCILIATED."""
+    b = load_base(spark, sf_dir)
+    return b.select(
+        F.col("k").cast("string").alias("_id"),
+        F.when(F.col("k") % 5 == 2, F.lit("REMANENT"))
+        .otherwise(F.lit("CONCILIATED"))
+        .alias("conciliation_status"),
+    )

@@ -1,0 +1,217 @@
+"""Driver-contract queries: one per implemented operator (SURVEY.md §2).
+
+Each callable takes ``(spark, sf_dir)`` and returns a DataFrame whose column
+names and types match its oracle in harness/oracles.py exactly (the driver
+sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_polars_reconciliation_spark.harness.fixtures import (
+    TOLERANCE_RULES,
+    ZE_RULE,
+    build_external,
+    build_internal,
+    build_state,
+    load_base,
+    recon_cfg,
+)
+from mongo_polars_reconciliation_spark.operators.match import match_records
+from mongo_polars_reconciliation_spark.operators.residuals import (
+    residual_external,
+    residual_internal,
+)
+from mongo_polars_reconciliation_spark.operators.tolerance import apply_tolerance
+from mongo_polars_reconciliation_spark.operators.zero_effect import apply_zero_effect
+from mongo_polars_reconciliation_spark.plans.pipeline import (
+    ExactPass,
+    Reconciliation,
+    TolerancePass,
+)
+from mongo_polars_reconciliation_spark.sources.state import (
+    merge_keep_existing,
+    remanent_lookup,
+    union_window_and_remanent,
+)
+
+ROW_NUM = "ext_file_row_number"
+
+
+def _ab(spark: SparkSession, sf_dir: str):
+    cfg = recon_cfg()
+    return cfg, build_internal(spark, sf_dir), build_external(spark, sf_dir, cfg)
+
+
+# --- reconciliation core (SURVEY.md §2.3/§2.4) ---------------------------------
+
+
+def recon_match_exact(spark, sf_dir) -> DataFrame:
+    cfg, a, b = _ab(spark, sf_dir)
+    matched, _ = match_records(a, b, cfg)
+    return matched.select(
+        "_id", F.col(ROW_NUM).alias("row_num"), "amount", "trx_date"
+    )
+
+
+def recon_duplicate_losers(spark, sf_dir) -> DataFrame:
+    cfg, a, b = _ab(spark, sf_dir)
+    _, losers = match_records(a, b, cfg)
+    return losers.select(
+        F.col(ROW_NUM).alias("row_num"),
+        F.col("ext_codigo").alias("codigo"),
+        F.col("ext_importe").alias("importe"),
+    )
+
+
+def recon_residual_internal(spark, sf_dir) -> DataFrame:
+    cfg, a, b = _ab(spark, sf_dir)
+    return residual_internal(a, b, cfg).select("_id", "transaction_code", "amount")
+
+
+def recon_residual_external(spark, sf_dir) -> DataFrame:
+    cfg, a, b = _ab(spark, sf_dir)
+    return residual_external(b, a, cfg).select(
+        F.col(ROW_NUM).alias("row_num"),
+        F.col("ext_codigo").alias("codigo"),
+        F.col("ext_importe").alias("importe"),
+    )
+
+
+def recon_zero_effect_pairs(spark, sf_dir) -> DataFrame:
+    a = build_internal(spark, sf_dir)
+    _, pairs = apply_zero_effect(a, [ZE_RULE])
+    return pairs.select(
+        F.col("_id").alias("sale_id"), F.col("_id_right").alias("void_id")
+    )
+
+
+def recon_zero_effect_clean(spark, sf_dir) -> DataFrame:
+    a = build_internal(spark, sf_dir)
+    clean, _ = apply_zero_effect(a, [ZE_RULE])
+    return clean.select("_id")
+
+
+def recon_tolerance_match(spark, sf_dir) -> DataFrame:
+    cfg, a, b = _ab(spark, sf_dir)
+    matched, _, _ = apply_tolerance(a, b, cfg, list(TOLERANCE_RULES))
+    return matched.select(
+        "_id",
+        F.col(ROW_NUM).alias("row_num"),
+        F.round(F.abs(F.col("exd_importe") - F.col("amount")), 2).alias("diff"),
+    )
+
+
+def recon_cascade_summary(spark, sf_dir) -> DataFrame:
+    """Flagship: zero-effect → exact pass → tolerance pass → money summary."""
+    cfg, a, b = _ab(spark, sf_dir)
+    rc = Reconciliation(cfg, a, b)
+    rc.run(
+        [ExactPass(), TolerancePass(TOLERANCE_RULES)],
+        zero_effect_rules=[ZE_RULE],
+    )
+    return rc.summary(amount_col="amount")
+
+
+# --- state-table semantics (SURVEY.md §2.1 S2/S8/S9) ---------------------------
+
+
+def recon_state_merge_keep_existing(spark, sf_dir) -> DataFrame:
+    a = build_internal(spark, sf_dir)
+    target = a.where(F.col("k") % 4 == 0).select("_id", F.lit("OLD").alias("status"))
+    source = a.select("_id", F.lit("PENDING").alias("status"))
+    return merge_keep_existing(target, source, "_id").select("_id", "status")
+
+
+def recon_remanent_lookup(spark, sf_dir) -> DataFrame:
+    a = build_internal(spark, sf_dir)
+    state = build_state(spark, sf_dir)
+    return remanent_lookup(state, a).select("_id", "amount")
+
+
+def recon_union_remanent_dedup(spark, sf_dir) -> DataFrame:
+    a = build_internal(spark, sf_dir)
+    w = a.where(F.col("k") < 700).select("_id", F.lit("W").alias("src"))
+    r = a.where(F.col("k") % 5 == 2).select("_id", F.lit("R").alias("src"))
+    return union_window_and_remanent(w, r).select("_id", "src")
+
+
+# --- streaming-shaped batch ops over events ------------------------------------
+
+
+def events_hourly(spark, sf_dir) -> DataFrame:
+    """Tumbling 1h window aggregation (batch form; streaming skin reuses the
+    same expressions over readStream + watermark)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.withColumn("hour_bucket", F.expr("ts DIV 3600000000000").cast("long"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+
+
+def events_sessionize(spark, sf_dir) -> DataFrame:
+    """30-min-gap sessionization via lag + running conditional sum."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("prev_tn", F.lag("ts").over(w_lag))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_tn").isNull()
+                | (F.col("ts") - F.col("prev_tn") > 1800000000000),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("is_new").over(w_run).cast("long").alias("session_seq"),
+        )
+    )
+
+
+# --- scan/agg path benchmark (TPC-H Q1 shape) -----------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("1999-12-31").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+QUERIES = {
+    "recon_match_exact": recon_match_exact,
+    "recon_duplicate_losers": recon_duplicate_losers,
+    "recon_residual_internal": recon_residual_internal,
+    "recon_residual_external": recon_residual_external,
+    "recon_zero_effect_pairs": recon_zero_effect_pairs,
+    "recon_zero_effect_clean": recon_zero_effect_clean,
+    "recon_tolerance_match": recon_tolerance_match,
+    "recon_cascade_summary": recon_cascade_summary,
+    "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
+    "recon_remanent_lookup": recon_remanent_lookup,
+    "recon_union_remanent_dedup": recon_union_remanent_dedup,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "q1_pricing_summary": q1_pricing_summary,
+}

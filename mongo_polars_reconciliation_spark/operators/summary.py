@@ -20,16 +20,22 @@ def bucket_summary(
     id_col: str = "_id",
 ) -> DataFrame:
     """One-row frame: (bucket, row count, amount sum). Map-side partial
-    aggregation makes this one cheap shuffle of 32 partial rows at any scale."""
+    aggregation makes this one cheap shuffle of 32 partial rows at any scale.
+
+    The sum goes through DECIMAL(18,2): decimal addition is exact and
+    order-independent, so the result is deterministic under any shuffle order
+    (float sums are not — SURVEY.md §7 hard part (c))."""
     amount = (
-        F.coalesce(F.sum(amount_col), F.lit(0.0))
+        F.coalesce(
+            F.sum(F.col(amount_col).cast("decimal(18,2)")).cast("double"), F.lit(0.0)
+        )
         if amount_col in df.columns
         else F.lit(0.0)
     )
     return df.agg(
         F.lit(bucket_name).alias("bucket"),
         F.count(id_col if id_col in df.columns else F.lit(1)).alias("n"),
-        F.round(amount, 2).alias("amount_sum"),
+        amount.alias("amount_sum"),
     )
 
 

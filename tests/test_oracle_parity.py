@@ -1,0 +1,75 @@
+"""Mirror of the driver's correctness gate: run each declared query on Spark
+AND its oracle SQL on DuckDB over the same parquet, compare row count, column
+names, and order-insensitive values (exact — floats must be bit-identical by
+construction, aggregates go through DECIMAL)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def normalize(rows, colnames):
+    """Sort columns by name, then rows; floats to a canonical repr."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def canon(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return v
+        return v
+
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert name in oracles, f"{name} has no oracle SQL (rows-only check)"
+    sdf = qs[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.execute(oracles[name])
+    duck_cols = [d[0] for d in rel.description]
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    sn, dn = normalize(spark_rows, spark_cols), normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.columns == ["bucket", "n", "amount_sum"]
