@@ -1,0 +1,286 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB dedup pipeline shape:
+- *exact*: one hash-groupBy shuffle on a digest column;
+- *MinHash+LSH*: shingle → minhash signature → band buckets → bucket join →
+  exact-Jaccard verification of candidates only (never all pairs);
+- *SimHash*: per-token bit votes → 16-bit signature → half-signature
+  blocking join → Hamming filter;
+- *n-gram Jaccard*: shingle inverted index with a document-frequency cap
+  (stop-shingle removal bounds the index blowup), then pair-count verify.
+
+``hash_mode``: "dict" assigns shingle ids via a dictionary built from the
+data (dense_rank over distinct shingles) — fully deterministic and mirrorable
+in ANSI SQL, used for the oracle checks. "xxhash64" skips the dictionary
+(no global sort, the scale path) at the cost of engine-specific hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Universal-hash constants: h_j(x) = (A_j * x + B_j) mod P. Deterministic
+# literals so the oracle SQL can reproduce them.
+MINHASH_P = 8191
+SIMHASH_P = 65521
+SIMHASH_A = 2654435761
+SIMHASH_BITS = 16
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the keeper
+    (min id) and the copy count. Keeper choice is deterministic (min id), not
+    order-dependent like Polars ``unique(keep='first')``."""
+    return (
+        df.select(
+            F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, via array transform —
+    no Python, one explode."""
+    idx = ", ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {idx}))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+
+
+def _shingle_ids(sh: DataFrame, hash_mode: str) -> DataFrame:
+    """Attach an integer shingle id. dict mode: dense_rank over the distinct
+    shingle dictionary (deterministic, oracle-mirrorable; the dictionary is a
+    global sort — fine for the correctness gate, use xxhash64 at scale)."""
+    if hash_mode == "xxhash64":
+        return sh.withColumn("sid", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)))
+    dic = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn("sid", F.dense_rank().over(Window.orderBy("shingle")))
+    )
+    return sh.join(dic, "shingle")
+
+
+def minhash_signatures(
+    sh_ids: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+) -> DataFrame:
+    """One row per (doc, hash_j): minhash_j = min((A_j*sid + B_j) mod P).
+    A_j = 2j+3, B_j = 5j+7. Map-side partial min keeps the shuffle tiny."""
+    hashes = F.explode(
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}),"
+            f" j -> struct(j as j, pmod((2*j+3)*sid + 5*j+7, {MINHASH_P}) as h))"
+        )
+    ).alias("jh")
+    return (
+        sh_ids.select(F.col(id_col), hashes)
+        .select(F.col(id_col), F.col("jh.j").alias("j"), F.col("jh.h").alias("h"))
+        .groupBy(id_col, "j")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band), bucket-join on the band
+    key, emit distinct candidate pairs (id_a < id_b). The join is the LSH
+    trick: only same-bucket docs ever meet, so cost scales with bucket sizes,
+    not n^2."""
+    # collect_list order is nondeterministic — order the band key by j
+    band_key = (
+        sigs.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("j"), F.col("mh")))
+                    ),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                "_",
+            ).alias("bkey")
+        )
+    )
+    l = band_key.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    r = band_key.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    return (
+        l.join(r, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only. Intersection via
+    shingle join, union by |A|+|B|−∩; rounded before thresholding so the
+    decision is reproducible across engines."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")) * 10000
+            ) / 10000).alias("jacc_r"),
+        )
+        .where(F.col("jacc_r") >= threshold)
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.6,
+    hash_mode: str = "dict",
+) -> DataFrame:
+    """shingle → minhash → LSH bands → verified near-dup pairs."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(_shingle_ids(sh, hash_mode), id_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_verify(pairs, sh, id_col, threshold)
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "dict",
+) -> DataFrame:
+    """16-bit SimHash over unigram tokens with term-frequency weights:
+    each token votes ±1 on each bit of h(tid); bit k of the signature is 1
+    iff the vote sum is positive."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("shingle")
+    )
+    tok_ids = _shingle_ids(tok, hash_mode).withColumn(
+        "h", F.pmod(F.lit(SIMHASH_A) * F.col("sid"), F.lit(SIMHASH_P))
+    )
+    bits = tok_ids.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BITS - 1}),"
+                f" k -> struct(k as k, CASE WHEN (h div shiftleft(1, k)) % 2 = 1"
+                f" THEN 1 ELSE -1 END as vote))"
+            )
+        ).alias("kb"),
+    ).select(F.col(id_col), F.col("kb.k").alias("k"), F.col("kb.vote").alias("vote"))
+    return (
+        bits.groupBy(id_col, "k")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1, k)")).otherwise(0)
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hash_mode: str = "dict",
+) -> DataFrame:
+    """Half-signature blocking (docs agreeing on the high byte meet), then
+    Hamming ≤ max_hamming via bit_count(xor). At 100 TB, widen to 4 blocks of
+    a 64-bit signature (pigeonhole guarantee for d ≤ 3)."""
+    sigs = simhash_signatures(df, id_col, text_col, hash_mode)
+    l = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    r = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        l.join(r, F.expr("sh_a div 256") == F.expr("sh_b div 256"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via shingle inverted index. Shingles
+    with document frequency > max_df are dropped from the *index* (classic
+    stop-shingle removal — bounds bucket blowup); Jaccard is computed over
+    the capped shingle sets of both docs (consistent, engine-mirrorable)."""
+    sh = shingles(df, id_col, text_col, n)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    capped = sh.join(df_counts.where(F.col("df_") <= max_df), "shingle").select(
+        F.col(id_col), "shingle"
+    )
+    sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        capped.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(capped.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")) * 10000
+            ) / 10000).alias("jacc_r"),
+        )
+        .where(F.col("jacc_r") >= threshold)
+    )

@@ -1,0 +1,114 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB (SURVEY.md §2.9): media lives in a
+``binary`` column next to a metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched Pandas functions over
+``mapInPandas`` — the *only* sanctioned Python-in-the-loop path, because
+Arrow moves the bytes zero-copy and the work is per-row embarrassingly
+parallel. The decode bodies here are deterministic stubs (this container
+has no image/audio libs — see ``decode_image``); the Spark-side plumbing
+(schema, batch iteration, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def attach_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mime: str = "text/plain",
+) -> DataFrame:
+    """Build a (payload binary, meta struct) multimodal frame. In production
+    the payload comes from the lake (image/audio bytes); here it is the UTF-8
+    encoding of the text column, which keeps everything deterministic."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        ).alias("meta"),
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("prefix_hex", StringType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+
+def extract_features(mm: DataFrame, batch_probe: dict | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload.
+
+    The stub 'decoder' computes byte length and the hex of the first 8 bytes
+    — stand-ins for (width, height, phash). Swap ``_extract_batch``'s body
+    for PIL/ffmpeg calls in production; the mapInPandas contract (schema,
+    batch shape) stays identical. ``batch_probe`` (tests only) records how
+    many Arrow batches were seen."""
+
+    def _extract(batches: Iterator, /):
+        import pandas as pd
+
+        for pdf in batches:
+            if batch_probe is not None:
+                batch_probe["batches"] = batch_probe.get("batches", 0) + 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "prefix_hex": pdf["payload"].map(lambda b: bytes(b)[:8].hex()),
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                }
+            )
+
+    return mm.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def decode_image(payload_bytes: bytes) -> "object":
+    """Real image decode — requires PIL/turbojpeg, absent in this container.
+
+    STUB (SURVEY.md §2.9): raises so callers fail loudly rather than fake
+    imagery; ``extract_features`` is the deterministic-fake path used by
+    tests and the oracle."""
+    raise NotImplementedError(
+        "image decode requires PIL/libjpeg — not available in this environment; "
+        "use extract_features() for the deterministic stub pipeline"
+    )
+
+
+def frame_sample_plan(
+    mm: DataFrame, every_n_bytes: int = 1024, id_col: str = "doc_id"
+) -> DataFrame:
+    """'Frame sampling' analog over binary payloads: emit (doc, frame_no,
+    offset) rows for every ``every_n_bytes`` window — the partition-friendly
+    explode that a video pipeline performs before per-frame decode. Pure
+    built-in expressions; the decode of each window would be mapInPandas."""
+    return mm.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(length(payload)/{every_n_bytes}) AS INT) - 1),"
+                f" i -> i * {every_n_bytes})"
+            )
+        ).alias("frame_no", "byte_offset"),
+    ).select(
+        F.col(id_col),
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+Cosine arithmetic is done with built-in higher-order functions
+(``zip_with`` + left-fold ``aggregate``): JVM-side, no Python, and —
+because a left fold fixes the IEEE operation order — bit-reproducible
+across engines (DuckDB's ``list_reduce`` mirrors it exactly). Centroid
+averaging routes per-dimension sums through DECIMAL so shuffle order can't
+change the result.
+
+Scale paths:
+- brute-force top-k: one broadcast of the query vector, one pass, one
+  top-k window — the 100 TB plan is a full scan, which is the correct
+  baseline for exact search;
+- IVF: centroids per partition label (k-means assignments at scale; the
+  ``label`` column here), probe the closest ``nprobe`` centroids, search
+  only those partitions — the scan shrinks by ~nprobe/nlist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Left-fold sum: deterministic IEEE order (0.0 + x0 + x1 + ...)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns via fold arithmetic."""
+    dot = _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+    na = F.sqrt(_fold_sum(F.zip_with(a, a, lambda x, y: x * y)))
+    nb = F.sqrt(_fold_sum(F.zip_with(b, b, lambda x, y: x * y)))
+    return dot / (na * nb)
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def topk_bruteforce(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast literal query vector, score every
+    row, one top-k window. Ranking uses the 6-dp-rounded score with id
+    tie-break so rank order is reproducible."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine(_as_double(vec_col), q), 6).alias("cos_r"),
+    )
+    w = Window.orderBy(F.col("cos_r").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "cos_r")
+    )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label per-dimension mean as (label, pos, cval) rows. Sums are
+    DECIMAL-routed so the average is independent of aggregation order."""
+    exploded = emb.select(
+        F.col(label_col), F.posexplode(_as_double(vec_col)).alias("pos", "val")
+    )
+    return exploded.groupBy(label_col, "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("cval")
+    )
+
+
+def topk_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: rank centroids by cosine to the query,
+    keep the best ``nprobe`` labels, run exact scoring only inside those
+    partitions. Centroid scoring happens on tiny aggregated rows (driver-side
+    broadcast scale), the big scan is pruned by the label filter."""
+    cents = label_centroids(emb, id_col, vec_col, label_col)
+    qdf = cents.sparkSession.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(query_vec)], ["pos", "qval"]
+    )
+    cs = (
+        cents.join(F.broadcast(qdf), "pos")
+        .groupBy(label_col)
+        .agg(
+            F.sum((F.col("cval") * F.col("qval")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sqrt(
+                F.sum((F.col("cval") * F.col("cval")).cast("decimal(28,12)")).cast(
+                    "double"
+                )
+            ).alias("cnorm"),
+        )
+        .select(
+            F.col(label_col),
+            F.round(F.col("dot") / F.col("cnorm"), 6).alias("c_cos"),
+        )
+    )
+    w = Window.orderBy(F.col("c_cos").desc(), F.col(label_col).asc())
+    probe = (
+        cs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .select(label_col)
+    )
+    pruned = emb.join(F.broadcast(probe), label_col)
+    return topk_bruteforce(pruned, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
+    (IVF-style blocking: only same-cluster vectors are compared — at scale
+    the blocker is an LSH/k-means assignment, here the label column)."""
+    l = emb.select(
+        F.col(block_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    r = emb.select(
+        F.col(block_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        l.join(r, block_col)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(
+                    F.transform(F.col("va"), lambda x: x.cast("double")),
+                    F.transform(F.col("vb"), lambda x: x.cast("double")),
+                ),
+                6,
+            ).alias("cos_r"),
+        )
+        .where(F.col("cos_r") >= threshold)
+    )

@@ -1,0 +1,135 @@
+"""Text analysis operators: tokenization, language ID, quality, fingerprints.
+
+All JVM-side built-in expressions (split/regexp/md5/windows) — no Python UDFs,
+so every operator stays on the whole-stage-codegen path at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def floor4(col: Column) -> Column:
+    """4-dp floor quantization: floor(x*10^4)/10^4. Unlike round(), this is
+    bit-reproducible across engines — the product/floor/divide chain is pure
+    IEEE arithmetic on identical inputs, with no decimal-tie ambiguity
+    (rational scores like hits/total routinely land exactly on x.xxxx5)."""
+    return F.floor(col * 10000) / 10000
+
+# Small per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately tiny & hardcoded: the operator's job is the
+# join/aggregate shape (tokens ⋈ broadcast dictionary → per-doc-per-lang
+# scores → argmax), not linguistic accuracy.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to", "in"],
+    "es": ["el", "la", "de", "y", "es", "en", "un"],
+    "fr": ["le", "la", "de", "et", "est", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "in", "ein"],
+    "zh": ["de", "shi", "le", "zai", "he", "you", "wo"],
+}
+
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tokens(df: DataFrame, text_col: str = "text", out: str = "toks") -> DataFrame:
+    return df.withColumn(out, F.split(F.col(text_col), " "))
+
+
+def token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (SURVEY extension:
+    'token counting (whitespace + a BPE-ish regex)')."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def language_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-ratio language ID: explode tokens, join the (broadcast)
+    stopword dictionary, score per (doc, lang), argmax with deterministic
+    tie-break (score desc, lang asc). One shuffle on doc_id."""
+    spark = df.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws], ["lang", "tok"]
+    )
+    langs = spark.createDataFrame([(lang,) for lang in STOPWORDS], ["lang"])
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    totals = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    hits = (
+        tok.join(F.broadcast(sw), "tok")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    # every (doc, lang) pair so zero-hit docs still get a deterministic argmax
+    scored = (
+        totals.crossJoin(F.broadcast(langs))
+        .join(hits, [id_col, "lang"], "left")
+        .select(
+            F.col(id_col),
+            "lang",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_tok")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("lang").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("lang").alias("pred_lang"),
+            floor4(F.col("score")).alias("score_r"),
+        )
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality scoring from length / stopword-ratio / token-length
+    signals (pure column arithmetic; deterministic across engines because all
+    inputs are exact ints before the final double ops)."""
+    en = STOPWORDS["en"]
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    sw_hits = F.size(F.filter(toks, lambda t: t.isin(en))).cast("long")
+    avg_len = (n_chars - (n_tok - F.lit(1))) / n_tok  # chars sans separators
+    sw_ratio = sw_hits / n_tok
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - sw_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        floor4(sw_ratio).alias("stopword_ratio_r"),
+        floor4(quality).alias("quality_r"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Collision/key fingerprint: md5 of the sorted distinct token set —
+    word-order-insensitive document identity (OpenRefine-style key
+    collision fingerprinting; the dedup blocking key for shuffled copies)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.col(text_col), " "))), " "
+            ).cast("binary")
+        ).alias("fp"),
+    )

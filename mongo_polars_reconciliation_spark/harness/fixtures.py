@@ -154,6 +154,53 @@ def build_external(
     )
 
 
+def build_documents_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus injected duplicates (the natural data has none):
+    - exact copies   (doc_id % 10 == 7 → doc_id + 100000)
+    - near-dup copies (doc_id % 10 == 3 → doc_id + 200000, first token
+      dropped — 3-gram Jaccard vs the original ≈ 0.9+)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = d.where(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near_text = F.expr("substring(text, instr(text, ' ') + 1)")
+    near = d.where(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        near_text.alias("text"),
+        "lang",
+        "source",
+        F.length(near_text).cast("long").alias("n_chars"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+def build_embeddings_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus injected near-duplicates: for vec_id % 10 == 1, a copy
+    (vec_id + 100000, same label) with the first 8 dims zeroed — cosine vs the
+    original ≈ sqrt(56/64) ≈ 0.93, far above the random-pair ceiling (~0.45)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    perturbed = e.where(F.col("vec_id") % 10 == 1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i < 8 THEN CAST(0.0 AS FLOAT) ELSE x END)"
+        ).alias("embedding"),
+        "label",
+    )
+    return e.unionByName(perturbed)
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Fetch one embedding as the similarity-search query parameter (a
+    single-row parameter lookup, not a data collect)."""
+    row = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
 def build_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic reconciliation state table (FIXTURES.md §3): every 5th row
     REMANENT, the rest CONCILIATED."""

@@ -256,6 +256,288 @@ SELECT event_id, user_id,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
 FROM flagged
 """,
+    "dedup_exact": """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+)
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM docs_aug GROUP BY 1
+""",
+    "dedup_minhash_lsh": """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_aug),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks) u
+  WHERE shingle IS NOT NULL
+),
+dic AS (
+  SELECT shingle, DENSE_RANK() OVER (ORDER BY shingle) AS sid
+  FROM (SELECT DISTINCT shingle FROM sh) d
+),
+shid AS (SELECT s.doc_id, d.sid FROM sh s JOIN dic d USING (shingle)),
+hashes AS (
+  SELECT doc_id, j, MIN(((2*j+3)*sid + 5*j+7) % 8191) AS mh
+  FROM shid CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
+  GROUP BY doc_id, j
+),
+bandkeys AS (
+  SELECT doc_id, j // 3 AS band,
+         STRING_AGG(CAST(mh AS VARCHAR), '_' ORDER BY j) AS bkey
+  FROM hashes GROUP BY doc_id, j // 3
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bandkeys l JOIN bandkeys r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_int
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, jacc_r FROM (
+  SELECT i.id_a, i.id_b,
+         FLOOR(CAST(i.n_int AS DOUBLE) / (sa.sz + sb.sz - i.n_int) * 10000) / 10000 AS jacc_r
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+) v WHERE jacc_r >= 0.6
+""",
+    "dedup_simhash": """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs_aug),
+dic AS (
+  SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS sid
+  FROM (SELECT DISTINCT tok FROM toks) d
+),
+th AS (
+  SELECT t.doc_id, (2654435761 * d.sid) % 65521 AS h
+  FROM toks t JOIN dic d USING (tok)
+),
+votes AS (
+  SELECT doc_id, k,
+         SUM(CASE WHEN (h // (1 << k)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+  GROUP BY doc_id, k
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1 << k) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM sigs l JOIN sigs r
+  ON l.simhash // 256 = r.simhash // 256 AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+""",
+    "dedup_ngram_jaccard": """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_aug),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks) u
+  WHERE shingle IS NOT NULL
+),
+dfc AS (SELECT shingle, COUNT(*) AS df_ FROM sh GROUP BY shingle),
+capped AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle) WHERE df_ <= 50
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_int
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jacc_r FROM (
+  SELECT i.id_a, i.id_b,
+         FLOOR(CAST(i.n_int AS DOUBLE) / (sa.sz + sb.sz - i.n_int) * 10000) / 10000 AS jacc_r
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+) v WHERE jacc_r >= 0.5
+""",
+    "dedup_embedding_cosine": """
+WITH emb_aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CASE WHEN i <= 8 THEN 0.0 ELSE CAST(embedding[i] AS DOUBLE) END),
+         label
+  FROM embeddings WHERE vec_id % 10 = 1
+)
+SELECT id_a, id_b, cos_r FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)), i -> b.v[i]*b.v[i]), (x,y) -> x+y))),
+           6) AS cos_r
+  FROM emb_aug a JOIN emb_aug b ON a.label = b.label AND a.vec_id < b.vec_id
+) p WHERE cos_r >= 0.8
+""",
+    "sim_topk_bruteforce": """
+WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT e.vec_id,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*q[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y))),
+           6) AS cos_r
+  FROM ev e CROSS JOIN qv
+)
+SELECT vec_id, rank, cos_r FROM (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank, cos_r
+  FROM scored
+) r WHERE rank <= 10
+""",
+    "sim_topk_ivf": """
+WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT vec_id, label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM ev
+),
+cents AS (
+  SELECT label, pos - 1 AS pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM ex GROUP BY label, pos
+),
+qx AS (SELECT unnest(q) AS qval, generate_subscripts(q, 1) - 1 AS pos FROM qv),
+cscore AS (
+  SELECT c.label,
+         ROUND(CAST(SUM(CAST(c.cval * x.qval AS DECIMAL(28,12))) AS DOUBLE)
+               / sqrt(CAST(SUM(CAST(c.cval * c.cval AS DECIMAL(28,12))) AS DOUBLE)), 6) AS c_cos
+  FROM cents c JOIN qx x ON x.pos = c.pos GROUP BY c.label
+),
+probe AS (
+  SELECT label FROM (
+    SELECT label, ROW_NUMBER() OVER (ORDER BY c_cos DESC, label) AS rn FROM cscore
+  ) t WHERE rn <= 2
+),
+pruned AS (SELECT e.vec_id, e.v FROM ev e JOIN probe USING (label)),
+scored AS (
+  SELECT p.vec_id,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*q[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y))),
+           6) AS cos_r
+  FROM pruned p CROSS JOIN qv
+)
+SELECT vec_id, rank, cos_r FROM (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank, cos_r
+  FROM scored
+) r WHERE rank <= 10
+""",
+    "text_lang_id": """
+WITH swords(lang, tok) AS (VALUES
+  ('en','the'),('en','a'),('en','of'),('en','and'),('en','is'),('en','to'),('en','in'),
+  ('es','el'),('es','la'),('es','de'),('es','y'),('es','es'),('es','en'),('es','un'),
+  ('fr','le'),('fr','la'),('fr','de'),('fr','et'),('fr','est'),('fr','en'),('fr','un'),
+  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','in'),('de','ein'),
+  ('zh','de'),('zh','shi'),('zh','le'),('zh','zai'),('zh','he'),('zh','you'),('zh','wo')
+),
+langs AS (SELECT DISTINCT lang FROM swords),
+toksl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tot AS (SELECT doc_id, COUNT(*) AS n_tok FROM toksl GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, s.lang, COUNT(*) AS n_hit
+  FROM toksl t JOIN swords s USING (tok) GROUP BY 1, 2
+),
+scored AS (
+  SELECT tot.doc_id, l.lang, COALESCE(h.n_hit, 0) / tot.n_tok AS score
+  FROM tot CROSS JOIN langs l
+  LEFT JOIN hits h ON h.doc_id = tot.doc_id AND h.lang = l.lang
+)
+SELECT doc_id, lang AS pred_lang, FLOOR(score * 10000) / 10000 AS score_r FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM scored
+) t WHERE rn = 1
+""",
+    "text_quality": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       FLOOR(CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+             / len(string_split(text, ' ')) * 10000) / 10000 AS stopword_ratio_r,
+       FLOOR((
+         0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+         + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                  / len(string_split(text, ' ')))
+         + 0.3 * LEAST(1.0,
+             ((length(text) - (len(string_split(text, ' ')) - 1))
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0)
+         ) * 10000) / 10000 AS quality_r
+FROM documents
+""",
+    "text_token_count": """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+FROM documents
+""",
+    "text_fingerprint": """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+FROM documents
+""",
+    "mm_decode_features": """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       lower(hex(encode(substr(text, 1, 8)))) AS prefix_hex,
+       'text/plain' AS mime
+FROM documents
+""",
+    "mm_frame_sample": """
+SELECT doc_id,
+       CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(frame_no * 256 AS BIGINT) AS byte_offset
+FROM (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(length(text) / 256.0) AS INT) - 1)) AS frame_no
+  FROM documents
+) t
+""",
     "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -141,10 +141,18 @@ def recon_union_remanent_dedup(spark, sf_dir) -> DataFrame:
 # --- streaming-shaped batch ops over events ------------------------------------
 
 
+def _read_events(spark, sf_dir) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS,false), which Spark's reader
+    rejects unless nanos-as-long is on. Set it here (runtime-settable SQL
+    conf) so the queries are correct in ANY session, not just ours."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def events_hourly(spark, sf_dir) -> DataFrame:
     """Tumbling 1h window aggregation (batch form; streaming skin reuses the
     same expressions over readStream + watermark)."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _read_events(spark, sf_dir)
     return (
         e.withColumn("hour_bucket", F.expr("ts DIV 3600000000000").cast("long"))
         .groupBy("hour_bucket", "event_type")
@@ -159,7 +167,7 @@ def events_sessionize(spark, sf_dir) -> DataFrame:
     """30-min-gap sessionization via lag + running conditional sum."""
     from pyspark.sql import Window
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _read_events(spark, sf_dir)
     w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -199,6 +207,106 @@ def q1_pricing_summary(spark, sf_dir) -> DataFrame:
     )
 
 
+# --- training-data-pipeline extensions (SURVEY.md §2.9) ------------------------
+
+
+def dedup_exact(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.dedup import exact_dedup_groups
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    return exact_dedup_groups(build_documents_aug(spark, sf_dir))
+
+
+def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.dedup import minhash_near_dups
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    return minhash_near_dups(build_documents_aug(spark, sf_dir), hash_mode="dict")
+
+
+def dedup_simhash(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.dedup import simhash_near_dups
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    return simhash_near_dups(build_documents_aug(spark, sf_dir), hash_mode="dict")
+
+
+def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.dedup import ngram_jaccard_pairs
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    return ngram_jaccard_pairs(build_documents_aug(spark, sf_dir))
+
+
+def dedup_embedding_cosine(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        embedding_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_embeddings_aug
+
+    return embedding_near_dups(build_embeddings_aug(spark, sf_dir), threshold=0.8)
+
+
+def sim_topk_bruteforce(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.similarity import topk_bruteforce
+    from mongo_polars_reconciliation_spark.harness.fixtures import query_vector
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return topk_bruteforce(emb, query_vector(spark, sf_dir), k=10)
+
+
+def sim_topk_ivf(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.similarity import topk_ivf
+    from mongo_polars_reconciliation_spark.harness.fixtures import query_vector
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return topk_ivf(emb, query_vector(spark, sf_dir), k=10, nprobe=2)
+
+
+def text_lang_id(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.text import language_id
+
+    return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def text_quality(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.text import quality_score
+
+    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def text_token_count(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.text import token_counts
+
+    return token_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def text_fingerprint(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.text import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def mm_decode_features(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        extract_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(attach_payload(docs))
+
+
+def mm_frame_sample(spark, sf_dir) -> DataFrame:
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        frame_sample_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return frame_sample_plan(attach_payload(docs), every_n_bytes=256)
+
+
 QUERIES = {
     "recon_match_exact": recon_match_exact,
     "recon_duplicate_losers": recon_duplicate_losers,
@@ -214,4 +322,17 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "q1_pricing_summary": q1_pricing_summary,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_topk_ivf": sim_topk_ivf,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "text_fingerprint": text_fingerprint,
+    "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
 }
