@@ -41,8 +41,13 @@ ROW_NUM = "ext_file_row_number"
 
 
 def _ab(spark: SparkSession, sf_dir: str):
+    """Shared A/B inputs, persisted: Spark's cache registry is keyed by
+    analyzed-plan equality, so every query that calls this reuses ONE
+    materialization of the fixture synthesis across the whole session."""
     cfg = recon_cfg()
-    return cfg, build_internal(spark, sf_dir), build_external(spark, sf_dir, cfg)
+    a = build_internal(spark, sf_dir).persist()
+    b = build_external(spark, sf_dir, cfg).persist()
+    return cfg, a, b
 
 
 # --- reconciliation core (SURVEY.md §2.3/§2.4) ---------------------------------

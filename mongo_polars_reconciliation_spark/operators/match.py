@@ -41,6 +41,7 @@ def match_records(
     b: DataFrame,
     cfg: ReconConfig,
     broadcast_b: bool = False,
+    cache=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(matched, loser_b_rows)``.
 
@@ -61,6 +62,10 @@ def match_records(
     ranked = joined.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__cnt", F.count(F.lit(1)).over(grp)
     )
+    if cache is not None:
+        # both outputs (winners + losers) read this frame — materialize the
+        # join/window once instead of twice
+        ranked = cache(ranked)
 
     matched = ranked.where(F.col("__rn") == 1).drop("__rn", "__cnt")
 

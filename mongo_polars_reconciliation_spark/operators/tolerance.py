@@ -31,6 +31,7 @@ def apply_tolerance(
     b: DataFrame,
     cfg: ReconConfig,
     rules: list[ToleranceRule],
+    cache=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Return ``(tolerance_matched, a_residual, b_residual)``.
 
@@ -86,8 +87,13 @@ def apply_tolerance(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if cache is not None:
+        # read 3× below (matched bucket + both residual anti-joins) —
+        # materialize the join/filter/window once
+        best = cache(best)
 
-    # recompute residuals against the tolerance-matched set
+    # recompute residuals against the tolerance-matched set (anti-join build
+    # side sizing is left to AQE: the matched key set scales with the data)
     a_resid = a.join(best.select(a_keys).distinct(), on=a_keys, how="left_anti")
     b_exd_full = [cfg.ext_to_exd(kb) for kb in cfg.b_columns]
     b_resid = b.join(best.select(b_exd_full).distinct(), on=b_exd_full, how="left_anti")

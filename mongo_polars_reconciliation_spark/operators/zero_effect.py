@@ -23,6 +23,7 @@ def apply_zero_effect(
     a: DataFrame,
     rules: list[ZeroEffectRule],
     id_col: str = "_id",
+    cache=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(clean_a, zero_effect_pairs)``.
 
@@ -48,6 +49,9 @@ def apply_zero_effect(
         pairs = kind1.join(kind2_r, cond, "inner").drop(
             *[kind2_r[f"{r}_right"] for r in rule.b2_cols]
         )
+        if cache is not None:
+            # read 3× (pairs bucket + the two id anti-joins) — materialize once
+            pairs = cache(pairs)
         pairs_acc = (
             pairs
             if pairs_acc is None

@@ -69,18 +69,23 @@ class Reconciliation:
     _persisted: list[DataFrame] = field(default_factory=list)
 
     def _persist(self, df: DataFrame) -> DataFrame:
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return df  # already cached by the caller
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         self._persisted.append(df)
         return df
 
     def apply_zero_effect(self, rules: list[ZeroEffectRule]) -> None:
-        clean, pairs = apply_zero_effect(self.a_df, rules, self.cfg.id_col)
+        clean, pairs = apply_zero_effect(
+            self.a_df, rules, self.cfg.id_col, cache=self._persist
+        )
         self.a_df = self._persist(clean)
         self.z_eff_a = _union(self.z_eff_a, pairs)
 
     def match_records(self, broadcast_b: bool = False) -> None:
         matched, loser_b = match_records(
-            self.a_df, self.b_df, self.cfg, broadcast_b=broadcast_b
+            self.a_df, self.b_df, self.cfg, broadcast_b=broadcast_b,
+            cache=self._persist,
         )
         self.a_to_b_mt = _union(self.a_to_b_mt, matched)
         self.b_to_a_nmt = _union(self.b_to_a_nmt, loser_b)
@@ -95,7 +100,7 @@ class Reconciliation:
 
     def apply_tolerance(self, rules: list[ToleranceRule]) -> None:
         matched, a_resid, b_resid = apply_tolerance(
-            self.a_df, self.b_df, self.cfg, list(rules)
+            self.a_df, self.b_df, self.cfg, list(rules), cache=self._persist
         )
         self.a_to_b_mt = _union(self.a_to_b_mt, matched)
         # tolerance *recomputes* both residual buckets (reconciliatior.py:143-148)

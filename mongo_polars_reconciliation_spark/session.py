@@ -30,6 +30,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # size-based coalescing instead of parallelism-first: stages over
+        # small inputs collapse to few tasks (kills per-task overhead on the
+        # many tiny shuffles of a cascade); at scale the 64m advisory target
+        # yields thousands of right-sized tasks — same config, both regimes.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # a 64m broadcast side is cheap on any real executor and converts the
+        # frequent dim-sized joins (losers/zero-effect ids/tolerance keys)
+        # from shuffle joins into broadcast-hash joins.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # events.parquet stores TIMESTAMP(NANOS,false); Spark has no nanos
