@@ -256,6 +256,58 @@ SELECT event_id, user_id,
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
 FROM flagged
 """,
+    # foreachBatch incremental reconciliation converges to the batch matched
+    # set: an A row matches iff ANY B candidate exists, whichever micro-batch
+    # carried it (which candidate won arbitration may differ — not exposed)
+    "stream_incremental_match": q(
+        BASE_CTES,
+        select="""
+SELECT a._id FROM a_tbl a
+WHERE EXISTS (SELECT 1 FROM b_tbl b
+  WHERE a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha)
+""",
+    ),
+    # streaming skins: a drained bounded stream must equal the batch answer
+    "stream_events_hourly": """
+SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+    # >= on the gap: session_window starts a NEW session when the gap equals
+    # the threshold (windows must overlap to merge), unlike the batch
+    # sessionize's strict > rule
+    "stream_sessionize_agg": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS tn FROM events
+),
+lagged AS (
+  SELECT event_id, user_id, tn,
+         LAG(tn) OVER (PARTITION BY user_id ORDER BY tn, event_id) AS prev_tn
+  FROM e
+),
+flagged AS (
+  SELECT event_id, user_id, tn,
+         CASE WHEN prev_tn IS NULL OR tn - prev_tn >= 1800000000000 THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, tn,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tn, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, MIN(tn) // 1000 AS session_start_us, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    "stream_user_seq": """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+            AS BIGINT) AS seq_in_user
+FROM events
+""",
     "dedup_exact": """
 WITH docs_aug AS (
   SELECT doc_id, text FROM documents

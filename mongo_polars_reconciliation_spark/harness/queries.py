@@ -312,6 +312,87 @@ def mm_frame_sample(spark, sf_dir) -> DataFrame:
     return frame_sample_plan(attach_payload(docs), every_n_bytes=256)
 
 
+# --- structured streaming skins (streaming/) -----------------------------------
+
+
+def stream_events_hourly(spark, sf_dir) -> DataFrame:
+    """Streaming form of events_hourly: event-time tumbling window +
+    watermark, drained to completion (availableNow) — same rows as batch."""
+    from mongo_polars_reconciliation_spark.streaming.events import (
+        hourly_agg,
+        read_events_stream,
+        run_to_table,
+    )
+
+    return run_to_table(
+        hourly_agg(read_events_stream(spark, sf_dir, name="hourly")),
+        "mem_stream_hourly",
+    )
+
+
+def stream_sessionize_agg(spark, sf_dir) -> DataFrame:
+    """Gap-based sessions via the built-in session_window (30-min gap),
+    aggregated per session. Session-window semantics: a gap of EXACTLY the
+    threshold starts a new session (merge requires overlap), mirrored in the
+    oracle's >= comparison."""
+    from mongo_polars_reconciliation_spark.streaming.events import (
+        SENTINEL_USER,
+        read_events_stream,
+        run_to_table,
+        session_agg,
+    )
+
+    src = read_events_stream(spark, sf_dir, name="sessions", with_sentinel=True)
+    out = run_to_table(
+        session_agg(src), "mem_stream_sessions", output_mode="append"
+    )
+    return out.where(F.col("user_id") != SENTINEL_USER)
+
+
+def stream_user_seq(spark, sf_dir) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event sequence, carried across micro-batches."""
+    from mongo_polars_reconciliation_spark.streaming.events import (
+        read_events_stream,
+        run_to_table,
+        user_running_seq,
+    )
+
+    return run_to_table(
+        user_running_seq(read_events_stream(spark, sf_dir, name="userseq")),
+        "mem_stream_userseq",
+        output_mode="append",
+    )
+
+
+def stream_incremental_match(spark, sf_dir) -> DataFrame:
+    """foreachBatch incremental reconciliation: B arrives as two files (two
+    micro-batches); each batch matches against the still-open A rows and
+    appends to a parquet state dir. Converges to the batch matched-A set."""
+    import shutil
+
+    from mongo_polars_reconciliation_spark.streaming.recon import (
+        incremental_match,
+        matched_state,
+    )
+
+    cfg, a, b = _ab(spark, sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/root/repo/.stream_tmp/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    feed, state, ckpt = f"{root}/feed", f"{root}/state", f"{root}/ckpt"
+    rn = F.col(ROW_NUM)
+    b.where(rn % 2 == 0).write.mode("overwrite").parquet(f"{feed}/half0")
+    b.where(rn % 2 == 1).write.mode("overwrite").parquet(f"{feed}/half1")
+    b_stream = (
+        spark.readStream.schema(b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed}/half*")
+    )
+    incremental_match(a, b_stream, cfg, state, ckpt)
+    return matched_state(spark, state)
+
+
 QUERIES = {
     "recon_match_exact": recon_match_exact,
     "recon_duplicate_losers": recon_duplicate_losers,
@@ -340,4 +421,8 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample": mm_frame_sample,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_sessionize_agg": stream_sessionize_agg,
+    "stream_user_seq": stream_user_seq,
+    "stream_incremental_match": stream_incremental_match,
 }

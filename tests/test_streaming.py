@@ -1,0 +1,81 @@
+"""Batch/stream parity and state-carry tests for the streaming skin."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongo_polars_reconciliation_spark.harness.queries import QUERIES, _ab
+from mongo_polars_reconciliation_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    run_to_table,
+    session_agg,
+    user_running_seq,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_hourly_stream_equals_batch(spark):
+    streamed = QUERIES["stream_events_hourly"](spark, SF_DIR)
+    batch = QUERIES["events_hourly"](spark, SF_DIR)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_session_window_batch_and_stream_agree(spark):
+    """session_agg is one function for both regimes: applied to the batch
+    frame it must give the same sessions as the drained stream."""
+    streamed = QUERIES["stream_sessionize_agg"](spark, SF_DIR)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = session_agg(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"), watermark=None
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_user_seq_state_carries_across_batches(spark):
+    """Two micro-batches (maxFilesPerTrigger=1 over two files): the stateful
+    operator must continue each user's sequence where batch 1 left off —
+    max(seq) per user equals that user's total events, with no gaps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    root = "/root/repo/.stream_tmp/test_userseq_2batch"
+    shutil.rmtree(root, ignore_errors=True)
+    # split by time so batch order == event order per user
+    mid = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    ev.where(F.col("ts") <= mid).write.parquet(f"{root}/feed/000_first.parquet")
+    ev.where(F.col("ts") > mid).write.parquet(f"{root}/feed/001_second.parquet")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{root}/feed/*.parquet")
+    )
+    out = run_to_table(user_running_seq(src), "mem_userseq_2b", output_mode="append")
+    per_user = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("seq_in_user").alias("mx"),
+        F.countDistinct("seq_in_user").alias("uniq"),
+    )
+    bad = per_user.where(
+        (F.col("n") != F.col("mx")) | (F.col("n") != F.col("uniq"))
+    ).count()
+    assert bad == 0
+    expected = ev.groupBy("user_id").count()
+    assert sorted(map(tuple, per_user.select("user_id", "n").collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+
+
+def test_incremental_match_converges_to_batch_set(spark):
+    """The foreachBatch incremental reconciliation over two half-feeds must
+    match exactly the A ids the one-shot batch engine matches."""
+    from mongo_polars_reconciliation_spark.operators.match import match_records
+
+    inc = QUERIES["stream_incremental_match"](spark, SF_DIR)
+    cfg, a, b = _ab(spark, SF_DIR)
+    batch_matched, _ = match_records(a, b, cfg)
+    assert sorted(r["_id"] for r in inc.collect()) == sorted(
+        r["_id"] for r in batch_matched.select("_id").collect()
+    )
