@@ -195,6 +195,119 @@ UNION ALL
 SELECT 'z_eff_a', COUNT(*), {DEC_SUM} FROM ze
 """,
     ),
+    "recon_duplicate_losers_strict": q(
+        BASE_CTES,
+        select="""
+SELECT row_num, codigo, importe FROM (
+  SELECT b.codigo, b.importe, b.row_num,
+         ROW_NUMBER() OVER (PARTITION BY a._id ORDER BY b.row_num) AS rn,
+         COUNT(*) OVER (PARTITION BY a._id) AS cnt
+  FROM a_tbl a JOIN b_tbl b
+    ON a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha
+) t WHERE cnt > 1 AND rn = cnt
+""",
+    ),
+    "recon_state_merge_upsert": q(
+        BASE_CTES,
+        select="""
+, target AS (SELECT _id, 'OLD' AS status FROM a_tbl WHERE k % 4 = 0),
+source AS (SELECT _id, 'NEW' AS status FROM a_tbl WHERE k % 3 = 0)
+SELECT t._id, t.status FROM target t
+WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s._id = t._id)
+UNION ALL
+SELECT _id, status FROM source
+""",
+    ),
+    "recon_match_on_names": q(
+        BASE_CTES,
+        select="""
+SELECT a._id, b.row_num, a.amount,
+       'CONCILIATED' AS conciliation_status,
+       'transaction_code,amount,trx_date' AS key_code
+FROM a_tbl a JOIN b_tbl b
+  ON a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha
+""",
+    ),
+    "recon_cascade_three_pass": q(
+        BASE_CTES, ZE_CTES,
+        select=f"""
+, a1 AS (
+  SELECT a.* FROM a_tbl a
+  WHERE NOT EXISTS (SELECT 1 FROM ze WHERE ze.sale_id = a._id)
+    AND NOT EXISTS (SELECT 1 FROM ze WHERE ze.void_id = a._id)
+),
+j1 AS (
+  SELECT a._id, a.transaction_code, a.amount, a.trx_date,
+         b.codigo, b.importe, b.fecha, b.row_num,
+         ROW_NUMBER() OVER (PARTITION BY a._id ORDER BY b.row_num) AS rn
+  FROM a1 a JOIN b_tbl b
+    ON a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha
+),
+m1 AS (SELECT _id, amount FROM j1 WHERE rn = 1),
+losers1 AS (SELECT codigo, importe, fecha, row_num FROM j1 WHERE rn > 1),
+a_res1 AS (
+  SELECT a.* FROM a1 a WHERE NOT EXISTS (SELECT 1 FROM b_tbl b
+    WHERE a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha)
+),
+b_res1 AS (
+  SELECT b.codigo, b.importe, b.fecha, b.row_num FROM b_tbl b
+  WHERE NOT EXISTS (SELECT 1 FROM a1 a
+    WHERE a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha)
+  UNION ALL
+  SELECT codigo, importe, fecha, row_num FROM losers1
+),
+tm AS (
+  SELECT * FROM (
+    SELECT a._id, a.transaction_code, a.amount, a.trx_date,
+           b.codigo, b.importe, b.fecha, b.row_num,
+           ROW_NUMBER() OVER (PARTITION BY a.transaction_code, a.trx_date
+                              ORDER BY ABS(b.importe - a.amount), b.row_num) AS trn
+    FROM a_res1 a JOIN b_res1 b
+      ON a.transaction_code = b.codigo AND a.trx_date = b.fecha
+    WHERE ABS(b.importe - a.amount) <= 1.0
+  ) t WHERE trn = 1
+),
+a_res2 AS (
+  SELECT a.* FROM a_res1 a WHERE NOT EXISTS (SELECT 1 FROM tm
+    WHERE tm.transaction_code = a.transaction_code AND tm.trx_date = a.trx_date)
+),
+b_res2 AS (
+  SELECT b.* FROM b_res1 b WHERE NOT EXISTS (SELECT 1 FROM tm
+    WHERE tm.codigo = b.codigo AND tm.importe = b.importe AND tm.fecha = b.fecha)
+),
+j3 AS (
+  SELECT a._id, a.amount, b.codigo, b.importe, b.fecha, b.row_num,
+         ROW_NUMBER() OVER (PARTITION BY a._id ORDER BY b.row_num) AS rn
+  FROM a_res2 a JOIN b_res2 b
+    ON a.transaction_code = b.codigo AND a.trx_date = b.fecha
+),
+m3 AS (SELECT _id, amount FROM j3 WHERE rn = 1),
+losers3 AS (SELECT codigo, importe, fecha, row_num FROM j3 WHERE rn > 1),
+a_res3 AS (
+  SELECT a.* FROM a_res2 a WHERE NOT EXISTS (SELECT 1 FROM b_res2 b
+    WHERE a.transaction_code = b.codigo AND a.trx_date = b.fecha)
+),
+b_res3 AS (
+  SELECT b.codigo, b.importe, b.fecha, b.row_num FROM b_res2 b
+  WHERE NOT EXISTS (SELECT 1 FROM a_res2 a
+    WHERE a.transaction_code = b.codigo AND a.trx_date = b.fecha)
+  UNION ALL
+  SELECT codigo, importe, fecha, row_num FROM losers3
+),
+mt_all AS (
+  SELECT _id, amount FROM m1
+  UNION ALL SELECT _id, amount FROM tm
+  UNION ALL SELECT _id, amount FROM m3
+)
+SELECT 'a_to_b_mt' AS bucket, COUNT(*) AS n, {DEC_SUM} AS amount_sum FROM mt_all
+UNION ALL
+SELECT 'a_to_b_nmt', COUNT(*), {DEC_SUM} FROM a_res3
+UNION ALL
+SELECT 'b_to_a_nmt', COUNT(*), 0.0 FROM b_res3
+UNION ALL
+SELECT 'z_eff_a', COUNT(*), {DEC_SUM} FROM ze
+""",
+    ),
     "recon_state_merge_keep_existing": q(
         BASE_CTES,
         select="""

@@ -120,6 +120,79 @@ def recon_cascade_summary(spark, sf_dir) -> DataFrame:
     return rc.summary(amount_col="amount")
 
 
+def recon_duplicate_losers_strict(spark, sf_dir) -> DataFrame:
+    """strict_compat arbitration (SURVEY.md §2.4 faithful-bug): with k>=3
+    duplicate candidates only the LAST goes back to the residual bucket —
+    middle candidates vanish (unique(keep='last'), reconciliatior.py:24-26)."""
+    cfg = recon_cfg(strict_compat=True)
+    a = build_internal(spark, sf_dir)
+    b = build_external(spark, sf_dir, cfg)
+    _, losers = match_records(a, b, cfg)
+    return losers.select(
+        F.col(ROW_NUM).alias("row_num"), "ext_codigo", "ext_importe"
+    ).withColumnsRenamed({"ext_codigo": "codigo", "ext_importe": "importe"})
+
+
+def recon_state_merge_upsert(spark, sf_dir) -> DataFrame:
+    """$merge(on=_id, whenMatched='merge') upsert semantics — source wins on
+    collision, everything else kept (second_conciliate.py:431-439)."""
+    from mongo_polars_reconciliation_spark.sources.state import merge_upsert
+
+    a = build_internal(spark, sf_dir)
+    target = a.where(F.col("k") % 4 == 0).select("_id", F.lit("OLD").alias("status"))
+    source = a.where(F.col("k") % 3 == 0).select("_id", F.lit("NEW").alias("status"))
+    return merge_upsert(target, source, "_id").select("_id", "status")
+
+
+def recon_match_on_names(spark, sf_dir) -> DataFrame:
+    """Entry-point-#2 naming policy (SURVEY.md §3.2): external columns are
+    renamed to the internal names and the join runs on shared names, with
+    run-metadata literal columns attached (P5/P15); no arbitration — every
+    candidate pair is a row (second_conciliate.py:282-322)."""
+    cfg = recon_cfg()
+    a = build_internal(spark, sf_dir)
+    b = build_external(spark, sf_dir, cfg)
+    names = {"ext_codigo": "transaction_code", "ext_importe": "amount",
+             "ext_fecha": "trx_date"}
+    b_named = b.select(
+        *[F.col(src).alias(dst) for src, dst in names.items()],
+        F.col(ROW_NUM).alias("row_num"),
+    )
+    keys = list(names.values())
+    return (
+        a.select("_id", *keys)
+        .join(b_named, on=keys, how="inner")
+        .select(
+            "_id",
+            "row_num",
+            "amount",
+            F.lit("CONCILIATED").alias("conciliation_status"),
+            F.lit(",".join(keys)).alias("key_code"),
+        )
+    )
+
+
+def recon_cascade_three_pass(spark, sf_dir) -> DataFrame:
+    """Reference's intended cascade shape (src/reconciliation.py:66-73):
+    exact on full keys → tolerance(importe ±1) on reduced keys → exact again
+    on a further-reduced key set (codigo+fecha), catching the rows whose
+    amounts differ beyond tolerance."""
+    from mongo_polars_reconciliation_spark.config import KeyPair
+
+    cfg, a, b = _ab(spark, sf_dir)
+    rc = Reconciliation(cfg, a, b)
+    rc.run(
+        [
+            ExactPass(),
+            TolerancePass(TOLERANCE_RULES),
+            ExactPass(keys=(KeyPair("transaction_code", "codigo"),
+                            KeyPair("trx_date", "fecha"))),
+        ],
+        zero_effect_rules=[ZE_RULE],
+    )
+    return rc.summary(amount_col="amount")
+
+
 # --- state-table semantics (SURVEY.md §2.1 S2/S8/S9) ---------------------------
 
 
@@ -402,6 +475,10 @@ QUERIES = {
     "recon_zero_effect_clean": recon_zero_effect_clean,
     "recon_tolerance_match": recon_tolerance_match,
     "recon_cascade_summary": recon_cascade_summary,
+    "recon_duplicate_losers_strict": recon_duplicate_losers_strict,
+    "recon_state_merge_upsert": recon_state_merge_upsert,
+    "recon_match_on_names": recon_match_on_names,
+    "recon_cascade_three_pass": recon_cascade_three_pass,
     "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
     "recon_remanent_lookup": recon_remanent_lookup,
     "recon_union_remanent_dedup": recon_union_remanent_dedup,

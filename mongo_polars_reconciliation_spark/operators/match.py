@@ -78,11 +78,18 @@ def match_records(
 
     ext_cols = [c for c in joined.columns if c.startswith(cfg.ext_prefix)]
     exd_cols = [c for c in joined.columns if c.startswith(cfg.key_copy_prefix)]
+    # restore ONLY the ext_ key columns this pass's join consumed: under a
+    # reduced key set (cascade pass 2+) the other exd_ copies still have
+    # their live ext_ column, and restoring those too would duplicate names
+    restored = [
+        exd
+        for exd in exd_cols
+        if cfg.ext_prefix + exd.removeprefix(cfg.key_copy_prefix) not in ext_cols
+    ]
     loser_b = losers.select(
         *[F.col(c) for c in ext_cols],
-        # restore the consumed ext_ key columns from their exd_ copies
         *[F.col(exd).alias(cfg.ext_prefix + exd.removeprefix(cfg.key_copy_prefix))
-          for exd in exd_cols],
+          for exd in restored],
         *[F.col(c) for c in exd_cols],
     )
     return matched, loser_b

@@ -37,9 +37,15 @@ from mongo_polars_reconciliation_spark.operators.zero_effect import apply_zero_e
 
 @dataclass(frozen=True)
 class ExactPass:
-    """Exact multi-key match + residuals (match_records / not_match_records)."""
+    """Exact multi-key match + residuals (match_records / not_match_records).
+
+    ``keys``: optional per-pass key set (a subset of the run config's pairs,
+    since the prepared B frame only carries ``ext_``/``exd_`` columns for
+    those) — the reference's cascade re-matches residuals on different key
+    configs between steps (src/reconciliation.py:66-73, new_rc_step)."""
 
     broadcast_b: bool = False
+    keys: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -126,10 +132,16 @@ class Reconciliation:
         self.b_df = self._persist(self.b_df)
         if zero_effect_rules:
             self.apply_zero_effect(zero_effect_rules)
+        base_cfg = self.cfg
         for i, p in enumerate(passes):
             if isinstance(p, ExactPass):
+                if p.keys:
+                    from dataclasses import replace
+
+                    self.cfg = replace(base_cfg, keys=list(p.keys))
                 self.match_records(broadcast_b=p.broadcast_b)
                 self.not_match_records()
+                self.cfg = base_cfg
             else:
                 self.apply_tolerance(list(p.rules))
             if i < len(passes) - 1:
