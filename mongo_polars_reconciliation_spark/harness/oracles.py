@@ -308,6 +308,20 @@ UNION ALL
 SELECT 'z_eff_a', COUNT(*), {DEC_SUM} FROM ze
 """,
     ),
+    "recon_source_scan_filtered": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS VARCHAR) AS o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(o_orderstatus AS VARCHAR) AS o_orderstatus
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderstatus IN ('F', 'P')
+  AND o_totalprice >= 1000.0 AND o_totalprice < 150000.0
+""",
+    "recon_csv_roundtrip": q(
+        BASE_CTES,
+        select="SELECT row_num, codigo, importe, fecha FROM b_tbl",
+    ),
     "recon_state_merge_keep_existing": q(
         BASE_CTES,
         select="""

@@ -216,6 +216,59 @@ def recon_union_remanent_dedup(spark, sf_dir) -> DataFrame:
     return union_window_and_remanent(w, r).select("_id", "src")
 
 
+# --- source scans (SURVEY.md §2.1 S1/S3/S4) ------------------------------------
+
+
+def recon_source_scan_filtered(spark, sf_dir) -> DataFrame:
+    """S1 semantics on parquet: eq + isin + half-open-range filter block next
+    to the read (Catalyst pushes all three into the scan) then the config-
+    driven string-default/typed projection ($match → $project+$toString)."""
+    from mongo_polars_reconciliation_spark.config import SourceFilter
+    from mongo_polars_reconciliation_spark.sources.scan import scan_internal
+
+    flt = SourceFilter(
+        equals={"o_orderpriority": "1-URGENT"},
+        isin={"o_orderstatus": ["F", "P"]},
+        ranges={"o_totalprice": (1000.0, 150000.0)},
+    )
+    return scan_internal(
+        spark,
+        f"{sf_dir}/orders.parquet",
+        fields=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+        flt=flt,
+        long_fields=("o_orderkey",),
+        double_fields=("o_totalprice",),
+    )
+
+
+def recon_csv_roundtrip(spark, sf_dir) -> DataFrame:
+    """S3/S4 semantics end-to-end on a REAL csv file: write the raw external
+    table as CSV, read it back all-string (infer off), cast the numeric keys
+    per config, and row-number by the explicit file-order stand-in — the
+    reference's settlement-file ingestion (src/data_extractor.py:95-116)."""
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_external_raw,
+        recon_cfg,
+    )
+    from mongo_polars_reconciliation_spark.sources.external import prepare_external
+    from mongo_polars_reconciliation_spark.sources.scan import read_csv_all_string
+
+    cfg = recon_cfg()
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/.stream_tmp/{tag}/external_csv"
+    build_external_raw(spark, sf_dir).write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    raw = read_csv_all_string(spark, path).withColumn("k", F.col("k").cast("long"))
+    prepared = prepare_external(raw, cfg, order_by=["k", "codigo", "cpy"])
+    return prepared.select(
+        F.col("ext_file_row_number").alias("row_num"),
+        F.col("ext_codigo").alias("codigo"),
+        F.col("ext_importe").alias("importe"),
+        F.col("ext_fecha").alias("fecha"),
+    )
+
+
 # --- streaming-shaped batch ops over events ------------------------------------
 
 
@@ -479,6 +532,8 @@ QUERIES = {
     "recon_state_merge_upsert": recon_state_merge_upsert,
     "recon_match_on_names": recon_match_on_names,
     "recon_cascade_three_pass": recon_cascade_three_pass,
+    "recon_source_scan_filtered": recon_source_scan_filtered,
+    "recon_csv_roundtrip": recon_csv_roundtrip,
     "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
     "recon_remanent_lookup": recon_remanent_lookup,
     "recon_union_remanent_dedup": recon_union_remanent_dedup,

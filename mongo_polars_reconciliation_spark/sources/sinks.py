@@ -1,0 +1,49 @@
+"""Result sinks (SURVEY.md §2.1 S6/S7/S8/S10).
+
+Reference sinks: per-bucket CSV files with iteration-numbered names
+(``Reconciliator.save_to_file``, src/reconciliatior.py:61-64) and idempotent
+Mongo upserts done as 5 manually time-partitioned ``$merge`` batches on a
+thread pool (second_conciliate.py:409-447).
+
+Spark disposition: writes are already task-parallel, so the thread pool
+disappears — ``repartitionByRange`` on the time column reproduces the
+interval alignment when a downstream consumer needs it; upsert-into-table
+becomes ``MERGE INTO`` on Delta/Iceberg or the pure-DataFrame merges in
+sources/state.py when no transactional format is present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def save_bucket_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
+    """CSV sink with the reference's single-file semantics (S6): the
+    reference writes one ``a_to_b_mt({i}).csv`` per bucket. ``coalesce(1)``
+    reproduces that; pass ``single_file=False`` for the scale path (one file
+    per task, which is what you want at 100 TB)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def save_buckets_csv(
+    buckets: dict[str, DataFrame], out_dir: str, iteration: int = 1
+) -> dict[str, str]:
+    """All result buckets, iteration-numbered like the reference
+    (``a_to_b_mt({i}).csv``, src/reconciliatior.py:61-64)."""
+    paths = {}
+    for name, df in buckets.items():
+        path = f"{out_dir}/{name}({iteration}).csv"
+        save_bucket_csv(df, path)
+        paths[name] = path
+    return paths
+
+
+def write_time_partitioned(
+    df: DataFrame, path: str, ts_col: str, num_partitions: int = 5
+) -> None:
+    """The S8 write path without the manual thread pool: range-repartition on
+    the timestamp column (the reference's 5 equal time intervals,
+    second_conciliate.py:409-417) and let Spark's task parallelism do the
+    concurrent writes. Each output file covers a contiguous time range."""
+    df.repartitionByRange(num_partitions, ts_col).write.mode("overwrite").parquet(path)

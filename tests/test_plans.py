@@ -1,0 +1,83 @@
+"""Physical-plan audits: the properties that keep queries viable at 100 TB.
+
+These assert on ``explain`` output, not timings — partition-count and data
+size change per environment, but a filter that stops reaching the scan, a
+join that degrades to nested-loop, or a Python UDF sneaking into a hot path
+is a scale regression whatever the hardware.
+"""
+
+import contextlib
+import io
+import os
+
+import pytest
+
+from mongo_polars_reconciliation_spark.harness.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_source_filter_pushes_into_scan(spark):
+    plan = formatted_plan(QUERIES["recon_source_scan_filtered"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+    # the eq, isin and range predicates must all reach the parquet scan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "In(o_orderstatus" in plan
+    assert "GreaterThanOrEqual(o_totalprice,1000.0)" in plan
+
+
+def test_scan_prunes_columns(spark):
+    plan = formatted_plan(QUERIES["recon_source_scan_filtered"](spark, SF_DIR))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # 9-column table, 4-column projection (+1 filter-only column): the scan
+    # must not read what the query doesn't touch
+    assert "o_comment" not in read_schema
+    assert "o_orderdate" not in read_schema
+
+
+def test_match_join_is_hash_or_merge(spark):
+    plan = formatted_plan(QUERIES["recon_match_exact"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["recon_cascade_summary", "recon_match_exact", "q1_pricing_summary",
+     "events_hourly", "events_sessionize"],
+)
+def test_headline_queries_stay_jvm_side(spark, name):
+    """No row-at-a-time Python in the reconciliation/analytics hot paths
+    (BatchEvalPython = per-row pickling; ArrowEvalPython would at least be
+    vectorized, but the core engine needs neither)."""
+    plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_headline_queries_use_codegen(spark):
+    # AQE finalizes the physical plan only at execution — run the query,
+    # then check the executed plan wraps the agg path in WholeStageCodegen
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" prefixes mark operators fused into a WholeStageCodegen stage;
+    # both the scan-side partial agg and the final agg must carry them
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_arbitration_window_is_partitioned(spark):
+    """The duplicate-arbitration window must partition by _id — a global
+    (unpartitioned) window funnels every row through one task."""
+    plan = formatted_plan(QUERIES["recon_match_exact"](spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_id" in line
