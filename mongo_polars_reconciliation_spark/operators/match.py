@@ -36,26 +36,21 @@ def _join_cond(a: DataFrame, b: DataFrame, cfg: ReconConfig):
     ]
 
 
-def match_records(
+def match_candidates(
     a: DataFrame,
     b: DataFrame,
     cfg: ReconConfig,
     broadcast_b: bool = False,
     cache=None,
-) -> tuple[DataFrame, DataFrame]:
-    """Return ``(matched, loser_b_rows)``.
-
-    ``matched``: one row per matched A row (winner candidate), schema =
-    A columns + B's non-key ``ext_`` columns + ``exd_`` key copies.
-    ``loser_b_rows``: losing B candidates reconstructed to the prepared-B
-    schema (``ext_`` keys restored from ``exd_``, src/reconciliatior.py:44-51)
-    — the caller appends them to the external residual bucket.
-    """
+) -> DataFrame:
+    """Inner-join A⋈B on the key pairs and rank each A row's candidates by
+    B file order — the shared substrate for winners, losers AND residuals
+    (one shuffle on the keys; everything downstream anti-joins this by
+    single-column identity instead of re-shuffling A/B on the full keys)."""
     b_side = F.broadcast(b) if broadcast_b else b
     joined = a.join(b_side, _join_cond(a, b_side, cfg), "inner").drop(
         *[b_side[kb] for kb in cfg.b_columns]
     )
-
     order_col = cfg.ext_row_number_col
     w = Window.partitionBy(cfg.id_col).orderBy(F.col(order_col).asc_nulls_last())
     grp = Window.partitionBy(cfg.id_col)
@@ -63,10 +58,24 @@ def match_records(
         "__cnt", F.count(F.lit(1)).over(grp)
     )
     if cache is not None:
-        # both outputs (winners + losers) read this frame — materialize the
-        # join/window once instead of twice
+        # winners, losers and both residual derivations read this frame —
+        # materialize the join/window once
         ranked = cache(ranked)
+    return ranked
 
+
+def split_winners_losers(
+    ranked: DataFrame, cfg: ReconConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Split ranked candidates into ``(matched, loser_b_rows)``.
+
+    ``matched``: one row per matched A row (winner candidate), schema =
+    A columns + B's non-key ``ext_`` columns + ``exd_`` key copies.
+    ``loser_b_rows``: losing B candidates reconstructed to the prepared-B
+    schema (``ext_`` keys restored from ``exd_``, src/reconciliatior.py:44-51)
+    — the caller appends them to the external residual bucket.
+    """
+    joined = ranked.drop("__rn", "__cnt")
     matched = ranked.where(F.col("__rn") == 1).drop("__rn", "__cnt")
 
     if cfg.strict_compat:
@@ -93,3 +102,18 @@ def match_records(
         *[F.col(c) for c in exd_cols],
     )
     return matched, loser_b
+
+
+def match_records(
+    a: DataFrame,
+    b: DataFrame,
+    cfg: ReconConfig,
+    broadcast_b: bool = False,
+    cache=None,
+) -> tuple[DataFrame, DataFrame]:
+    """One-call form: ``(matched, loser_b_rows)`` (reference
+    ``match_records`` + ``_process_duplicates``, src/reconciliatior.py:66-74,
+    20-59). The pipeline uses the decomposed ``match_candidates`` +
+    ``split_winners_losers`` so residuals can reuse the candidate frame."""
+    ranked = match_candidates(a, b, cfg, broadcast_b=broadcast_b, cache=cache)
+    return split_winners_losers(ranked, cfg)

@@ -27,3 +27,24 @@ def residual_external(b: DataFrame, a: DataFrame, cfg: ReconConfig) -> DataFrame
     """B rows with no A counterpart (b_to_a_nmt), mirrored key lists."""
     cond = [b[kb] == a[ka] for ka, kb in zip(cfg.a_columns, cfg.b_columns, strict=True)]
     return b.join(a, cond, "left_anti")
+
+
+def residuals_from_candidates(
+    a: DataFrame, b: DataFrame, candidates: DataFrame, cfg: ReconConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Both residuals derived from the match's candidate frame instead of
+    re-joining A and B on the full key lists: an A row is residual iff it
+    produced no candidate (its ``_id`` is absent), a B row iff it was no
+    one's candidate (its row number is absent).
+
+    Identical to the anti-joins (a row joins iff a candidate exists; null
+    keys never join, so null-keyed rows are absent from candidates and stay
+    residual) but reuses the ONE key-shuffle the match already paid —
+    downstream shuffles hash on a single id column. At 100 TB this halves
+    the cascade's shuffled bytes."""
+    rn = cfg.ext_row_number_col
+    a_res = a.join(
+        candidates.select(cfg.id_col).distinct(), on=cfg.id_col, how="left_anti"
+    )
+    b_res = b.join(candidates.select(rn).distinct(), on=rn, how="left_anti")
+    return a_res, b_res

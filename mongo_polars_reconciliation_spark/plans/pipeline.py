@@ -25,10 +25,14 @@ from mongo_polars_reconciliation_spark.config import (
     ToleranceRule,
     ZeroEffectRule,
 )
-from mongo_polars_reconciliation_spark.operators.match import match_records
+from mongo_polars_reconciliation_spark.operators.match import (
+    match_candidates,
+    split_winners_losers,
+)
 from mongo_polars_reconciliation_spark.operators.residuals import (
     residual_external,
     residual_internal,
+    residuals_from_candidates,
 )
 from mongo_polars_reconciliation_spark.operators.summary import run_summary
 from mongo_polars_reconciliation_spark.operators.tolerance import apply_tolerance
@@ -73,6 +77,9 @@ class Reconciliation:
     z_eff_a: DataFrame | None = None
     iterations: int = 1
     _persisted: list[DataFrame] = field(default_factory=list)
+    # candidate frame of the current pass's match, consumed by
+    # not_match_records for id-based residual derivation
+    _candidates: DataFrame | None = None
 
     def _persist(self, df: DataFrame) -> DataFrame:
         if df.storageLevel.useMemory or df.storageLevel.useDisk:
@@ -89,20 +96,29 @@ class Reconciliation:
         self.z_eff_a = _union(self.z_eff_a, pairs)
 
     def match_records(self, broadcast_b: bool = False) -> None:
-        matched, loser_b = match_records(
+        ranked = match_candidates(
             self.a_df, self.b_df, self.cfg, broadcast_b=broadcast_b,
             cache=self._persist,
         )
+        matched, loser_b = split_winners_losers(ranked, self.cfg)
+        self._candidates = ranked
         self.a_to_b_mt = _union(self.a_to_b_mt, matched)
         self.b_to_a_nmt = _union(self.b_to_a_nmt, loser_b)
 
     def not_match_records(self) -> None:
-        self.a_to_b_nmt = _union(
-            self.a_to_b_nmt, residual_internal(self.a_df, self.b_df, self.cfg)
-        )
-        self.b_to_a_nmt = _union(
-            self.b_to_a_nmt, residual_external(self.b_df, self.a_df, self.cfg)
-        )
+        if self._candidates is not None:
+            # reuse the match's cached candidate frame: residual membership
+            # is id-based (one shuffle already paid) — see
+            # residuals_from_candidates for the equivalence argument
+            a_res, b_res = residuals_from_candidates(
+                self.a_df, self.b_df, self._candidates, self.cfg
+            )
+            self._candidates = None
+        else:
+            a_res = residual_internal(self.a_df, self.b_df, self.cfg)
+            b_res = residual_external(self.b_df, self.a_df, self.cfg)
+        self.a_to_b_nmt = _union(self.a_to_b_nmt, a_res)
+        self.b_to_a_nmt = _union(self.b_to_a_nmt, b_res)
 
     def apply_tolerance(self, rules: list[ToleranceRule]) -> None:
         matched, a_resid, b_resid = apply_tolerance(
