@@ -43,8 +43,8 @@ def residuals_from_candidates(
     downstream shuffles hash on a single id column. At 100 TB this halves
     the cascade's shuffled bytes."""
     rn = cfg.ext_row_number_col
-    a_res = a.join(
-        candidates.select(cfg.id_col).distinct(), on=cfg.id_col, how="left_anti"
-    )
-    b_res = b.join(candidates.select(rn).distinct(), on=rn, how="left_anti")
+    # no distinct() on the build sides: left_anti dedups in its hash table,
+    # a pre-distinct would just add a shuffle stage
+    a_res = a.join(candidates.select(cfg.id_col), on=cfg.id_col, how="left_anti")
+    b_res = b.join(candidates.select(rn), on=rn, how="left_anti")
     return a_res, b_res

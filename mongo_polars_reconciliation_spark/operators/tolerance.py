@@ -92,11 +92,13 @@ def apply_tolerance(
         # materialize the join/filter/window once
         best = cache(best)
 
-    # recompute residuals against the tolerance-matched set (anti-join build
-    # side sizing is left to AQE: the matched key set scales with the data)
-    a_resid = a.join(best.select(a_keys).distinct(), on=a_keys, how="left_anti")
+    # recompute residuals against the tolerance-matched set. No distinct() on
+    # the build side: left_anti dedups keys in its hash table anyway, so a
+    # pre-distinct is one extra shuffle for nothing (build-side sizing is
+    # left to AQE)
+    a_resid = a.join(best.select(a_keys), on=a_keys, how="left_anti")
     b_exd_full = [cfg.ext_to_exd(kb) for kb in cfg.b_columns]
-    b_resid = b.join(best.select(b_exd_full).distinct(), on=b_exd_full, how="left_anti")
+    b_resid = b.join(best.select(b_exd_full), on=b_exd_full, how="left_anti")
 
     matched = best.drop(*[c for c in drop_cols if c in best.columns])
     return matched, a_resid, b_resid

@@ -57,12 +57,14 @@ def apply_zero_effect(
             if pairs_acc is None
             else pairs_acc.unionByName(pairs, allowMissingColumns=True)
         )
-        # remove BOTH members of each pair from A (reconciliatior.py:196-198)
-        ids = pairs.select(F.col(id_col).alias("__ze_id"))
-        ids_right = pairs.select(F.col(f"{id_col}_right").alias("__ze_id"))
-        a = a.join(ids, a[id_col] == ids["__ze_id"], "left_anti").join(
-            ids_right, a[id_col] == ids_right["__ze_id"], "left_anti"
+        # remove BOTH members of each pair from A (reconciliatior.py:196-198):
+        # one anti-join against the union of both id columns — the union is
+        # shuffle-free, so this is one join stage where two chained anti-joins
+        # would be two
+        ids = pairs.select(F.col(id_col).alias("__ze_id")).unionAll(
+            pairs.select(F.col(f"{id_col}_right").alias("__ze_id"))
         )
+        a = a.join(ids, a[id_col] == ids["__ze_id"], "left_anti")
     if pairs_acc is None:
         pairs_acc = a.limit(0)
     return a, pairs_acc
