@@ -25,6 +25,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "events_hourly",
     "events_sessionize",
+    "dedup_exact",
+    "sim_topk_lsh",
 ]
 
 

@@ -54,10 +54,14 @@ def topk_bruteforce(
         F.col(id_col),
         F.round(cosine(_as_double(vec_col), q), 6).alias("cos_r"),
     )
+    # orderBy+limit plans as TakeOrderedAndProject: each partition computes a
+    # local top-k and the driver merges k*parts rows — no global window (which
+    # would funnel every scored row through one task). The rank window then
+    # runs over just k rows.
+    topk = scored.orderBy(F.col("cos_r").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("cos_r").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(id_col, "rank", "cos_r")
     )
 
@@ -116,14 +120,88 @@ def topk_ivf(
             F.round(F.col("dot") / F.col("cnorm"), 6).alias("c_cos"),
         )
     )
-    w = Window.orderBy(F.col("c_cos").desc(), F.col(label_col).asc())
+    # nlist centroid rows only, but TakeOrderedAndProject is still the right
+    # plan — no single-partition window even on the small side
     probe = (
-        cs.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= nprobe)
+        cs.orderBy(F.col("c_cos").desc(), F.col(label_col).asc())
+        .limit(nprobe)
         .select(label_col)
     )
     pruned = emb.join(F.broadcast(probe), label_col)
     return topk_bruteforce(pruned, query_vec, k, id_col, vec_col)
+
+
+# Deterministic pseudo-random hyperplanes for cosine LSH: component (j, i) is
+# an LCG value mapped to [-0.5, 0.5). Integer arithmetic + power-of-two
+# division keep every component bit-exact in any IEEE engine, so the oracle
+# SQL reproduces signatures exactly.
+LSH_LCG_A = 1103515245
+LSH_LCG_C = 12345
+LSH_LCG_M = 65536
+LSH_MIX = 4096  # j*MIX + i decorrelates planes (requires dim < 4096)
+
+
+def _lsh_component(j: int, i: int) -> float:
+    """Hyperplane component h_j[i] (0-based i), identical to the SQL form."""
+    return ((LSH_LCG_A * (j * LSH_MIX + i) + LSH_LCG_C) % LSH_LCG_M) / LSH_LCG_M - 0.5
+
+
+def lsh_signature_py(vec: list[float], nbits: int = 8) -> int:
+    """Signature of a driver-side query vector — same fold order and IEEE ops
+    as the Spark/SQL expression, so the integers agree bit-for-bit."""
+    sig = 0
+    for j in range(nbits):
+        s = 0.0
+        for i, v in enumerate(vec):
+            s += float(v) * _lsh_component(j, i)
+        if s >= 0:
+            sig |= 1 << j
+    return sig
+
+
+def lsh_signature_col(vec_col: str, nbits: int = 8) -> Column:
+    """Random-hyperplane signature as a JVM-side expression: bit j is the
+    sign of the left-fold dot product with hyperplane j."""
+    # the LCG product exceeds int32 — keep it in bigint on every engine
+    dot_j = (
+        f"aggregate(sequence(1, size(__v)), cast(0.0 as double), (s, i) -> "
+        f"s + element_at(__v, i) * "
+        f"(cast(pmod(cast({LSH_LCG_A} as bigint) * (j * {LSH_MIX} + i - 1) "
+        f"+ {LSH_LCG_C}, {LSH_LCG_M}) as double) / {LSH_LCG_M} - 0.5))"
+    )
+    expr = (
+        f"aggregate(sequence(0, {nbits - 1}), cast(0 as bigint), (acc, j) -> "
+        f"acc + CASE WHEN {dot_j} >= cast(0.0 as double) "
+        f"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+    )
+    return F.expr(
+        expr.replace("__v", f"transform({vec_col}, x -> cast(x as double))")
+    )
+
+
+def topk_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nbits: int = 8,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: random-hyperplane signatures put
+    similar vectors in the same bucket; probe the query's bucket plus its
+    Hamming-``max_hamming`` neighbors, exact-rank only inside those.
+
+    Scale path: the signature is a plain column — precompute it at ingest and
+    write the table partitioned/bucketed by ``sig`` and the probe becomes
+    partition pruning (read ~(1+nbits)/2^nbits of the data); computed on the
+    fly it is still a pushable scan filter, never a shuffle."""
+    qsig = lsh_signature_py([float(v) for v in query_vec], nbits)
+    sigs = emb.withColumn("sig", lsh_signature_col(vec_col, nbits))
+    probed = sigs.where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    ).drop("sig")
+    return topk_bruteforce(probed, query_vec, k, id_col, vec_col)
 
 
 def embedding_near_dups(

@@ -609,6 +609,45 @@ SELECT vec_id, rank, cos_r FROM (
   FROM scored
 ) r WHERE rank <= 10
 """,
+    "sim_topk_lsh": """
+WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id, v,
+    list_reduce(list_transform(generate_series(0, 7), j ->
+      CASE WHEN list_reduce(list_transform(generate_series(1, len(v)), i ->
+          v[i] * (CAST((1103515245::BIGINT * (j*4096 + i - 1) + 12345) % 65536 AS DOUBLE)/65536 - 0.5)
+        ), (x,y) -> x+y) >= 0
+      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+    ), (x,y) -> x+y) AS sig
+  FROM ev
+),
+qsig AS (
+  SELECT list_reduce(list_transform(generate_series(0, 7), j ->
+      CASE WHEN list_reduce(list_transform(generate_series(1, len(q)), i ->
+          q[i] * (CAST((1103515245::BIGINT * (j*4096 + i - 1) + 12345) % 65536 AS DOUBLE)/65536 - 0.5)
+        ), (x,y) -> x+y) >= 0
+      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+    ), (x,y) -> x+y) AS qs
+  FROM qv
+),
+probed AS (
+  SELECT s.vec_id, s.v FROM sigs s CROSS JOIN qsig WHERE bit_count(xor(s.sig, qsig.qs)) <= 1
+),
+scored AS (
+  SELECT p.vec_id,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*q[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y))),
+           6) AS cos_r
+  FROM probed p CROSS JOIN qv
+)
+SELECT vec_id, rank, cos_r FROM (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank, cos_r
+  FROM scored
+) r WHERE rank <= 10
+""",
     "sim_topk_ivf": """
 WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
 ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -394,6 +394,17 @@ def sim_topk_ivf(spark, sf_dir) -> DataFrame:
     return topk_ivf(emb, query_vector(spark, sf_dir), k=10, nprobe=2)
 
 
+def sim_topk_lsh(spark, sf_dir) -> DataFrame:
+    """LSH-bucketed ANN (random-hyperplane signatures, Hamming-1 multiprobe):
+    the scale path where the signature is a pushable scan filter / partition
+    key instead of a full scan."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import topk_lsh
+    from mongo_polars_reconciliation_spark.harness.fixtures import query_vector
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return topk_lsh(emb, query_vector(spark, sf_dir), k=10)
+
+
 def text_lang_id(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.text import language_id
 
@@ -547,6 +558,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_ivf": sim_topk_ivf,
+    "sim_topk_lsh": sim_topk_lsh,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_token_count": text_token_count,

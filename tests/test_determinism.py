@@ -1,0 +1,35 @@
+"""Shuffle-order / partitioning invariance: the engine's declared results
+must not depend on spark.sql.shuffle.partitions (a proxy for cluster shape).
+A result that changes when the partition count changes would be
+nondeterministic on a real cluster — exactly the failure mode the explicit
+window orders and DECIMAL-routed sums exist to prevent."""
+
+import os
+
+import pytest
+
+from mongo_polars_reconciliation_spark.harness.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["recon_cascade_summary", "recon_duplicate_losers", "recon_tolerance_match",
+     "dedup_minhash_lsh", "sim_topk_lsh"],
+)
+def test_result_invariant_to_shuffle_partitions(spark, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        low = _sorted_rows(QUERIES[name](spark, SF_DIR))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        high = _sorted_rows(QUERIES[name](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert low == high

@@ -81,3 +81,23 @@ def test_arbitration_window_is_partitioned(spark):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "_id" in line
+
+
+def test_topk_is_distributed_take_ordered(spark):
+    """Brute-force and LSH top-k must plan as TakeOrderedAndProject (local
+    per-partition top-k merged at the driver), never a global row_number
+    window over every scored row."""
+    for name in ("sim_topk_bruteforce", "sim_topk_lsh"):
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_lsh_probe_filter_is_scan_side(spark):
+    """The LSH bucket probe is a plain predicate on a computed signature —
+    no join, no shuffle ahead of the top-k."""
+    df = QUERIES["sim_topk_lsh"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
