@@ -182,7 +182,10 @@ def minhash_near_dups(
     """shingle → minhash → LSH bands → verified near-dup pairs."""
     sh = shingles(df, id_col, text_col, n).persist()
     sigs = minhash_signatures(_shingle_ids(sh, hash_mode), id_col, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    # candidate pairs are tiny (bucket collisions only) but sit on top of the
+    # whole signature pipeline — persist so the verify join's two probes of
+    # the pair set don't re-run shingling/minhashing
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands).persist()
     return jaccard_verify(pairs, sh, id_col, threshold)
 
 

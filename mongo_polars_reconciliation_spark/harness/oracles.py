@@ -322,6 +322,12 @@ WHERE o_orderpriority = '1-URGENT'
         BASE_CTES,
         select="SELECT row_num, codigo, importe, fecha FROM b_tbl",
     ),
+    "recon_mongo_json_scan": q(
+        BASE_CTES,
+        select="""
+SELECT _id, k, transaction_code, amount, trx_date, transaction_type, ticket_code
+FROM a_tbl WHERE transaction_type = 'SALE'""",
+    ),
     "recon_state_merge_keep_existing": q(
         BASE_CTES,
         select="""

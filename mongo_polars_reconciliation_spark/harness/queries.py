@@ -196,6 +196,47 @@ def recon_cascade_three_pass(spark, sf_dir) -> DataFrame:
 # --- state-table semantics (SURVEY.md §2.1 S2/S8/S9) ---------------------------
 
 
+def recon_mongo_json_scan(spark, sf_dir) -> DataFrame:
+    """Mongoexport extended-JSON ingestion end-to-end on a REAL json file:
+    write the internal fixture as wrapped documents ($oid ids, $numberLong
+    longs, a nested metadata sub-document), read it back through the
+    unwrap/flatten/coerce projection (src/expression_builder.py:29-43
+    semantics on export files) and keep SALEs only."""
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_internal
+    from mongo_polars_reconciliation_spark.sources.mongo_json import (
+        read_mongo_extended_json,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/.stream_tmp/{tag}/mongo_json"
+    a = build_internal(spark, sf_dir)
+    a.select(
+        F.struct(F.col("_id").alias("$oid")).alias("_id"),
+        F.struct(F.col("k").cast("string").alias("$numberLong")).alias("k"),
+        F.col("transaction_code"),
+        F.col("amount"),
+        F.col("trx_date"),
+        F.col("transaction_type"),
+        F.struct(F.col("ticket_code"), F.col("sale_ticket_code")).alias(
+            "metadata_object"
+        ),
+    ).write.mode("overwrite").json(path)
+    doc = read_mongo_extended_json(
+        spark,
+        path,
+        fields={
+            "_id": "_id",
+            "k": "k:long",
+            "transaction_code": "transaction_code",
+            "amount": "amount:double",
+            "trx_date": "trx_date",
+            "transaction_type": "transaction_type",
+            "ticket_code": "metadata_object.ticket_code",
+        },
+    )
+    return doc.where(F.col("transaction_type") == "SALE")
+
+
 def recon_state_merge_keep_existing(spark, sf_dir) -> DataFrame:
     a = build_internal(spark, sf_dir)
     target = a.where(F.col("k") % 4 == 0).select("_id", F.lit("OLD").alias("status"))
@@ -545,6 +586,7 @@ QUERIES = {
     "recon_cascade_three_pass": recon_cascade_three_pass,
     "recon_source_scan_filtered": recon_source_scan_filtered,
     "recon_csv_roundtrip": recon_csv_roundtrip,
+    "recon_mongo_json_scan": recon_mongo_json_scan,
     "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
     "recon_remanent_lookup": recon_remanent_lookup,
     "recon_union_remanent_dedup": recon_union_remanent_dedup,

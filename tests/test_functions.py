@@ -36,3 +36,36 @@ def test_keep_first_and_last(spark):
     )
     assert rows(keep_first(df, ["k"], ["ord"]), "k", "v") == [("x", "a"), ("y", "c")]
     assert rows(keep_last(df, ["k"], ["ord"]), "k", "v") == [("x", "b"), ("y", "c")]
+
+
+def test_mongo_json_unwrap_and_absent_fields(spark, tmp_path):
+    """Extended-JSON wrappers unwrap; fields absent from the export project
+    as typed nulls (Mongo schemaless-read semantics)."""
+    from mongo_polars_reconciliation_spark.sources.mongo_json import (
+        read_mongo_extended_json,
+    )
+
+    p = str(tmp_path / "docs.json")
+    with open(p, "w") as f:
+        f.write(
+            '{"_id": {"$oid": "abc"}, "n": {"$numberLong": "42"}, '
+            '"meta": {"inner": "x"}, "amt": 1.5}\n'
+            '{"_id": {"$oid": "def"}, "amt": 2.5}\n'
+        )
+    out = read_mongo_extended_json(
+        spark,
+        p,
+        fields={
+            "_id": "_id",
+            "n": "n:long",
+            "inner": "meta.inner",
+            "amt": "amt:double",
+            "missing": "not_there:double",
+        },
+    )
+    rows = {r["_id"]: r for r in out.collect()}
+    assert rows["abc"]["n"] == 42 and rows["abc"]["inner"] == "x"
+    assert rows["def"]["n"] is None and rows["def"]["inner"] is None
+    assert rows["abc"]["missing"] is None
+    assert dict(out.dtypes)["n"] == "bigint"
+    assert dict(out.dtypes)["missing"] == "double"
