@@ -1,0 +1,74 @@
+"""End-to-end training-data curation pipeline — the composition showcase.
+
+Chains the extension operators the way a 100 TB corpus build would:
+exact dedup → MinHash-LSH near-dup removal → quality gate → per-language
+corpus statistics. Every stage is one of the already-tested operators
+(extensions/dedup.py, extensions/text.py); this module only wires them, so
+the scale properties are the stages' own: hash-groupBy dedup, LSH bucket
+joins (never all-pairs), JVM-side text scoring, DECIMAL-routed aggregates.
+
+Drop rule for near-dup pairs: a document is removed iff it appears as the
+``id_b`` (higher id) of any verified pair — deterministic keep-lowest, the
+standard greedy rule, and exactly mirrorable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mongo_polars_reconciliation_spark.extensions.dedup import (
+    exact_dedup_groups,
+    minhash_near_dups,
+)
+from mongo_polars_reconciliation_spark.extensions.text import (
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.6,
+    hash_mode: str = "dict",
+) -> DataFrame:
+    """Per-language stats of the curated corpus: (pred_lang, n_docs,
+    total_ws_tokens, avg_quality_r)."""
+    # 1. exact dedup — keep the min-id copy of each distinct text
+    keepers = exact_dedup_groups(docs, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    kept = docs.join(keepers, id_col)
+
+    # 2. near-dup removal — drop the higher id of every verified pair
+    pairs = minhash_near_dups(
+        kept, id_col, text_col, threshold=near_dup_threshold, hash_mode=hash_mode
+    )
+    kept = kept.join(pairs.select(F.col("id_b").alias(id_col)), id_col, "left_anti")
+
+    # 3. quality gate + language id + token counts (all JVM-side)
+    qual = quality_score(kept, id_col=id_col, text_col=text_col).where(
+        F.col("quality_r") >= min_quality
+    )
+    lang = language_id(kept, id_col=id_col, text_col=text_col)
+    toks = token_counts(kept, id_col=id_col, text_col=text_col)
+
+    # 4. per-language corpus stats; the quality mean goes through an exact
+    # DECIMAL sum so shuffle order can't change the rounded result
+    joined = qual.join(lang, id_col).join(toks, id_col)
+    return joined.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        (
+            F.floor(
+                F.sum(F.col("quality_r").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+            )
+            / 10000
+        ).alias("avg_quality_r"),
+    )

@@ -692,6 +692,122 @@ SELECT vec_id, rank, cos_r FROM (
   FROM scored
 ) r WHERE rank <= 10
 """,
+    "curation_pipeline": """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+),
+eh AS (SELECT md5(text) AS th, MIN(doc_id) AS keeper FROM docs_aug GROUP BY 1),
+kept AS (
+  SELECT d.doc_id, d.text FROM docs_aug d
+  JOIN eh ON md5(d.text) = eh.th AND d.doc_id = eh.keeper
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks) u
+  WHERE shingle IS NOT NULL
+),
+dic AS (
+  SELECT shingle, DENSE_RANK() OVER (ORDER BY shingle) AS sid
+  FROM (SELECT DISTINCT shingle FROM sh) d
+),
+shid AS (SELECT s.doc_id, d.sid FROM sh s JOIN dic d USING (shingle)),
+hashes AS (
+  SELECT doc_id, j, MIN(((2*j+3)*sid + 5*j+7) % 8191) AS mh
+  FROM shid CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
+  GROUP BY doc_id, j
+),
+bandkeys AS (
+  SELECT doc_id, j // 3 AS band,
+         STRING_AGG(CAST(mh AS VARCHAR), '_' ORDER BY j) AS bkey
+  FROM hashes GROUP BY doc_id, j // 3
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bandkeys l JOIN bandkeys r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_int
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+nd_pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT i.id_a, i.id_b,
+           FLOOR(CAST(i.n_int AS DOUBLE) / (sa.sz + sb.sz - i.n_int) * 10000) / 10000 AS jacc_r
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+  ) v WHERE jacc_r >= 0.6
+),
+kept2 AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT id_b FROM nd_pairs)
+),
+qual AS (
+  SELECT doc_id,
+         FLOOR((
+           0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+           + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * LEAST(1.0,
+               ((length(text) - (len(string_split(text, ' ')) - 1))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0)
+           ) * 10000) / 10000 AS quality_r
+  FROM kept2
+),
+swords(lang, tok) AS (VALUES
+  ('en','the'),('en','a'),('en','of'),('en','and'),('en','is'),('en','to'),('en','in'),
+  ('es','el'),('es','la'),('es','de'),('es','y'),('es','es'),('es','en'),('es','un'),
+  ('fr','le'),('fr','la'),('fr','de'),('fr','et'),('fr','est'),('fr','en'),('fr','un'),
+  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','in'),('de','ein'),
+  ('zh','de'),('zh','shi'),('zh','le'),('zh','zai'),('zh','he'),('zh','you'),('zh','wo')
+),
+langs AS (SELECT DISTINCT lang FROM swords),
+toksl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM kept2),
+tot AS (SELECT doc_id, COUNT(*) AS n_tok FROM toksl GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, s.lang, COUNT(*) AS n_hit
+  FROM toksl t JOIN swords s USING (tok) GROUP BY 1, 2
+),
+lscored AS (
+  SELECT tot.doc_id, l.lang, COALESCE(h.n_hit, 0) / tot.n_tok AS score
+  FROM tot CROSS JOIN langs l
+  LEFT JOIN hits h ON h.doc_id = tot.doc_id AND h.lang = l.lang
+),
+lang_pick AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM lscored
+  ) t WHERE rn = 1
+),
+tokc AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+  FROM kept2
+)
+SELECT p.pred_lang,
+       COUNT(*) AS n_docs,
+       SUM(t.ws_tokens) AS total_ws_tokens,
+       FLOOR(CAST(SUM(CAST(q.quality_r AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) * 10000) / 10000 AS avg_quality_r
+FROM qual q
+JOIN lang_pick p USING (doc_id)
+JOIN tokc t USING (doc_id)
+WHERE q.quality_r >= 0.5
+GROUP BY p.pred_lang
+""",
     "text_lang_id": """
 WITH swords(lang, tok) AS (VALUES
   ('en','the'),('en','a'),('en','of'),('en','and'),('en','is'),('en','to'),('en','in'),

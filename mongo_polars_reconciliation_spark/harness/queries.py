@@ -446,6 +446,16 @@ def sim_topk_lsh(spark, sf_dir) -> DataFrame:
     return topk_lsh(emb, query_vector(spark, sf_dir), k=10)
 
 
+def curation_pipeline(spark, sf_dir) -> DataFrame:
+    """Composition showcase: exact dedup → MinHash-LSH near-dup removal →
+    quality gate → per-language corpus stats, all from the tested operator
+    set (the 100 TB corpus-build shape)."""
+    from mongo_polars_reconciliation_spark.extensions.curation import curate_corpus
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    return curate_corpus(build_documents_aug(spark, sf_dir))
+
+
 def text_lang_id(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.text import language_id
 
@@ -601,6 +611,7 @@ QUERIES = {
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_ivf": sim_topk_ivf,
     "sim_topk_lsh": sim_topk_lsh,
+    "curation_pipeline": curation_pipeline,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
