@@ -42,6 +42,30 @@ def merge_upsert(target: DataFrame, source: DataFrame, on: str) -> DataFrame:
     return kept.unionByName(source, allowMissingColumns=True)
 
 
+def write_bucketed_state(
+    df: DataFrame,
+    table: str,
+    buckets: int = 64,
+    key: str = "_id",
+) -> None:
+    """Persist the state table bucketed (and sorted) by the lookup key.
+
+    At 100 TB the remanent lookup (S2) and every ``$merge``-style upsert
+    (S8/S9) join the state table on ``_id``; storing it hash-bucketed by that
+    key means those joins read pre-partitioned data — the stored side needs
+    NO shuffle (no Exchange in the plan), only the incoming batch is
+    exchanged to the bucket count. ``sortBy`` additionally lets sort-merge
+    join skip its sort on the stored side."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
 def remanent_lookup(
     state: DataFrame,
     transactions: DataFrame,
