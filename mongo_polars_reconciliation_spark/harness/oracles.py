@@ -401,6 +401,9 @@ WHERE EXISTS (SELECT 1 FROM b_tbl b
 """,
     ),
     # streaming skins: a drained bounded stream must equal the batch answer
+    "stream_dedup": """
+SELECT event_id, user_id, event_type, value FROM events
+""",
     "stream_events_hourly": """
 SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket,
        event_type,

@@ -503,6 +503,24 @@ def mm_frame_sample(spark, sf_dir) -> DataFrame:
 # --- structured streaming skins (streaming/) -----------------------------------
 
 
+def stream_dedup_events(spark, sf_dir) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery: the events table
+    arrives TWICE (two micro-batches); dropDuplicatesWithinWatermark state
+    suppresses the redelivery, so the drained output is each event exactly
+    once — identical to batch DISTINCT."""
+    from mongo_polars_reconciliation_spark.streaming.events import (
+        read_events_stream_duplicated,
+        run_to_table,
+        stream_dedup,
+    )
+
+    return run_to_table(
+        stream_dedup(read_events_stream_duplicated(spark, sf_dir, name="dedup")),
+        "mem_stream_dedup",
+        output_mode="append",
+    )
+
+
 def stream_events_hourly(spark, sf_dir) -> DataFrame:
     """Streaming form of events_hourly: event-time tumbling window +
     watermark, drained to completion (availableNow) — same rows as batch."""
@@ -618,6 +636,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample": mm_frame_sample,
+    "stream_dedup": stream_dedup_events,
     "stream_events_hourly": stream_events_hourly,
     "stream_sessionize_agg": stream_sessionize_agg,
     "stream_user_seq": stream_user_seq,

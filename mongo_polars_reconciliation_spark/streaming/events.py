@@ -82,6 +82,49 @@ def read_events_stream(
     return reader.parquet(f"{feed}/*.parquet")
 
 
+def read_events_stream_duplicated(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str = "events_dup",
+    copies: int = 2,
+) -> DataFrame:
+    """Same file stream, but the table arrives ``copies`` times (separate
+    files → separate micro-batches with maxFilesPerTrigger=1) — the at-least-
+    once delivery shape that streaming dedup exists to absorb."""
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    feed = f"/root/repo/.stream_tmp/{tag}/{name}/feed"
+    shutil.rmtree(feed, ignore_errors=True)
+    os.makedirs(feed)
+    for i in range(copies):
+        os.symlink(f"{sf_dir}/events.parquet", f"{feed}/{i:03d}_events.parquet")
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed}/*.parquet")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` on the event
+    identity — redelivered events arriving within the watermark horizon are
+    suppressed with BOUNDED state (keys older than the watermark are
+    evicted, so state size tracks the horizon, not the stream's history).
+    The streaming face of extensions.dedup.exact_dedup_groups for
+    at-least-once ingest. Events later than the watermark are dropped as
+    late data — which is also correct here, since any such row is a
+    redelivery of an already-emitted event."""
+    with_time = events.withColumn("event_time", _event_time())
+    return (
+        with_time.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
 def _event_time(col: str = "ts"):
     # epoch-nanos long → timestamp via integer division: `ts / 1000` would
     # round-trip through double and lose exactness above 2^53 (epoch-nanos
