@@ -34,7 +34,7 @@ def curate_corpus(
     text_col: str = "text",
     min_quality: float = 0.5,
     near_dup_threshold: float = 0.6,
-    hash_mode: str = "dict",
+    hash_mode: str = "poly",
 ) -> DataFrame:
     """Per-language stats of the curated corpus: (pred_lang, n_docs,
     total_ws_tokens, avg_quality_r)."""

@@ -9,15 +9,16 @@ Designed for the 100 TB dedup pipeline shape:
 - *n-gram Jaccard*: shingle inverted index with a document-frequency cap
   (stop-shingle removal bounds the index blowup), then pair-count verify.
 
-``hash_mode``: "dict" assigns shingle ids via a dictionary built from the
-data (dense_rank over distinct shingles) — fully deterministic and mirrorable
-in ANSI SQL, used for the oracle checks. "xxhash64" skips the dictionary
-(no global sort, the scale path) at the cost of engine-specific hashing.
+``hash_mode``: "poly" (default) assigns shingle ids with a polynomial
+rolling string hash — narrow column arithmetic, no dictionary, no global
+sort, no join, and bit-identical in ANSI SQL, so the oracle mirrors it.
+"xxhash64" is the single-call JVM hash for pipelines that never need
+cross-engine reproduction.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Universal-hash constants: h_j(x) = (A_j * x + B_j) mod P. Deterministic
@@ -69,17 +70,28 @@ def shingles(
 
 
 def _shingle_ids(sh: DataFrame, hash_mode: str) -> DataFrame:
-    """Attach an integer shingle id. dict mode: dense_rank over the distinct
-    shingle dictionary (deterministic, oracle-mirrorable; the dictionary is a
-    global sort — fine for the correctness gate, use xxhash64 at scale)."""
+    """Attach an integer shingle id.
+
+    - ``poly`` (default; ``dict`` accepted as a legacy alias): polynomial
+      rolling hash of the shingle string, per-char fold mod P — pure
+      narrow column arithmetic (NO dictionary, NO global sort, NO join)
+      and bit-identical in any engine, so the oracle mirrors it directly;
+    - ``xxhash64``: one JVM hash call — fastest, engine-specific, for
+      pipelines that never need cross-engine reproduction.
+    """
     if hash_mode == "xxhash64":
         return sh.withColumn("sid", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)))
-    dic = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("sid", F.dense_rank().over(Window.orderBy("shingle")))
+    if hash_mode not in ("poly", "dict"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    p = MINHASH_P
+    # empty-string guard: sequence(1,0) would COUNT DOWN in Spark and the
+    # mirrored list_reduce would fold an empty list in the oracle
+    sid = F.expr(
+        f"CASE WHEN length(shingle) = 0 THEN 0 ELSE "
+        f"aggregate(sequence(1, length(shingle)), 0, "
+        f"(h, i) -> pmod(h * 31 + pmod(ascii(substring(shingle, i, 1)), {p}), {p})) END"
     )
-    return sh.join(dic, "shingle")
+    return sh.withColumn("sid", sid)
 
 
 def minhash_signatures(
@@ -177,7 +189,7 @@ def minhash_near_dups(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.6,
-    hash_mode: str = "dict",
+    hash_mode: str = "poly",
 ) -> DataFrame:
     """shingle → minhash → LSH bands → verified near-dup pairs."""
     sh = shingles(df, id_col, text_col, n).persist()
@@ -193,7 +205,7 @@ def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hash_mode: str = "dict",
+    hash_mode: str = "poly",
 ) -> DataFrame:
     """16-bit SimHash over unigram tokens with term-frequency weights:
     each token votes ±1 on each bit of h(tid); bit k of the signature is 1
@@ -233,7 +245,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    hash_mode: str = "dict",
+    hash_mode: str = "poly",
 ) -> DataFrame:
     """Half-signature blocking (docs agreeing on the high byte meet), then
     Hamming ≤ max_hamming via bit_count(xor). At 100 TB, widen to 4 blocks of

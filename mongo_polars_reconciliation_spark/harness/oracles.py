@@ -474,11 +474,14 @@ sh AS (
     FROM toks) u
   WHERE shingle IS NOT NULL
 ),
-dic AS (
-  SELECT shingle, DENSE_RANK() OVER (ORDER BY shingle) AS sid
-  FROM (SELECT DISTINCT shingle FROM sh) d
+shid AS (
+  SELECT doc_id,
+         CASE WHEN length(shingle) = 0 THEN 0 ELSE
+           list_reduce(list_transform(generate_series(1, length(shingle)),
+                       i -> ord(substr(shingle, i, 1)) % 8191),
+                       (h, c) -> (h*31 + c) % 8191) END AS sid
+  FROM sh
 ),
-shid AS (SELECT s.doc_id, d.sid FROM sh s JOIN dic d USING (shingle)),
 hashes AS (
   SELECT doc_id, j, MIN(((2*j+3)*sid + 5*j+7) % 8191) AS mh
   FROM shid CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
@@ -520,13 +523,13 @@ WITH docs_aug AS (
   FROM documents WHERE doc_id % 10 = 3
 ),
 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs_aug),
-dic AS (
-  SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS sid
-  FROM (SELECT DISTINCT tok FROM toks) d
-),
 th AS (
-  SELECT t.doc_id, (2654435761 * d.sid) % 65521 AS h
-  FROM toks t JOIN dic d USING (tok)
+  SELECT doc_id,
+         (2654435761 * (CASE WHEN length(tok) = 0 THEN 0 ELSE
+            list_reduce(list_transform(generate_series(1, length(tok)),
+                        i -> ord(substr(tok, i, 1)) % 8191),
+                        (h, c) -> (h*31 + c) % 8191) END)) % 65521 AS h
+  FROM toks
 ),
 votes AS (
   SELECT doc_id, k,
@@ -718,11 +721,14 @@ sh AS (
     FROM toks) u
   WHERE shingle IS NOT NULL
 ),
-dic AS (
-  SELECT shingle, DENSE_RANK() OVER (ORDER BY shingle) AS sid
-  FROM (SELECT DISTINCT shingle FROM sh) d
+shid AS (
+  SELECT doc_id,
+         CASE WHEN length(shingle) = 0 THEN 0 ELSE
+           list_reduce(list_transform(generate_series(1, length(shingle)),
+                       i -> ord(substr(shingle, i, 1)) % 8191),
+                       (h, c) -> (h*31 + c) % 8191) END AS sid
+  FROM sh
 ),
-shid AS (SELECT s.doc_id, d.sid FROM sh s JOIN dic d USING (shingle)),
 hashes AS (
   SELECT doc_id, j, MIN(((2*j+3)*sid + 5*j+7) % 8191) AS mh
   FROM shid CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js

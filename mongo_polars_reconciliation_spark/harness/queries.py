@@ -393,14 +393,14 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.dedup import minhash_near_dups
     from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
 
-    return minhash_near_dups(build_documents_aug(spark, sf_dir), hash_mode="dict")
+    return minhash_near_dups(build_documents_aug(spark, sf_dir), hash_mode="poly")
 
 
 def dedup_simhash(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.dedup import simhash_near_dups
     from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
 
-    return simhash_near_dups(build_documents_aug(spark, sf_dir), hash_mode="dict")
+    return simhash_near_dups(build_documents_aug(spark, sf_dir), hash_mode="poly")
 
 
 def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
