@@ -101,3 +101,17 @@ def test_lsh_probe_filter_is_scan_side(spark):
     df = QUERIES["sim_topk_lsh"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"]
+)
+def test_dedup_pipelines_have_no_global_sort_or_python(spark, name):
+    """The polynomial shingle hash removed the dictionary dense_rank — no
+    dedup path may reintroduce a Window (global or otherwise), a global
+    Sort outside SortMergeJoin, or Python evaluation."""
+    plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+    assert "Window" not in plan, name
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
