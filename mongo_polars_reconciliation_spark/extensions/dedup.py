@@ -55,6 +55,9 @@ def shingles(
             F.col(id_col),
             F.split(F.col(text_col), " ").alias("toks"),
         )
+        # sequence(0, negative) counts DOWN in Spark — a doc shorter than n
+        # tokens would emit spurious partial shingles instead of none
+        .where(F.size("toks") >= n)
         .select(
             F.col(id_col),
             F.explode(

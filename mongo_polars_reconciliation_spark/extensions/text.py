@@ -133,3 +133,44 @@ def fingerprint(
             ).cast("binary")
         ).alias("fp"),
     )
+
+
+def ngram_frequencies(
+    df: DataFrame,
+    n: int = 2,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram frequency table: (ngram, n_docs, n_occurrences)
+    for n-grams above ``min_count`` occurrences — the vocabulary/phrase
+    statistics pass of a corpus build (stop-phrase lists, contamination
+    probes, tokenizer vocab candidates).
+
+    Scale shape: one explode + one hash-groupBy with map-side partial
+    aggregation; the min_count filter runs post-agg (HAVING), so the
+    shuffle carries one partial row per (partition, ngram)."""
+    idx = ", ".join(f"toks[i+{j}]" for j in range(n))
+    grams = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).where(
+        # sequence(0, negative) counts DOWN in Spark — a short doc would
+        # emit spurious partial grams instead of none
+        F.size("toks") >= n
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {idx}))"
+            )
+        ).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )

@@ -870,6 +870,19 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
 FROM documents
 """,
+    "text_ngram_freq": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t)-1),
+                i -> t[i] || ' ' || t[i+1])) AS ngram
+  FROM toks
+)
+SELECT ngram,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences
+FROM grams GROUP BY ngram HAVING COUNT(*) >= 5
+""",
     "mm_decode_features": """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -446,6 +446,16 @@ def sim_topk_lsh(spark, sf_dir) -> DataFrame:
     return topk_lsh(emb, query_vector(spark, sf_dir), k=10)
 
 
+def text_ngram_freq(spark, sf_dir) -> DataFrame:
+    """Corpus bigram frequency table (count-thresholded) — vocabulary and
+    stop-phrase statistics over the documents table."""
+    from mongo_polars_reconciliation_spark.extensions.text import ngram_frequencies
+
+    return ngram_frequencies(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=2, min_count=5
+    )
+
+
 def curation_pipeline(spark, sf_dir) -> DataFrame:
     """Composition showcase: exact dedup → MinHash-LSH near-dup removal →
     quality gate → per-language corpus stats, all from the tested operator
@@ -634,6 +644,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
+    "text_ngram_freq": text_ngram_freq,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample": mm_frame_sample,
     "stream_dedup": stream_dedup_events,
