@@ -98,8 +98,11 @@ def frame_sample_plan(
     """'Frame sampling' analog over binary payloads: emit (doc, frame_no,
     offset) rows for every ``every_n_bytes`` window — the partition-friendly
     explode that a video pipeline performs before per-frame decode. Pure
-    built-in expressions; the decode of each window would be mapInPandas."""
-    return mm.select(
+    built-in expressions; the decode of each window would be mapInPandas.
+
+    Zero-length payloads emit no frames — without the guard,
+    ``sequence(0, -1)`` counts DOWN and fabricates two bogus frames."""
+    return mm.where(F.length("payload") > 0).select(
         F.col(id_col),
         F.posexplode(
             F.expr(

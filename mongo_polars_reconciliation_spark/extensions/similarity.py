@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mongo_polars_reconciliation_spark.functions.windows import single_partition_key
+
 
 def _fold_sum(arr: Column) -> Column:
     """Left-fold sum: deterministic IEEE order (0.0 + x0 + x1 + ...)."""
@@ -59,7 +61,11 @@ def topk_bruteforce(
     # would funnel every scored row through one task). The rank window then
     # runs over just k rows.
     topk = scored.orderBy(F.col("cos_r").desc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("cos_r").desc(), F.col(id_col).asc())
+    # the window only ever sees the k limited rows; non-foldable constant
+    # key keeps the WindowExec no-partition warning out of bench logs
+    w = Window.partitionBy(single_partition_key()).orderBy(
+        F.col("cos_r").desc(), F.col(id_col).asc()
+    )
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(id_col, "rank", "cos_r")

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from mongo_polars_reconciliation_spark.functions.windows import single_partition_key
+
 
 def with_file_row_number(
     df: DataFrame,
@@ -48,7 +50,13 @@ def with_file_row_number(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # counts has ≤num_partitions rows — single-partition window is the right
+    # plan; the non-foldable constant key keeps WindowExec's warning out
+    w_off = (
+        Window.partitionBy(single_partition_key())
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset")
     )

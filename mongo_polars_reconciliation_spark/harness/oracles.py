@@ -808,7 +808,7 @@ tokc AS (
 )
 SELECT p.pred_lang,
        COUNT(*) AS n_docs,
-       SUM(t.ws_tokens) AS total_ws_tokens,
+       CAST(SUM(t.ws_tokens) AS BIGINT) AS total_ws_tokens,
        FLOOR(CAST(SUM(CAST(q.quality_r AS DECIMAL(18,4))) AS DOUBLE)
              / COUNT(*) * 10000) / 10000 AS avg_quality_r
 FROM qual q
@@ -896,8 +896,9 @@ SELECT doc_id,
        CAST(frame_no * 256 AS BIGINT) AS byte_offset
 FROM (
   SELECT doc_id,
-         unnest(generate_series(0, CAST(ceil(length(text) / 256.0) AS INT) - 1)) AS frame_no
+         unnest(generate_series(0, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT) - 1)) AS frame_no
   FROM documents
+  WHERE octet_length(encode(text)) > 0
 ) t
 """,
     "q1_pricing_summary": """

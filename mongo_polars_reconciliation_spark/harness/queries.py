@@ -40,14 +40,22 @@ from mongo_polars_reconciliation_spark.sources.state import (
 ROW_NUM = "ext_file_row_number"
 
 
+_AB_CACHE: dict[tuple[str, str], tuple] = {}
+
+
 def _ab(spark: SparkSession, sf_dir: str):
-    """Shared A/B inputs, persisted: Spark's cache registry is keyed by
-    analyzed-plan equality, so every query that calls this reuses ONE
-    materialization of the fixture synthesis across the whole session."""
-    cfg = recon_cfg()
-    a = build_internal(spark, sf_dir).persist()
-    b = build_external(spark, sf_dir, cfg).persist()
-    return cfg, a, b
+    """Shared A/B inputs, materialized ONCE per (session, sf_dir) via eager
+    ``localCheckpoint``: every downstream recon query then plans against two
+    small leaf scans instead of re-analyzing the whole fixture-synthesis
+    tree (unions + void join + row-number index) at every AQE stage — that
+    re-analysis dominated wall time, not compute."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _AB_CACHE:
+        cfg = recon_cfg()
+        a = build_internal(spark, sf_dir).localCheckpoint(eager=True)
+        b = build_external(spark, sf_dir, cfg).localCheckpoint(eager=True)
+        _AB_CACHE[key] = (cfg, a, b)
+    return _AB_CACHE[key]
 
 
 # --- reconciliation core (SURVEY.md §2.3/§2.4) ---------------------------------
@@ -594,7 +602,9 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 
     cfg, a, b = _ab(spark, sf_dir)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    root = f"/root/repo/.stream_tmp/{tag}"
+    # query-private subdir: other queries park their backing files under the
+    # shared {tag} root, and those frames are lazily re-collected later
+    root = f"/root/repo/.stream_tmp/{tag}/incr"
     shutil.rmtree(root, ignore_errors=True)
     feed, state, ckpt = f"{root}/feed", f"{root}/state", f"{root}/ckpt"
     rn = F.col(ROW_NUM)

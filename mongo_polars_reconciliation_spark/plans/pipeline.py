@@ -8,9 +8,20 @@ inputs.
 
 Spark port fixes the reference's recomputation anti-pattern
 (second_conciliate.py:513-544 re-executes the plan per ``collect``): inputs
-and residuals are persisted between passes — each pass's match + two
-anti-joins reuse one pair of cached inputs, and ``persist`` between passes
-also cuts lineage so a long cascade doesn't re-shuffle pass 1 at pass 3.
+and residuals are materialized between passes — each pass's match + two
+anti-joins reuse one pair of cached inputs.
+
+Materialization strategy (``materialize`` field): a cascade is a *deep*
+plan — each pass's logical tree embeds every earlier pass — and with AQE
+every shuffle stage re-optimizes the full tree, so driver-side planning
+time grows quadratically in pass count while executors sit idle (measured:
+~30 s of planning gaps vs ~10 s of stage compute at sf0.01).
+``"checkpoint"`` (default) uses ``localCheckpoint``: same executor-memory
+storage as ``persist`` *plus* lineage truncation, which is exactly the
+eager-materialization semantics the reference engine has anyway (Polars
+collects per step). The trade: a lost executor forces a job restart
+instead of partition recompute — on long-lived clusters with dynamic
+allocation pass ``materialize="persist"`` to keep recoverable lineage.
 """
 
 from __future__ import annotations
@@ -76,6 +87,7 @@ class Reconciliation:
     b_to_a_nmt: DataFrame | None = None
     z_eff_a: DataFrame | None = None
     iterations: int = 1
+    materialize: str = "checkpoint"  # "checkpoint" | "persist" (see module doc)
     _persisted: list[DataFrame] = field(default_factory=list)
     # candidate frame of the current pass's match, consumed by
     # not_match_records for id-based residual derivation
@@ -84,7 +96,14 @@ class Reconciliation:
     def _persist(self, df: DataFrame) -> DataFrame:
         if df.storageLevel.useMemory or df.storageLevel.useDisk:
             return df  # already cached by the caller
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if self.materialize == "checkpoint":
+            if df._jdf.queryExecution().analyzed().getClass().getSimpleName() == (
+                "LogicalRDD"
+            ):
+                return df  # already a checkpoint leaf — don't copy it again
+            df = df.localCheckpoint(eager=False)
+        else:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
         self._persisted.append(df)
         return df
 
@@ -179,6 +198,9 @@ class Reconciliation:
         )
 
     def unpersist(self) -> None:
+        """Release cached blocks. Checkpoint-mode blocks that were already
+        materialized are freed by the ContextCleaner once these references
+        drop; ``unpersist`` on them is a harmless no-op."""
         for df in self._persisted:
             df.unpersist()
         self._persisted.clear()

@@ -200,22 +200,22 @@ def user_running_seq(events: DataFrame) -> DataFrame:
         import pandas as pd
 
         seen = state.get[0] if state.exists else 0
-        frames = []
-        for pdf in pdfs:
+        # A group larger than arrow.maxRecordsPerBatch arrives as several
+        # chunks in arrival order — concatenate and sort ONCE so the
+        # (ts, event_id) ordering holds across chunk boundaries.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"])
-            n = len(pdf)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "event_id": pdf["event_id"].to_numpy(),
-                        "user_id": pdf["user_id"].to_numpy(),
-                        "seq_in_user": range(seen + 1, seen + n + 1),
-                    }
-                )
-            )
-            seen += n
-        state.update((seen,))
-        yield from frames
+        n = len(pdf)
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": pdf["user_id"].to_numpy(),
+                "seq_in_user": range(seen + 1, seen + n + 1),
+            }
+        )
+        state.update((seen + n,))
+        yield out
 
     return events.groupBy("user_id").applyInPandasWithState(
         assign,

@@ -69,3 +69,21 @@ def test_mongo_json_unwrap_and_absent_fields(spark, tmp_path):
     assert rows["abc"]["missing"] is None
     assert dict(out.dtypes)["n"] == "bigint"
     assert dict(out.dtypes)["missing"] == "double"
+
+
+def test_frame_sample_empty_payload_emits_no_frames(spark):
+    """sequence(0, -1) counts DOWN in Spark — a zero-length payload must
+    yield zero frames, not the two bogus (0,0)/(1,-256) rows."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        frame_sample_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "x" * 300)], "doc_id long, text string"
+    )
+    out = frame_sample_plan(attach_payload(docs), every_n_bytes=256).collect()
+    assert [(r["doc_id"], r["frame_no"], r["byte_offset"]) for r in out] == [
+        (2, 0, 0),
+        (2, 1, 256),
+    ]

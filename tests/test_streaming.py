@@ -79,3 +79,40 @@ def test_incremental_match_converges_to_batch_set(spark):
     assert sorted(r["_id"] for r in inc.collect()) == sorted(
         r["_id"] for r in batch_matched.select("_id").collect()
     )
+
+
+def test_user_seq_orders_across_arrow_chunk_boundaries(spark):
+    """A user group bigger than arrow.maxRecordsPerBatch arrives as several
+    Arrow chunks; the operator must still number events in global (ts,
+    event_id) order, not chunk-arrival order. Force 7-row chunks over a
+    50-event user written to the feed file in REVERSE time order."""
+    import pandas as pd
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        root = "/root/repo/.stream_tmp/test_userseq_chunks"
+        shutil.rmtree(root, ignore_errors=True)
+        n = 50
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(n, 0, -1),
+                "ts": range(n, 0, -1),  # epoch nanos; ts == event_id
+                "user_id": [1] * n,
+                "event_type": ["view"] * n,
+                "value": [1.0] * n,
+                "props": ["{}"] * n,
+            }
+        )
+        spark.createDataFrame(pdf, schema=EVENTS_SCHEMA).coalesce(1).write.parquet(
+            f"{root}/feed/batch0.parquet"
+        )
+        src = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{root}/feed/*.parquet")
+        out = run_to_table(
+            user_running_seq(src), "mem_userseq_chunks", output_mode="append"
+        )
+        got = {r["event_id"]: r["seq_in_user"] for r in out.collect()}
+        # event_id k has ts=k seconds, so seq must equal event_id
+        assert got == {k: k for k in range(1, n + 1)}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
