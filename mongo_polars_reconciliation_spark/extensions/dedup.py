@@ -4,8 +4,8 @@ Designed for the 100 TB dedup pipeline shape:
 - *exact*: one hash-groupBy shuffle on a digest column;
 - *MinHash+LSH*: shingle → minhash signature → band buckets → bucket join →
   exact-Jaccard verification of candidates only (never all pairs);
-- *SimHash*: per-token bit votes → 16-bit signature → half-signature
-  blocking join → Hamming filter;
+- *SimHash*: per-token bit votes → 64-bit signature → 4×16-bit block
+  pigeonhole join → Hamming filter;
 - *n-gram Jaccard*: shingle inverted index with a document-frequency cap
   (stop-shingle removal bounds the index blowup), then pair-count verify.
 
@@ -24,9 +24,18 @@ from pyspark.sql import functions as F
 # Universal-hash constants: h_j(x) = (A_j * x + B_j) mod P. Deterministic
 # literals so the oracle SQL can reproduce them.
 MINHASH_P = 8191
-SIMHASH_P = 65521
-SIMHASH_A = 2654435761
-SIMHASH_BITS = 16
+# SimHash: 31-bit token ids (Mersenne prime 2^31-1) feed 64 double-round
+# multiplicative parity hashes. ONE affine round is not enough: if the
+# product doesn't wrap the modulus, parity is linear in k and the
+# signature degenerates to 0101... — the second multiply wraps ~2^29
+# times, scrambling parity. Every intermediate product stays < 2^63 so
+# BIGINT arithmetic is exact (and overflow-free) in Spark AND DuckDB.
+SIMHASH_SID_P = 2147483647
+SIMHASH_A1 = 1103515245
+SIMHASH_A2 = 2654435761
+SIMHASH_BITS = 64
+SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = 16
 
 
 def exact_dedup_groups(
@@ -72,8 +81,8 @@ def shingles(
     )
 
 
-def _shingle_ids(sh: DataFrame, hash_mode: str) -> DataFrame:
-    """Attach an integer shingle id.
+def _shingle_ids(sh: DataFrame, hash_mode: str, p: int = MINHASH_P) -> DataFrame:
+    """Attach an integer shingle id (mod ``p``).
 
     - ``poly`` (default; ``dict`` accepted as a legacy alias): polynomial
       rolling hash of the shingle string, per-char fold mod P — pure
@@ -83,15 +92,15 @@ def _shingle_ids(sh: DataFrame, hash_mode: str) -> DataFrame:
       pipelines that never need cross-engine reproduction.
     """
     if hash_mode == "xxhash64":
-        return sh.withColumn("sid", F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_P)))
+        return sh.withColumn("sid", F.pmod(F.xxhash64("shingle"), F.lit(p)))
     if hash_mode not in ("poly", "dict"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    p = MINHASH_P
     # empty-string guard: sequence(1,0) would COUNT DOWN in Spark and the
-    # mirrored list_reduce would fold an empty list in the oracle
+    # mirrored list_reduce would fold an empty list in the oracle; the
+    # bigint accumulator keeps h*31 exact for p up to 2^31-1
     sid = F.expr(
-        f"CASE WHEN length(shingle) = 0 THEN 0 ELSE "
-        f"aggregate(sequence(1, length(shingle)), 0, "
+        f"CASE WHEN length(shingle) = 0 THEN cast(0 as bigint) ELSE "
+        f"aggregate(sequence(1, length(shingle)), cast(0 as bigint), "
         f"(h, i) -> pmod(h * 31 + pmod(ascii(substring(shingle, i, 1)), {p}), {p})) END"
     )
     return sh.withColumn("sid", sid)
@@ -210,22 +219,30 @@ def simhash_signatures(
     text_col: str = "text",
     hash_mode: str = "poly",
 ) -> DataFrame:
-    """16-bit SimHash over unigram tokens with term-frequency weights:
-    each token votes ±1 on each bit of h(tid); bit k of the signature is 1
-    iff the vote sum is positive."""
+    """64-bit SimHash over unigram tokens with term-frequency weights.
+
+    Bit k of the signature is 1 iff the ±1 vote sum over tokens is
+    positive, where token t votes by the parity of the double-round hash
+    ``((sid·(A1+k) mod P) · (A2+k)) mod P`` with P = 2^31-1 — 64
+    well-mixed 1-bit hashes of the 31-bit token id, all in exact BIGINT
+    range on any engine. Bit 63's place value is min-long (two's
+    complement); the signature sum stays in BIGINT range by construction.
+
+    Scale shape: explode(tokens) × 64 vote rows, map-side partial sum on
+    (doc, k) — the shuffle carries exactly 64 rows per doc."""
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("shingle")
     )
-    tok_ids = _shingle_ids(tok, hash_mode).withColumn(
-        "h", F.pmod(F.lit(SIMHASH_A) * F.col("sid"), F.lit(SIMHASH_P))
-    )
+    tok_ids = _shingle_ids(tok, hash_mode, p=SIMHASH_SID_P)
     bits = tok_ids.select(
         F.col(id_col),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {SIMHASH_BITS - 1}),"
-                f" k -> struct(k as k, CASE WHEN (h div shiftleft(1, k)) % 2 = 1"
-                f" THEN 1 ELSE -1 END as vote))"
+                f" k -> struct(k as k, CASE WHEN"
+                f" pmod(pmod(sid * ({SIMHASH_A1} + k), {SIMHASH_SID_P})"
+                f" * (cast({SIMHASH_A2} as bigint) + k), {SIMHASH_SID_P})"
+                f" % 2 = 1 THEN 1 ELSE -1 END as vote))"
             )
         ).alias("kb"),
     ).select(F.col(id_col), F.col("kb.k").alias("k"), F.col("kb.vote").alias("vote"))
@@ -235,12 +252,32 @@ def simhash_signatures(
         .groupBy(id_col)
         .agg(
             F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(1, k)")).otherwise(0)
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), k)"))
+                .otherwise(F.lit(0))
             )
             .cast("long")
             .alias("simhash")
         )
     )
+
+
+def simhash_blocks(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode each 64-bit signature into its 4 disjoint 16-bit blocks as
+    (id, simhash, b, bval) rows — the LSH-style bucket key. The mask makes
+    the arithmetic shift's sign-fill irrelevant, so Spark and SQL agree on
+    negative signatures."""
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    return sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BLOCKS - 1}),"
+                f" b -> struct(b as b,"
+                f" (shiftright(simhash, {SIMHASH_BLOCK_BITS}*b) & {mask}) as bval))"
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), "simhash", F.col("bb.b").alias("b"), F.col("bb.bval").alias("bval"))
 
 
 def simhash_near_dups(
@@ -250,15 +287,31 @@ def simhash_near_dups(
     max_hamming: int = 3,
     hash_mode: str = "poly",
 ) -> DataFrame:
-    """Half-signature blocking (docs agreeing on the high byte meet), then
-    Hamming ≤ max_hamming via bit_count(xor). At 100 TB, widen to 4 blocks of
-    a 64-bit signature (pigeonhole guarantee for d ≤ 3)."""
-    sigs = simhash_signatures(df, id_col, text_col, hash_mode)
-    l = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    r = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    """4-block pigeonhole blocking over 64-bit signatures: a pair within
+    Hamming distance 3 differs in at most 3 of the 4 disjoint 16-bit
+    blocks, so it MUST agree on at least one — only docs sharing a
+    (block index, block value) bucket ever meet, and the bucket space is
+    4 × 2^16, so bucket sizes (and join cost) shrink with corpus entropy
+    instead of collapsing into 256 mega-buckets like a high-byte scheme.
+    Exact Hamming ≤ max_hamming via bit_count(xor) on the survivors."""
+    if max_hamming >= SIMHASH_BLOCKS:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < {SIMHASH_BLOCKS}"
+        )
+    sigs = simhash_signatures(df, id_col, text_col, hash_mode).persist()
+    blocks = simhash_blocks(sigs, id_col)
+    l = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "b", "bval"
+    )
+    r = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "b", "bval"
+    )
     return (
-        l.join(r, F.expr("sh_a div 256") == F.expr("sh_b div 256"))
+        l.join(r, ["b", "bval"])
         .where(F.col("id_a") < F.col("id_b"))
+        # a close pair can collide in several blocks — dedup before scoring
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

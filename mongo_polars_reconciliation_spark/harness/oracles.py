@@ -525,28 +525,43 @@ WITH docs_aug AS (
 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs_aug),
 th AS (
   SELECT doc_id,
-         (2654435761 * (CASE WHEN length(tok) = 0 THEN 0 ELSE
+         CAST(CASE WHEN length(tok) = 0 THEN 0 ELSE
             list_reduce(list_transform(generate_series(1, length(tok)),
-                        i -> ord(substr(tok, i, 1)) % 8191),
-                        (h, c) -> (h*31 + c) % 8191) END)) % 65521 AS h
+                        i -> ord(substr(tok, i, 1)) % 2147483647),
+                        (h, c) -> (CAST(h AS BIGINT)*31 + c) % 2147483647) END
+         AS BIGINT) AS sid
   FROM toks
 ),
 votes AS (
   SELECT doc_id, k,
-         SUM(CASE WHEN (h // (1 << k)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks
+         SUM(CASE WHEN ((sid * (1103515245 + k)) % 2147483647)
+                       * (2654435761 + k) % 2147483647 % 2 = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) ks
   GROUP BY doc_id, k
 ),
 sigs AS (
   SELECT doc_id,
-         CAST(SUM(CASE WHEN s > 0 THEN (1 << k) ELSE 0 END) AS BIGINT) AS simhash
+         CAST(SUM(CASE WHEN s > 0 THEN
+              CASE WHEN k = 63 THEN -9223372036854775808
+                   ELSE (1::BIGINT << k) END
+              ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, b, (simhash >> (16*b)) & 65535 AS bval
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bs
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sh_a, r.simhash AS sh_b
+  FROM blocks l JOIN blocks r
+    ON l.b = r.b AND l.bval = r.bval AND l.doc_id < r.doc_id
 )
-SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
-FROM sigs l JOIN sigs r
-  ON l.simhash // 256 = r.simhash // 256 AND l.doc_id < r.doc_id
-WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """,
     "dedup_ngram_jaccard": """
 WITH docs_aug AS (

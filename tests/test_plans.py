@@ -115,3 +115,44 @@ def test_dedup_pipelines_have_no_global_sort_or_python(spark, name):
     assert "BatchEvalPython" not in plan, name
     assert "ArrowEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_simhash_block_space_is_pigeonhole_scale(spark):
+    """The 64-bit/4-block SimHash must (a) produce signatures spanning far
+    more than 16 bits, (b) key the candidate join on (block, 16-bit value)
+    — a 4 x 2^16 bucket space, not the old 256-bucket high-byte scheme —
+    and (c) still pair every exact duplicate at hamming 0."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        SIMHASH_BLOCK_BITS,
+        SIMHASH_BLOCKS,
+        simhash_blocks,
+        simhash_near_dups,
+        simhash_signatures,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_documents_aug,
+    )
+
+    docs = build_documents_aug(spark, SF_DIR)
+    sigs = simhash_signatures(docs).persist()
+    rows = sigs.collect()
+    # (a) 64-bit span: some signature must use the top 16 bits (negative
+    # long or >= 2^48) — impossible under the old 16-bit scheme
+    assert any(r["simhash"] < 0 or r["simhash"] >= 1 << 48 for r in rows)
+    # (b) block values cover the 16-bit range sparsely but exceed 256
+    # distinct buckets, and every block value fits in 16 bits
+    blocks = simhash_blocks(sigs).collect()
+    assert SIMHASH_BLOCKS == 4 and SIMHASH_BLOCK_BITS == 16
+    bvals = {(r["b"], r["bval"]) for r in blocks}
+    assert all(0 <= bv < (1 << 16) for _, bv in bvals)
+    assert len(bvals) > 256
+    # (c) the +100000 fixture docs are byte-identical copies: every one
+    # must be found at hamming 0
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(docs).collect()
+    }
+    copies = [r["doc_id"] for r in docs.collect() if r["doc_id"] >= 100000 and r["doc_id"] < 200000]
+    for cid in copies:
+        assert pairs.get((cid - 100000, cid)) == 0, cid
+    sigs.unpersist()
