@@ -91,6 +91,136 @@ def label_centroids(
     )
 
 
+def _sq_dist(vcol: Column, cent: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid, left-fold order — the
+    same IEEE operation sequence as the SQL mirror, so both engines get
+    bit-identical doubles."""
+    arr = F.array(*[F.lit(float(x)) for x in cent])
+    return _fold_sum(F.zip_with(vcol, arr, lambda x, y: (x - y) * (x - y)))
+
+
+def cluster_assign(vcol: Column, cents: list[list[float]]) -> Column:
+    """Nearest-centroid id for a vector column against driver-side centroid
+    literals: ``least`` over (distance, cid) structs — argmin with a
+    deterministic cid tie-break, zero joins, zero shuffles. Centroids are
+    k×dim doubles, broadcast-scale by construction."""
+    structs = [
+        F.struct(_sq_dist(vcol, c).alias("d"), F.lit(i).cast("int").alias("cid"))
+        for i, c in enumerate(cents)
+    ]
+    return F.least(*structs)["cid"]
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic DataFrame-native Lloyd fit; returns k×dim centroids.
+
+    Init = the vectors of the ``k`` smallest ids (TakeOrderedAndProject —
+    k rows to the driver, no global sort); each of the fixed ``n_iter``
+    rounds is one full-scan projection (nearest-centroid via literal
+    arrays, no join) plus one (cid, pos) hash-aggregate whose output is
+    k×dim rows. Per-dimension means go through DECIMAL so shuffle order
+    can't change a centroid bit. Empty clusters keep their previous
+    centroid. The centroids never leave broadcast scale, so the loop's
+    driver round-trips carry k×dim doubles, not data.
+
+    A production alternative is ``pyspark.ml.clustering.KMeans`` with a
+    fixed seed — this fold-exact form exists so the DuckDB oracle can
+    replay the fit bit-for-bit (kmeans++ sampling cannot be mirrored)."""
+    vecs = emb.select(F.col(id_col).alias("_kid"), _as_double(vec_col).alias("v"))
+    init = vecs.orderBy("_kid").limit(k).collect()
+    cents = [list(r["v"]) for r in init]
+    dim = len(cents[0])
+    for _ in range(n_iter):
+        assigned = vecs.select(cluster_assign(F.col("v"), cents).alias("cid"), "v")
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cval"]
+        cents = [
+            [by_cid[c][p] for p in range(dim)] if c in by_cid else cents[c]
+            for c in range(k)
+        ]
+    return cents
+
+
+def topk_ivf_fitted(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 4,
+    n_iter: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with FITTED partitions: k-means the corpus (no label column
+    needed), rank the fitted centroids by cosine to the query, scan only
+    the vectors assigned to the best ``nprobe`` clusters. The centroid
+    ranking happens driver-side (nlist×dim literals); the big scan keeps
+    one projection + filter, no join."""
+    cents = kmeans_fit(emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+
+    def cos_to_query(c: list[float]) -> float:
+        # same left-fold order and correctly-rounded sqrt as the SQL
+        # mirror — exact doubles, so no rounding is needed before ranking
+        import math
+
+        dot = 0.0
+        nc = 0.0
+        nq = 0.0
+        for x, y in zip(c, query_vec):
+            dot += x * float(y)
+            nc += x * x
+            nq += float(y) * float(y)
+        return dot / (math.sqrt(nc) * math.sqrt(nq))
+
+    ranked = sorted(
+        range(len(cents)), key=lambda i: (-cos_to_query(cents[i]), i)
+    )[:nprobe]
+    probe = set(ranked)
+    pruned = emb.where(
+        cluster_assign(_as_double(vec_col), cents).isin(*probe)
+    )
+    return topk_bruteforce(pruned, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dups_fitted(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``embedding_near_dups`` with the block column produced by the fitted
+    k-means assignment instead of an upstream label — the real-corpus form
+    (no labels exist at 100 TB; near-identical vectors land in the same
+    cluster, so the within-block all-pairs join stays bounded by cluster
+    sizes)."""
+    cents = kmeans_fit(emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    blocked = emb.withColumn("__blk", cluster_assign(_as_double(vec_col), cents))
+    return embedding_near_dups(
+        blocked, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col="__blk",
+    )
+
+
 def topk_ivf(
     emb: DataFrame,
     query_vec: list[float],

@@ -87,6 +87,64 @@ def q(*cte_blocks: str, select: str) -> str:
     return "WITH " + ",".join(b.strip().rstrip(",") for b in cte_blocks) + "\n" + select
 
 
+# SQL mirror of similarity.kmeans_fit: unrolled deterministic Lloyd over a
+# CTE named `ev(vec_id, v DOUBLE[])`. Init = vectors of the 4 smallest ids;
+# 2 iterations; DECIMAL-routed per-dimension means; empty clusters keep the
+# previous centroid (COALESCE). Final centroids in `c2l(cid, c)`, final
+# assignment of every vector in `a3(vec_id, v, cid)`. Left-fold distance /
+# list_reduce gives bit-identical doubles to Spark's aggregate() fold.
+_SQDIST = (
+    "list_reduce(list_transform(generate_series(1, len(e.v)),"
+    " i -> (e.v[i]-c.c[i])*(e.v[i]-c.c[i])), (x,y) -> x+y)"
+)
+
+
+def _kmeans_assign(src_cents: str, name: str) -> str:
+    return f"""
+{name} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQDIST}, c.cid) AS rn
+    FROM ev e CROSS JOIN {src_cents} c) t
+  WHERE rn = 1
+)"""
+
+
+def _kmeans_means(src_assign: str, prev: str, mname: str, fname: str, lname: str) -> str:
+    return f"""
+{mname} AS (
+  SELECT cid, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS val FROM {src_assign}
+),
+{mname}_avg AS (
+  SELECT cid, pos,
+         CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS cval
+  FROM {mname} GROUP BY cid, pos
+),
+{fname} AS (
+  SELECT p.cid, p.pos, COALESCE(m.cval, p.cval) AS cval
+  FROM {prev} p LEFT JOIN {mname}_avg m ON m.cid = p.cid AND m.pos = p.pos
+),
+{lname} AS (SELECT cid, list(cval ORDER BY pos) AS c FROM {fname} GROUP BY cid)"""
+
+
+KMEANS_CTES = (
+    """
+c0 AS (
+  SELECT CAST(rn - 1 AS INT) AS cid,
+         generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS cval
+  FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+        FROM ev ORDER BY vec_id LIMIT 4) t
+),
+c0l AS (SELECT cid, list(cval ORDER BY pos) AS c FROM c0 GROUP BY cid),"""
+    + _kmeans_assign("c0l", "a1") + ","
+    + _kmeans_means("a1", "c0", "m1", "c1f", "c1l") + ","
+    + _kmeans_assign("c1l", "a2") + ","
+    + _kmeans_means("a2", "c1f", "m2", "c2f", "c2l") + ","
+    + _kmeans_assign("c2l", "a3")
+)
+
+
 ORACLES: dict[str, str] = {
     "recon_match_exact": q(
         BASE_CTES, MATCH_CTES,
@@ -95,6 +153,29 @@ ORACLES: dict[str, str] = {
     "recon_duplicate_losers": q(
         BASE_CTES, MATCH_CTES,
         select="SELECT row_num, codigo, importe FROM j1 WHERE rn > 1",
+    ),
+    "recon_summary_doc": q(
+        BASE_CTES, MATCH_CTES,
+        select="""
+, matched AS (SELECT _id, amount FROM j1 WHERE rn = 1),
+unmatched AS (
+  SELECT a._id, a.amount FROM a_tbl a
+  WHERE NOT EXISTS (SELECT 1 FROM b_tbl b
+    WHERE a.transaction_code = b.codigo AND a.amount = b.importe
+      AND a.trx_date = b.fecha)
+)
+SELECT 'exec-0001' AS execution_id,
+       'on_demand' AS execution_type,
+       '2024-01-01' AS execution_date,
+       'processor-a' AS processor_name,
+       'MXN' AS conciliation_currency,
+       (SELECT COUNT(_id) FROM matched) AS conciliated_transactions_number,
+       (SELECT COUNT(_id) FROM unmatched) AS remanent_transactions_number,
+       (SELECT COALESCE(CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+        FROM matched) AS conciliated_amount,
+       (SELECT COALESCE(CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 0.0)
+        FROM unmatched) AS remanent_amount
+""",
     ),
     "recon_residual_internal": q(
         BASE_CTES,
@@ -712,6 +793,58 @@ SELECT vec_id, rank, cos_r FROM (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank, cos_r
   FROM scored
 ) r WHERE rank <= 10
+""",
+    "sim_topk_ivf_fitted": """
+WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+""" + KMEANS_CTES + """,
+cscore AS (
+  SELECT c.cid,
+         list_reduce(list_transform(generate_series(1, len(c.c)), i -> c.c[i]*q[i]), (x,y) -> x+y)
+         / (sqrt(list_reduce(list_transform(generate_series(1, len(c.c)), i -> c.c[i]*c.c[i]), (x,y) -> x+y))
+          * sqrt(list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y))) AS c_cos
+  FROM c2l c CROSS JOIN qv
+),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, ROW_NUMBER() OVER (ORDER BY c_cos DESC, cid) AS rn FROM cscore
+  ) t WHERE rn <= 2
+),
+pruned AS (SELECT a.vec_id, a.v FROM a3 a JOIN probe USING (cid)),
+scored AS (
+  SELECT p.vec_id,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*q[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y))),
+           6) AS cos_r
+  FROM pruned p CROSS JOIN qv
+)
+SELECT vec_id, rank, cos_r FROM (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank, cos_r
+  FROM scored
+) r WHERE rank <= 10
+""",
+    "dedup_embedding_cosine_fitted": """
+WITH emb_aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CASE WHEN i <= 8 THEN 0.0 ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 10 = 1
+),
+ev AS (SELECT vec_id, v FROM emb_aug),
+""" + KMEANS_CTES + """
+SELECT id_a, id_b, cos_r FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)), i -> b.v[i]*b.v[i]), (x,y) -> x+y))),
+           6) AS cos_r
+  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+) p WHERE cos_r >= 0.8
 """,
     "curation_pipeline": """
 WITH docs_aug AS (

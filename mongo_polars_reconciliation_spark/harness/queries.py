@@ -201,6 +201,30 @@ def recon_cascade_three_pass(spark, sf_dir) -> DataFrame:
     return rc.summary(amount_col="amount")
 
 
+def recon_summary_doc(spark, sf_dir) -> DataFrame:
+    """The reference's aggregated-results document (S10 full shape,
+    second_conciliate.py:465-478): run-metadata literals + matched/remanent
+    counts and amounts in ONE row."""
+    from mongo_polars_reconciliation_spark.operators.summary import summary_document
+
+    cfg, a, b = _ab(spark, sf_dir)
+    matched, _ = match_records(a, b, cfg)
+    unmatched = residual_internal(a, b, cfg)
+    return summary_document(
+        matched,
+        unmatched,
+        meta={
+            "execution_id": "exec-0001",
+            "execution_type": "on_demand",
+            "execution_date": "2024-01-01",
+            "processor_name": "processor-a",
+            "conciliation_currency": "MXN",
+        },
+        amount_col="amount",
+        id_col="_id",
+    )
+
+
 # --- state-table semantics (SURVEY.md §2.1 S2/S8/S9) ---------------------------
 
 
@@ -443,6 +467,34 @@ def sim_topk_ivf(spark, sf_dir) -> DataFrame:
     return topk_ivf(emb, query_vector(spark, sf_dir), k=10, nprobe=2)
 
 
+def sim_topk_ivf_fitted(spark, sf_dir) -> DataFrame:
+    """IVF over FITTED partitions: deterministic DataFrame-native k-means
+    (no label column), centroid probe, pruned exact scan — the real-corpus
+    ANN path (labels don't exist at 100 TB)."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        topk_ivf_fitted,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import query_vector
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return topk_ivf_fitted(
+        emb, query_vector(spark, sf_dir), k=10, nlist=4, n_iter=2, nprobe=2
+    )
+
+
+def dedup_embedding_cosine_fitted(spark, sf_dir) -> DataFrame:
+    """Embedding near-dup pairs blocked by the fitted k-means assignment
+    instead of an upstream label column."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        embedding_near_dups_fitted,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_embeddings_aug
+
+    return embedding_near_dups_fitted(
+        build_embeddings_aug(spark, sf_dir), threshold=0.8, nlist=4, n_iter=2
+    )
+
+
 def sim_topk_lsh(spark, sf_dir) -> DataFrame:
     """LSH-bucketed ANN (random-hyperplane signatures, Hamming-1 multiprobe):
     the scale path where the signature is a pushable scan filter / partition
@@ -632,6 +684,7 @@ QUERIES = {
     "recon_state_merge_upsert": recon_state_merge_upsert,
     "recon_match_on_names": recon_match_on_names,
     "recon_cascade_three_pass": recon_cascade_three_pass,
+    "recon_summary_doc": recon_summary_doc,
     "recon_source_scan_filtered": recon_source_scan_filtered,
     "recon_csv_roundtrip": recon_csv_roundtrip,
     "recon_mongo_json_scan": recon_mongo_json_scan,
@@ -648,6 +701,8 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_ivf": sim_topk_ivf,
+    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
+    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
     "sim_topk_lsh": sim_topk_lsh,
     "curation_pipeline": curation_pipeline,
     "text_lang_id": text_lang_id,

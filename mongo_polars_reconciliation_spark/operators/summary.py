@@ -44,3 +44,47 @@ def run_summary(buckets: dict[str, DataFrame], **kwargs) -> DataFrame:
     ('what matched, what didn't, how much money')."""
     parts = [bucket_summary(df, name, **kwargs) for name, df in buckets.items()]
     return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+def summary_document(
+    matched: DataFrame,
+    unmatched: DataFrame,
+    meta: dict[str, str],
+    amount_col: str = "approved_transaction_amount",
+    id_col: str = "_id",
+) -> DataFrame:
+    """Single-row run-summary document — the reference's aggregated-results
+    Mongo doc shape (second_conciliate.py:465-478): run-metadata literal
+    columns (execution id/type/date, processor, currency — P5 literal
+    plumbing) around matched/remanent counts and DECIMAL-routed amount
+    sums. Two one-row aggregates joined by a broadcast cross — constant
+    cost at any scale."""
+
+    def one_row(df: DataFrame, prefix: str) -> DataFrame:
+        amount = (
+            F.coalesce(
+                F.sum(F.col(amount_col).cast("decimal(18,2)")).cast("double"),
+                F.lit(0.0),
+            )
+            if amount_col in df.columns
+            else F.lit(0.0)
+        )
+        return df.agg(
+            F.count(id_col if id_col in df.columns else F.lit(1)).alias(
+                f"{prefix}_transactions_number"
+            ),
+            amount.alias(f"{prefix}_amount"),
+        )
+
+    m = one_row(matched, "conciliated")
+    u = one_row(unmatched, "remanent")
+    doc = m.crossJoin(u)
+    for name, value in meta.items():
+        doc = doc.withColumn(name, F.lit(value))
+    return doc.select(
+        *[F.col(c) for c in meta],
+        "conciliated_transactions_number",
+        "remanent_transactions_number",
+        "conciliated_amount",
+        "remanent_amount",
+    )

@@ -48,6 +48,31 @@ def _require_connector(spark: SparkSession) -> None:
         )
 
 
+def reader_options(uri: str, database: str, collection: str) -> dict[str, str]:
+    """Connector reader options, factored out so tests can pin the option
+    assembly without a cluster (the connector jar is absent here)."""
+    return {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+    }
+
+
+def writer_options(
+    uri: str, database: str, collection: str, id_field: str = "_id"
+) -> dict[str, str]:
+    """Connector writer options for the replace-with-upsert (`$merge`-
+    equivalent) write path; factored out for cluster-free tests."""
+    return {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+        "idFieldList": id_field,
+        "operationType": "update",
+        "upsertDocument": "true",
+    }
+
+
 def mongo_scan(
     spark: SparkSession,
     uri: str,
@@ -62,9 +87,7 @@ def mongo_scan(
     _require_connector(spark)
     df = (
         spark.read.format("mongodb")
-        .option("connection.uri", uri)
-        .option("database", database)
-        .option("collection", collection)
+        .options(**reader_options(uri, database, collection))
         .load()
     )
     if flt is not None:
@@ -89,11 +112,6 @@ def mongo_upsert(
     (
         df.write.format("mongodb")
         .mode("append")
-        .option("connection.uri", uri)
-        .option("database", database)
-        .option("collection", collection)
-        .option("idFieldList", id_field)
-        .option("operationType", "update")
-        .option("upsertDocument", "true")
+        .options(**writer_options(uri, database, collection, id_field))
         .save()
     )

@@ -19,10 +19,69 @@ they run (and are oracle-checkable) without a transactional table format.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongo_polars_reconciliation_spark.functions.windows import keep_first
+
+# JVM classes that mark a transactional table format on the classpath.
+# Probed like sources/mongo.py probes the connector: by Class.forName, not
+# a Python import, because both are JVM artifacts.
+_TRANSACTIONAL_MARKERS = (
+    ("delta", "org.apache.spark.sql.delta.catalog.DeltaCatalog"),
+    ("iceberg", "org.apache.iceberg.spark.SparkCatalog"),
+)
+
+
+def transactional_format_available(spark: SparkSession) -> str | None:
+    """Return ``"delta"`` / ``"iceberg"`` when a transactional format is on
+    the classpath, else None."""
+    for name, cls in _TRANSACTIONAL_MARKERS:
+        try:
+            spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+            return name
+        except Exception:
+            continue
+    return None
+
+
+def merge_into_sql(table: str, source_view: str, on: str) -> str:
+    """The ``MERGE INTO`` statement equivalent to ``$merge(on=_id,
+    whenMatched='merge', whenNotMatched='insert')`` — factored out so tests
+    can pin the statement without Delta/Iceberg on the classpath."""
+    return (
+        f"MERGE INTO {table} t USING {source_view} s ON t.{on} = s.{on} "
+        f"WHEN MATCHED THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def upsert_state_table(
+    spark: SparkSession, table: str, source: DataFrame, on: str = "_id"
+) -> None:
+    """Idempotent in-place upsert of a named state table.
+
+    With Delta/Iceberg on the classpath this is a transactional ``MERGE
+    INTO`` — files containing matched keys are rewritten, everything else
+    untouched, which is the only shape that survives a 100 TB state table.
+    Without one (this container), falls back to the DataFrame
+    read-merge-rewrite: same visible semantics (``merge_upsert``), full
+    rewrite cost, documented as test-scale only. The fallback eagerly
+    localCheckpoints the merged frame so the overwrite doesn't read from
+    the table it is replacing."""
+    if transactional_format_available(spark):
+        view = f"__merge_src_{abs(hash(table)) % 10**8}"
+        source.createOrReplaceTempView(view)
+        spark.sql(merge_into_sql(table, view, on))
+        return
+    merged = merge_upsert(spark.table(table), source, on).localCheckpoint(
+        eager=True
+    )
+    merged.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table}__merge_tmp"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {table}__merge_tmp RENAME TO {table}")
 
 
 def merge_keep_existing(target: DataFrame, source: DataFrame, on: str) -> DataFrame:

@@ -21,7 +21,7 @@ def _sorted_rows(df):
 @pytest.mark.parametrize(
     "name",
     ["recon_cascade_summary", "recon_duplicate_losers", "recon_tolerance_match",
-     "dedup_minhash_lsh", "sim_topk_lsh"],
+     "dedup_minhash_lsh", "sim_topk_lsh", "sim_topk_ivf_fitted"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")

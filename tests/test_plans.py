@@ -156,3 +156,14 @@ def test_simhash_block_space_is_pigeonhole_scale(spark):
     for cid in copies:
         assert pairs.get((cid - 100000, cid)) == 0, cid
     sigs.unpersist()
+
+
+def test_ivf_fitted_prunes_without_join(spark):
+    """The fitted-IVF probe must reach the big scan as a projection +
+    filter on the assignment expression (centroids are literals) — no join
+    in the final plan, and the top-k keeps the distributed
+    TakeOrderedAndProject shape."""
+    df = QUERIES["sim_topk_ivf_fitted"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan

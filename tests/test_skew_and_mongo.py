@@ -40,3 +40,60 @@ def test_mongo_module_gates_without_connector(spark):
     assert connector_available(spark) is False
     with pytest.raises(RuntimeError, match="connector not on the classpath"):
         mongo_scan(spark, "mongodb://x", "db", "coll")
+
+
+def test_mongo_option_assembly():
+    """Reader/writer option dicts — the part of the connector path that can
+    be pinned without a cluster: URI/database/collection plumbing and the
+    replace-with-upsert write shape ($merge equivalent)."""
+    from mongo_polars_reconciliation_spark.sources.mongo import (
+        reader_options,
+        writer_options,
+    )
+
+    r = reader_options("mongodb://h:27017", "odl", "card_transaction")
+    assert r == {
+        "connection.uri": "mongodb://h:27017",
+        "database": "odl",
+        "collection": "card_transaction",
+    }
+    w = writer_options("mongodb://h:27017", "odl", "recon_tx", id_field="_id")
+    assert w["idFieldList"] == "_id"
+    assert w["operationType"] == "update"
+    assert w["upsertDocument"] == "true"
+    assert w["database"] == "odl" and w["collection"] == "recon_tx"
+
+
+def test_merge_into_sql_shape():
+    from mongo_polars_reconciliation_spark.sources.state import merge_into_sql
+
+    sql = merge_into_sql("state_tbl", "src_view", "_id")
+    assert sql == (
+        "MERGE INTO state_tbl t USING src_view s ON t._id = s._id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def test_upsert_state_table_fallback_path(spark):
+    """Without Delta/Iceberg on the classpath (this container), the named-
+    table upsert takes the read-merge-rewrite fallback and must produce
+    $merge(on=_id, whenMatched='merge') semantics in place."""
+    from mongo_polars_reconciliation_spark.sources.state import (
+        transactional_format_available,
+        upsert_state_table,
+    )
+
+    assert transactional_format_available(spark) is None
+    spark.sql("DROP TABLE IF EXISTS t_upsert_fallback")
+    spark.createDataFrame(
+        [("a", "OLD"), ("b", "OLD")], ["_id", "status"]
+    ).write.saveAsTable("t_upsert_fallback")
+    src = spark.createDataFrame([("b", "NEW"), ("c", "NEW")], ["_id", "status"])
+    upsert_state_table(spark, "t_upsert_fallback", src, on="_id")
+    got = sorted(map(tuple, spark.table("t_upsert_fallback").collect()))
+    assert got == [("a", "OLD"), ("b", "NEW"), ("c", "NEW")]
+    # idempotent: re-applying the same source changes nothing
+    upsert_state_table(spark, "t_upsert_fallback", src, on="_id")
+    got2 = sorted(map(tuple, spark.table("t_upsert_fallback").collect()))
+    assert got2 == got
+    spark.sql("DROP TABLE IF EXISTS t_upsert_fallback")
