@@ -26,7 +26,10 @@ HEADLINE = [
     "events_hourly",
     "events_sessionize",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "curation_pipeline",
     "sim_topk_lsh",
+    "sim_topk_ivf_fitted",
 ]
 
 

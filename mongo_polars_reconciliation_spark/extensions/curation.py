@@ -38,17 +38,23 @@ def curate_corpus(
 ) -> DataFrame:
     """Per-language stats of the curated corpus: (pred_lang, n_docs,
     total_ws_tokens, avg_quality_r)."""
-    # 1. exact dedup — keep the min-id copy of each distinct text
+    # 1. exact dedup — keep the min-id copy of each distinct text.
+    # Stage boundaries are localCheckpoint'ed: `kept` feeds the near-dup
+    # stage AND three downstream scorers, and without lineage truncation
+    # AQE re-analyzes the whole upstream tree per shuffle stage (the
+    # measured driver-planning bottleneck — see plans/pipeline.py).
     keepers = exact_dedup_groups(docs, id_col, text_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    kept = docs.join(keepers, id_col)
+    kept = docs.join(keepers, id_col).localCheckpoint(eager=False)
 
     # 2. near-dup removal — drop the higher id of every verified pair
     pairs = minhash_near_dups(
         kept, id_col, text_col, threshold=near_dup_threshold, hash_mode=hash_mode
     )
-    kept = kept.join(pairs.select(F.col("id_b").alias(id_col)), id_col, "left_anti")
+    kept = kept.join(
+        pairs.select(F.col("id_b").alias(id_col)), id_col, "left_anti"
+    ).localCheckpoint(eager=False)
 
     # 3. quality gate + language id + token counts (all JVM-side)
     qual = quality_score(kept, id_col=id_col, text_col=text_col).where(

@@ -202,14 +202,37 @@ def minhash_near_dups(
     bands: int = 4,
     threshold: float = 0.6,
     hash_mode: str = "poly",
+    shingle_partitions: int | None = None,
 ) -> DataFrame:
-    """shingle → minhash → LSH bands → verified near-dup pairs."""
-    sh = shingles(df, id_col, text_col, n).persist()
+    """shingle → minhash → LSH bands → verified near-dup pairs.
+
+    Materialization is ``localCheckpoint`` (not ``persist``): the verify
+    join reads the shingle and pair frames multiple times, and lineage
+    truncation additionally stops AQE from re-analyzing the whole
+    shingle→signature→band tree at every downstream shuffle stage — the
+    same driver-planning bottleneck measured on the cascade (see
+    plans/pipeline.py module doc).
+
+    The shingle frame is hash-repartitioned on the doc id before the
+    checkpoint: the downstream per-character polynomial hash is the
+    CPU-heavy step, and a small corpus read from few parquet splits would
+    otherwise run it on as few cores (measured: 3 tasks on 32 cores).
+    One small shuffle buys full-width parallelism; at 100 TB pass a higher
+    ``shingle_partitions`` (or the natural input partitioning already
+    exceeds it — the repartition only ever widens)."""
+    spark = df.sparkSession
+    parts = shingle_partitions or spark.sparkContext.defaultParallelism
+    sh = (
+        shingles(df, id_col, text_col, n)
+        .repartition(parts, F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
     sigs = minhash_signatures(_shingle_ids(sh, hash_mode), id_col, num_hashes)
-    # candidate pairs are tiny (bucket collisions only) but sit on top of the
-    # whole signature pipeline — persist so the verify join's two probes of
-    # the pair set don't re-run shingling/minhashing
-    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands).persist()
+    # candidate pairs are tiny (bucket collisions only) but sit on top of
+    # the whole signature pipeline — materialize once
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, bands, num_hashes // bands
+    ).localCheckpoint(eager=False)
     return jaccard_verify(pairs, sh, id_col, threshold)
 
 
@@ -221,44 +244,50 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash over unigram tokens with term-frequency weights.
 
-    Bit k of the signature is 1 iff the ±1 vote sum over tokens is
-    positive, where token t votes by the parity of the double-round hash
-    ``((sid·(A1+k) mod P) · (A2+k)) mod P`` with P = 2^31-1 — 64
-    well-mixed 1-bit hashes of the 31-bit token id, all in exact BIGINT
-    range on any engine. Bit 63's place value is min-long (two's
-    complement); the signature sum stays in BIGINT range by construction.
+    Bit k of the signature is 1 iff the ±1 vote sum over token
+    occurrences is positive, where token t votes by the parity of the
+    double-round hash ``((sid·(A1+k) mod P) · (A2+k)) mod P`` with
+    P = 2^31-1 — 64 well-mixed 1-bit hashes of the 31-bit token id, all
+    in exact BIGINT range on any engine.
 
-    Scale shape: explode(tokens) × 64 vote rows, map-side partial sum on
-    (doc, k) — the shuffle carries exactly 64 rows per doc."""
+    Physical shape: per-occurrence votes compress to per-(doc, token-id)
+    counts first (one hash-groupBy that also spreads a few-split corpus
+    across the cluster), then the 64 vote sums are 64 aggregate COLUMNS of
+    one groupBy(doc) — map-side partial aggregation ships one 64-column
+    row per doc per partition, and nothing ever explodes 64× (an explode
+    form measured ~4× slower on the same data)."""
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("shingle")
     )
-    tok_ids = _shingle_ids(tok, hash_mode, p=SIMHASH_SID_P)
-    bits = tok_ids.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BITS - 1}),"
-                f" k -> struct(k as k, CASE WHEN"
-                f" pmod(pmod(sid * ({SIMHASH_A1} + k), {SIMHASH_SID_P})"
-                f" * (cast({SIMHASH_A2} as bigint) + k), {SIMHASH_SID_P})"
-                f" % 2 = 1 THEN 1 ELSE -1 END as vote))"
-            )
-        ).alias("kb"),
-    ).select(F.col(id_col), F.col("kb.k").alias("k"), F.col("kb.vote").alias("vote"))
-    return (
-        bits.groupBy(id_col, "k")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), k)"))
-                .otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("simhash")
-        )
+    tf = (
+        _shingle_ids(tok, hash_mode, p=SIMHASH_SID_P)
+        .groupBy(id_col, "sid")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+
+    def vote(k: int):
+        parity = F.expr(
+            f"pmod(pmod(sid * ({SIMHASH_A1} + {k}), {SIMHASH_SID_P})"
+            f" * (cast({SIMHASH_A2} as bigint) + {k}), {SIMHASH_SID_P}) % 2"
+        )
+        return (
+            F.when(parity == 1, F.col("c")).otherwise(-F.col("c")).alias(f"v{k}")
+        )
+
+    votes = tf.select(F.col(id_col), *[vote(k) for k in range(SIMHASH_BITS)])
+    sums = votes.groupBy(id_col).agg(
+        *[F.sum(f"v{k}").alias(f"s{k}") for k in range(SIMHASH_BITS)]
+    )
+    # bit 63's place value is min-long (two's complement) — 1<<63 doesn't
+    # fit a positive BIGINT literal in any engine
+    place = lambda k: (  # noqa: E731
+        F.lit(-(1 << 63)) if k == SIMHASH_BITS - 1 else F.lit(1 << k)
+    )
+    sig = None
+    for k in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{k}") > 0, place(k)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
 def simhash_blocks(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -298,7 +327,9 @@ def simhash_near_dups(
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming < {SIMHASH_BLOCKS}"
         )
-    sigs = simhash_signatures(df, id_col, text_col, hash_mode).persist()
+    sigs = simhash_signatures(df, id_col, text_col, hash_mode).localCheckpoint(
+        eager=False
+    )
     blocks = simhash_blocks(sigs, id_col)
     l = blocks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "b", "bval"
@@ -329,8 +360,18 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup via shingle inverted index. Shingles
     with document frequency > max_df are dropped from the *index* (classic
     stop-shingle removal — bounds bucket blowup); Jaccard is computed over
-    the capped shingle sets of both docs (consistent, engine-mirrorable)."""
-    sh = shingles(df, id_col, text_col, n)
+    the capped shingle sets of both docs (consistent, engine-mirrorable).
+
+    The shingle frame is repartitioned wide and checkpointed once: it is
+    read three times (df-counts, both sides of the inverted-index join),
+    and a few-split corpus would otherwise run the per-character shingle
+    work on a handful of cores."""
+    spark = df.sparkSession
+    sh = (
+        shingles(df, id_col, text_col, n)
+        .repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+        .localCheckpoint(eager=False)
+    )
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     capped = sh.join(df_counts.where(F.col("df_") <= max_df), "shingle").select(
         F.col(id_col), "shingle"

@@ -135,6 +135,70 @@ def fingerprint(
     )
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_tok_share_r``: occurrences of the most frequent token / total
+      tokens (explode + hash-groupBy — the scalable frequency shape);
+    - ``dup_3gram_frac_r``: 1 − distinct 3-grams / total 3-grams (pure
+      array arithmetic, no shuffle);
+    - ``consec_rep_frac_r``: fraction of adjacent token pairs that repeat
+      (array fold, no shuffle);
+    - ``flag_repetitive``: the standard cut (top share > 0.2 or duplicate
+      3-gram fraction > 0.3).
+
+    All ratios are exact-int divisions floor4-quantized, so the DuckDB
+    oracle reproduces every value bit-for-bit. 1-based ``element_at``
+    indexing keeps the Spark and SQL gram walks identical."""
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("toks"))
+    n = F.size("toks")
+
+    tok_rows = base.select(F.col(id_col), F.explode("toks").alias("tok"))
+    top = (
+        tok_rows.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+
+    grams = F.expr(
+        "transform(sequence(1, size(toks)-2), i -> concat_ws(' ',"
+        " element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"
+    )
+    consec = F.expr(
+        "aggregate(sequence(1, size(toks)-1), 0, (acc, i) -> acc +"
+        " CASE WHEN element_at(toks, i) = element_at(toks, i+1)"
+        " THEN 1 ELSE 0 END)"
+    )
+    arr = base.select(
+        F.col(id_col),
+        F.when(
+            n >= 3,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+        F.when(n >= 2, consec / (n - F.lit(1)))
+        .otherwise(F.lit(0.0))
+        .alias("consec_rep_frac"),
+    )
+
+    out = top.join(arr, id_col)
+    top_share = F.col("top_c") / F.col("n_tok")
+    return out.select(
+        F.col(id_col),
+        floor4(top_share).alias("top_tok_share_r"),
+        floor4(F.col("dup_3gram_frac")).alias("dup_3gram_frac_r"),
+        floor4(F.col("consec_rep_frac")).alias("consec_rep_frac_r"),
+        ((top_share > 0.2) | (F.col("dup_3gram_frac") > 0.3)).alias(
+            "flag_repetitive"
+        ),
+    )
+
+
 def ngram_frequencies(
     df: DataFrame,
     n: int = 2,

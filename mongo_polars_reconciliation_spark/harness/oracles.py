@@ -177,6 +177,14 @@ SELECT 'exec-0001' AS execution_id,
         FROM unmatched) AS remanent_amount
 """,
     ),
+    "recon_csv_sink_roundtrip": q(
+        BASE_CTES,
+        select="""
+SELECT a._id, a.transaction_code, a.amount FROM a_tbl a
+WHERE NOT EXISTS (SELECT 1 FROM b_tbl b
+  WHERE a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha)
+""",
+    ),
     "recon_residual_internal": q(
         BASE_CTES,
         select="""
@@ -1037,6 +1045,37 @@ SELECT doc_id,
        lower(hex(encode(substr(text, 1, 8)))) AS prefix_hex,
        'text/plain' AS mime
 FROM documents
+""",
+    "text_repetition": """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tokr AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+top AS (
+  SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_tok FROM (
+    SELECT doc_id, tok, COUNT(*) AS c FROM tokr GROUP BY doc_id, tok
+  ) t GROUP BY doc_id
+),
+arr AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           1.0 - CAST(len(list_distinct(g.grams)) AS DOUBLE) / len(g.grams)
+         ELSE 0.0 END AS dup_3gram_frac,
+         CASE WHEN len(toks) >= 2 THEN
+           CAST(list_sum(list_transform(generate_series(1, len(toks)-1),
+                i -> CASE WHEN toks[i] = toks[i+1] THEN 1 ELSE 0 END)) AS DOUBLE)
+           / (len(toks) - 1)
+         ELSE 0.0 END AS consec_rep_frac
+  FROM base,
+       LATERAL (SELECT list_transform(generate_series(1, len(toks)-2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams) g
+),
+j AS (SELECT t.doc_id, t.top_c, t.n_tok, a.dup_3gram_frac, a.consec_rep_frac
+      FROM top t JOIN arr a USING (doc_id))
+SELECT doc_id,
+       FLOOR(CAST(top_c AS DOUBLE) / n_tok * 10000) / 10000 AS top_tok_share_r,
+       FLOOR(dup_3gram_frac * 10000) / 10000 AS dup_3gram_frac_r,
+       FLOOR(consec_rep_frac * 10000) / 10000 AS consec_rep_frac_r,
+       (CAST(top_c AS DOUBLE) / n_tok > 0.2 OR dup_3gram_frac > 0.3) AS flag_repetitive
+FROM j
 """,
     "mm_frame_sample": """
 SELECT doc_id,

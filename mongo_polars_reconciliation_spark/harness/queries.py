@@ -228,6 +228,26 @@ def recon_summary_doc(spark, sf_dir) -> DataFrame:
 # --- state-table semantics (SURVEY.md §2.1 S2/S8/S9) ---------------------------
 
 
+def recon_csv_sink_roundtrip(spark, sf_dir) -> DataFrame:
+    """S6 end-to-end on a REAL file: write the internal-residual bucket
+    through the iteration-numbered single-file CSV sink
+    (``a_to_b_nmt(2).csv``, src/reconciliatior.py:61-64), read it back
+    all-string, cast — the sink emits a faithful, reloadable file."""
+    from mongo_polars_reconciliation_spark.sources.scan import read_csv_all_string
+    from mongo_polars_reconciliation_spark.sources.sinks import save_buckets_csv
+
+    cfg, a, b = _ab(spark, sf_dir)
+    bucket = residual_internal(a, b, cfg).select("_id", "transaction_code", "amount")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    paths = save_buckets_csv(
+        {"a_to_b_nmt": bucket}, f"/root/repo/.stream_tmp/{tag}/csv_sink", iteration=2
+    )
+    raw = read_csv_all_string(spark, paths["a_to_b_nmt"])
+    return raw.select(
+        "_id", "transaction_code", F.col("amount").cast("double").alias("amount")
+    )
+
+
 def recon_mongo_json_scan(spark, sf_dir) -> DataFrame:
     """Mongoexport extended-JSON ingestion end-to-end on a REAL json file:
     write the internal fixture as wrapped documents ($oid ids, $numberLong
@@ -550,6 +570,13 @@ def text_fingerprint(spark, sf_dir) -> DataFrame:
     return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition quality signals over the documents table."""
+    from mongo_polars_reconciliation_spark.extensions.text import repetition_signals
+
+    return repetition_signals(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def mm_decode_features(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.multimodal import (
         attach_payload,
@@ -687,6 +714,7 @@ QUERIES = {
     "recon_summary_doc": recon_summary_doc,
     "recon_source_scan_filtered": recon_source_scan_filtered,
     "recon_csv_roundtrip": recon_csv_roundtrip,
+    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
     "recon_mongo_json_scan": recon_mongo_json_scan,
     "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
     "recon_remanent_lookup": recon_remanent_lookup,
@@ -710,6 +738,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_fingerprint": text_fingerprint,
     "text_ngram_freq": text_ngram_freq,
+    "text_repetition": text_repetition,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample": mm_frame_sample,
     "stream_dedup": stream_dedup_events,
