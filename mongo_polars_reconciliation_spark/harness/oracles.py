@@ -1077,6 +1077,16 @@ SELECT doc_id,
        (CAST(top_c AS DOUBLE) / n_tok > 0.2 OR dup_3gram_frac > 0.3) AS flag_repetitive
 FROM j
 """,
+    "stream_view_attribution": """
+SELECT p.event_id AS purchase_event_id,
+       v.event_id AS view_event_id,
+       epoch_ns(p.ts)//1000 - epoch_ns(v.ts)//1000 AS gap_us
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND epoch_ns(v.ts)//1000 BETWEEN epoch_ns(p.ts)//1000 - 86400000000
+                               AND epoch_ns(p.ts)//1000
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+""",
     "mm_frame_sample": """
 SELECT doc_id,
        CAST(frame_no AS BIGINT) AS frame_no,

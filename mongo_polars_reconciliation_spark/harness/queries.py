@@ -668,6 +668,24 @@ def stream_user_seq(spark, sf_dir) -> DataFrame:
     )
 
 
+def stream_view_attribution(spark, sf_dir) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to same-user views
+    within the preceding 24 h, drained to convergence with the batch join."""
+    from mongo_polars_reconciliation_spark.streaming.events import (
+        read_events_stream,
+        run_to_table,
+        view_purchase_attribution,
+    )
+
+    return run_to_table(
+        view_purchase_attribution(
+            read_events_stream(spark, sf_dir, name="attrib")
+        ),
+        "mem_stream_attrib",
+        output_mode="append",
+    )
+
+
 def stream_incremental_match(spark, sf_dir) -> DataFrame:
     """foreachBatch incremental reconciliation: B arrives as two files (two
     micro-batches); each batch matches against the still-open A rows and
@@ -745,5 +763,6 @@ QUERIES = {
     "stream_events_hourly": stream_events_hourly,
     "stream_sessionize_agg": stream_sessionize_agg,
     "stream_user_seq": stream_user_seq,
+    "stream_view_attribution": stream_view_attribution,
     "stream_incremental_match": stream_incremental_match,
 }

@@ -156,6 +156,60 @@ def hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def view_purchase_attribution(
+    events: DataFrame, window_sec: int = 86400, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join (purchase attribution): every
+    (purchase, view) pair of the same user where the view happened within
+    ``window_sec`` before the purchase.
+
+    Both sides carry an event-time watermark and the join's time-range
+    condition is on the event-time columns — that is what lets the state
+    store expire buffered rows once the watermark passes the interval, so
+    per-key state is bounded by (watermark + window) × arrival rate
+    instead of the whole stream. Inner joins emit on match arrival, so a
+    drained bounded stream converges to the exact batch join. Event time
+    is nanos truncated to microseconds (Spark's timestamp precision); the
+    batch oracle applies the same truncation.
+
+    Works unchanged on a batch frame (the watermark is a no-op there) —
+    the batch/stream parity contract of this module."""
+    base = events.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+    views = (
+        base.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ets").alias("v_ets"),
+        )
+        .withWatermark("v_ets", watermark)
+    )
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ets").alias("p_ets"),
+        )
+        .withWatermark("p_ets", watermark)
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            f"p_user = v_user AND v_ets >= p_ets - INTERVAL {window_sec} SECONDS"
+            f" AND v_ets <= p_ets"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "purchase_event_id",
+        "view_event_id",
+        (F.unix_micros(F.col("p_ets")) - F.unix_micros(F.col("v_ets"))).alias(
+            "gap_us"
+        ),
+    )
+
+
 def session_agg(events: DataFrame, gap: str = "30 minutes",
                 watermark: str = "2 hours") -> DataFrame:
     """Gap-based sessionization via the built-in ``session_window``: events

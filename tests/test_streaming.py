@@ -116,3 +116,20 @@ def test_user_seq_orders_across_arrow_chunk_boundaries(spark):
         assert got == {k: k for k in range(1, n + 1)}
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_view_attribution_stream_equals_batch(spark):
+    """The interval join is one function for both regimes: applied to the
+    batch events frame it must equal the drained stream result."""
+    from mongo_polars_reconciliation_spark.streaming.events import (
+        view_purchase_attribution,
+    )
+
+    streamed = QUERIES["stream_view_attribution"](spark, SF_DIR)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = view_purchase_attribution(
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
