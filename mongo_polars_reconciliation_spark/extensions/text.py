@@ -199,6 +199,49 @@ def repetition_signals(
     )
 
 
+def contamination_probe(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination probe: per training document, how many of
+    its word n-grams appear in ANY benchmark document, and the fraction of
+    its n-grams that are contaminated (the standard overlap rule used to
+    drop eval-set leakage from a training corpus).
+
+    Scale shape: distinct n-grams on both sides, inner join on the n-gram
+    string against the (small) benchmark index — broadcastable when the
+    benchmark is eval-set sized — then one hash-groupBy per doc. No
+    all-pairs, no Python. Returns only contaminated docs (hit_ngrams > 0);
+    clean docs are the complement."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import shingles
+
+    doc_grams = shingles(docs, id_col, text_col, n)
+    bench_grams = (
+        shingles(benchmark, bench_id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hit_ngrams"))
+    )
+    return (
+        hits.join(totals, id_col)
+        .select(
+            F.col(id_col),
+            F.col("hit_ngrams"),
+            F.col("n_grams"),
+            floor4(F.col("hit_ngrams") / F.col("n_grams")).alias("contam_frac_r"),
+        )
+    )
+
+
 def ngram_frequencies(
     df: DataFrame,
     n: int = 2,

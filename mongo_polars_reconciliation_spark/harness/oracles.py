@@ -1046,6 +1046,26 @@ SELECT doc_id,
        'text/plain' AS mime
 FROM documents
 """,
+    "text_contamination": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingle
+    FROM toks WHERE len(t) >= 5) u
+  WHERE shingle IS NOT NULL
+),
+bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 10 = 7),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS hit_ngrams
+  FROM grams g JOIN bench b USING (shingle) GROUP BY g.doc_id
+)
+SELECT h.doc_id, h.hit_ngrams, t.n_grams,
+       FLOOR(CAST(h.hit_ngrams AS DOUBLE) / t.n_grams * 10000) / 10000 AS contam_frac_r
+FROM hits h JOIN totals t USING (doc_id)
+""",
     "text_repetition": """
 WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 tokr AS (SELECT doc_id, unnest(toks) AS tok FROM base),

@@ -570,6 +570,17 @@ def text_fingerprint(spark, sf_dir) -> DataFrame:
     return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_contamination(spark, sf_dir) -> DataFrame:
+    """Benchmark-decontamination probe: 5-gram overlap of every document
+    against a benchmark slice (docs with id % 10 = 7 stand in for an eval
+    set); returns contaminated docs with hit counts and fraction."""
+    from mongo_polars_reconciliation_spark.extensions.text import contamination_probe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    return contamination_probe(docs, bench, n=5)
+
+
 def text_repetition(spark, sf_dir) -> DataFrame:
     """Gopher-style repetition quality signals over the documents table."""
     from mongo_polars_reconciliation_spark.extensions.text import repetition_signals
@@ -757,6 +768,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_ngram_freq": text_ngram_freq,
     "text_repetition": text_repetition,
+    "text_contamination": text_contamination,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample": mm_frame_sample,
     "stream_dedup": stream_dedup_events,

@@ -167,3 +167,30 @@ def test_ivf_fitted_prunes_without_join(spark):
     plan = formatted_plan(df)
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """A centroid that attracts no vectors in an iteration must keep its
+    previous position (both engines mirror this via COALESCE). Init takes
+    the 4 smallest ids; three identical far-away points steal everything
+    from centroid 3 after iteration 1."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import kmeans_fit
+
+    # ids 0..3 are init centroids; vectors chosen so that after the first
+    # assignment, centroid 3's cluster is empty (its only candidate, id 3,
+    # is closer to the dense blob at the origin).
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [100.0, 100.0]),
+        (2, [0.1, 0.0]),
+        (3, [0.2, 0.0]),
+        (4, [0.15, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, k=4, n_iter=2)
+    assert len(cents) == 4 and all(len(c) == 2 for c in cents)
+    # centroid 1 keeps attracting only the far point — stays at (100, 100)
+    assert cents[1] == [100.0, 100.0]
+    # no centroid may be NaN/None even if its cluster emptied
+    for c in cents:
+        assert all(x == x and x is not None for x in c)
