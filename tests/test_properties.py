@@ -87,3 +87,63 @@ def test_tolerance_matches_within_epsilon(spark, ra, rb):
         F.abs(F.col("exd_importe") - F.col("amount")) > eps
     ).count()
     assert bad == 0
+
+
+# --- extension-op properties -------------------------------------------------
+
+_doc_tok = st.sampled_from(["alpha", "beta", "gamma", "delta", "x"])
+_docs = st.lists(
+    st.lists(_doc_tok, min_size=1, max_size=12), min_size=2, max_size=8
+)
+
+
+def _py_simhash(text: str) -> int:
+    """Independent Python model of the engine's 64-bit SimHash (same
+    constants, same fold) — two's-complement signed like Spark's long."""
+    P, A1, A2 = 2147483647, 1103515245, 2654435761
+    votes = [0] * 64
+    for tok in text.split(" "):
+        sid = 0
+        for ch in tok:
+            sid = (sid * 31 + (ord(ch) % P)) % P
+        for k in range(64):
+            h = ((sid * (A1 + k)) % P) * (A2 + k) % P
+            votes[k] += 1 if h % 2 == 1 else -1
+    sig = 0
+    for k in range(64):
+        if votes[k] > 0:
+            sig |= 1 << k
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=_docs)
+def test_simhash_blocking_finds_every_close_pair(spark, docs):
+    """Engine output == brute-force all-pairs over the Python model: the
+    4-block pigeonhole must lose NO pair within hamming 3 (completeness),
+    and signatures must match the independent model bit-for-bit."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        simhash_near_dups,
+        simhash_signatures,
+    )
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got_sigs = {
+        r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()
+    }
+    assert got_sigs == {i: _py_simhash(t) for i, t in enumerate(texts)}
+
+    expected = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = bin((got_sigs[i] ^ got_sigs[j]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                expected[(i, j)] = d
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(df).collect()
+    }
+    assert got == expected
