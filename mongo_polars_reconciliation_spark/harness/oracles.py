@@ -154,6 +154,16 @@ ORACLES: dict[str, str] = {
         BASE_CTES, MATCH_CTES,
         select="SELECT row_num, codigo, importe FROM j1 WHERE rn > 1",
     ),
+    "recon_subset_dedup_keep_last": q(
+        BASE_CTES,
+        select="""
+SELECT codigo, row_num, importe FROM (
+  SELECT codigo, row_num, importe,
+         ROW_NUMBER() OVER (PARTITION BY codigo ORDER BY row_num DESC) AS rn
+  FROM b_tbl
+) t WHERE rn = 1
+""",
+    ),
     "recon_summary_doc": q(
         BASE_CTES, MATCH_CTES,
         select="""

@@ -201,6 +201,21 @@ def recon_cascade_three_pass(spark, sf_dir) -> DataFrame:
     return rc.summary(amount_col="amount")
 
 
+def recon_subset_dedup_keep_last(spark, sf_dir) -> DataFrame:
+    """U4 subset dedup, keep-LAST by explicit order: one B row per codigo,
+    the highest file_row_number wins (Polars unique(keep='last') with the
+    order made explicit — SURVEY.md §2.5)."""
+    from mongo_polars_reconciliation_spark.functions.windows import keep_last
+
+    _, _, b = _ab(spark, sf_dir)
+    out = keep_last(b, ["ext_codigo"], [ROW_NUM])
+    return out.select(
+        F.col("ext_codigo").alias("codigo"),
+        F.col(ROW_NUM).alias("row_num"),
+        F.col("ext_importe").alias("importe"),
+    )
+
+
 def recon_summary_doc(spark, sf_dir) -> DataFrame:
     """The reference's aggregated-results document (S10 full shape,
     second_conciliate.py:465-478): run-metadata literals + matched/remanent
@@ -741,6 +756,7 @@ QUERIES = {
     "recon_match_on_names": recon_match_on_names,
     "recon_cascade_three_pass": recon_cascade_three_pass,
     "recon_summary_doc": recon_summary_doc,
+    "recon_subset_dedup_keep_last": recon_subset_dedup_keep_last,
     "recon_source_scan_filtered": recon_source_scan_filtered,
     "recon_csv_roundtrip": recon_csv_roundtrip,
     "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
