@@ -154,6 +154,23 @@ ORACLES: dict[str, str] = {
         BASE_CTES, MATCH_CTES,
         select="SELECT row_num, codigo, importe FROM j1 WHERE rn > 1",
     ),
+    "recon_amount_quantiles": q(
+        BASE_CTES,
+        select="""
+, r AS (
+  SELECT transaction_type, amount,
+         ROW_NUMBER() OVER (PARTITION BY transaction_type ORDER BY amount) AS rn,
+         COUNT(*) OVER (PARTITION BY transaction_type) AS n
+  FROM a_tbl
+)
+SELECT transaction_type,
+       MAX(n) AS n,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN amount END) AS q5,
+       MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN amount END) AS q9,
+       MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN amount END) AS q99
+FROM r GROUP BY transaction_type
+""",
+    ),
     "recon_subset_dedup_keep_last": q(
         BASE_CTES,
         select="""
@@ -461,6 +478,22 @@ SELECT _id, src FROM (
 ) t WHERE rn = 1
 """,
     ),
+    "events_funnel": """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t0,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t2
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n_view,
+       COUNT(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+             THEN 1 END) AS n_view_click,
+       COUNT(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                   AND t2 IS NOT NULL AND t2 >= t1
+             THEN 1 END) AS n_view_click_purchase
+FROM per_user
+""",
     "events_hourly": """
 SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket,
        event_type,

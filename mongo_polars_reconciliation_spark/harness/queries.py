@@ -201,6 +201,15 @@ def recon_cascade_three_pass(spark, sf_dir) -> DataFrame:
     return rc.summary(amount_col="amount")
 
 
+def recon_amount_quantiles(spark, sf_dir) -> DataFrame:
+    """Exact nearest-rank p50/p90/p99 of amount per transaction type —
+    money-distribution summary beyond the reference's sum/count (A1+)."""
+    from mongo_polars_reconciliation_spark.operators.summary import bucket_quantiles
+
+    a = build_internal(spark, sf_dir)
+    return bucket_quantiles(a, "transaction_type", "amount")
+
+
 def recon_subset_dedup_keep_last(spark, sf_dir) -> DataFrame:
     """U4 subset dedup, keep-LAST by explicit order: one B row per codigo,
     the highest file_row_number wins (Polars unique(keep='last') with the
@@ -386,6 +395,29 @@ def _read_events(spark, sf_dir) -> DataFrame:
     conf) so the queries are correct in ANY session, not just ours."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def events_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered funnel (view → click → purchase): users whose FIRST
+    occurrence of each step happens in step order. One groupBy(user) with
+    conditional-min aggregates — a single shuffle whatever the step count,
+    then a broadcast-sized count row."""
+    e = _read_events(spark, sf_dir)
+    steps = ["view", "click", "purchase"]
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    c0 = F.col("t0").isNotNull()
+    c1 = c0 & F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0"))
+    c2 = c1 & F.col("t2").isNotNull() & (F.col("t2") >= F.col("t1"))
+    return per_user.agg(
+        F.count(F.when(c0, 1)).alias("n_view"),
+        F.count(F.when(c1, 1)).alias("n_view_click"),
+        F.count(F.when(c2, 1)).alias("n_view_click_purchase"),
+    )
 
 
 def events_hourly(spark, sf_dir) -> DataFrame:
@@ -757,6 +789,7 @@ QUERIES = {
     "recon_cascade_three_pass": recon_cascade_three_pass,
     "recon_summary_doc": recon_summary_doc,
     "recon_subset_dedup_keep_last": recon_subset_dedup_keep_last,
+    "recon_amount_quantiles": recon_amount_quantiles,
     "recon_source_scan_filtered": recon_source_scan_filtered,
     "recon_csv_roundtrip": recon_csv_roundtrip,
     "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
@@ -765,6 +798,7 @@ QUERIES = {
     "recon_remanent_lookup": recon_remanent_lookup,
     "recon_union_remanent_dedup": recon_union_remanent_dedup,
     "events_hourly": events_hourly,
+    "events_funnel": events_funnel,
     "events_sessionize": events_sessionize,
     "q1_pricing_summary": q1_pricing_summary,
     "dedup_exact": dedup_exact,

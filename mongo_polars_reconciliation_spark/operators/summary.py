@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,6 +44,46 @@ def run_summary(buckets: dict[str, DataFrame], **kwargs) -> DataFrame:
     ('what matched, what didn't, how much money')."""
     parts = [bucket_summary(df, name, **kwargs) for name, df in buckets.items()]
     return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+def bucket_quantiles(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Exact nearest-rank quantiles per bucket: the value at rank
+    ``ceil(q·n)`` in ``(value, tie)`` order. Nearest-rank (no
+    interpolation) keeps the result an actual data value, so it is
+    bit-identical across engines — interpolated percentiles mix floats
+    engine-specifically and can't be hash-compared.
+
+    One shuffle on the bucket key; the rank window sorts within each
+    bucket group only (no global sort). Output: one row per bucket with a
+    ``qXX`` column per requested quantile."""
+    order = [F.col(value_col).asc()] + (
+        [F.col(tie_col).asc()] if tie_col else []
+    )
+    w = Window.partitionBy(bucket_col).orderBy(*order)
+    grp = Window.partitionBy(bucket_col)
+    ranked = df.select(bucket_col, value_col, *( [tie_col] if tie_col else [] )).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__n", F.count(F.lit(1)).over(grp))
+    aggs = []
+    for q in qs:
+        name = f"q{str(q).replace('0.', '')}"
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")),
+                    F.col(value_col),
+                )
+            ).alias(name)
+        )
+    return ranked.groupBy(bucket_col).agg(
+        F.max("__n").cast("long").alias("n"), *aggs
+    )
 
 
 def summary_document(
