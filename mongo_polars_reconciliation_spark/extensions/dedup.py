@@ -349,6 +349,59 @@ def simhash_near_dups(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 5,
+) -> DataFrame:
+    """Connected components over near-dup pairs: every document gets the
+    MIN id reachable through the pair graph as its ``cluster_id`` — the
+    step that turns pairwise matches into keep-one-per-cluster decisions.
+
+    Iterative min-label propagation in pure DataFrame ops: each round
+    joins current labels across the (symmetrized) edge list and takes the
+    elementwise min; ``max_iter`` rounds resolve any component whose
+    diameter is below it (near-dup components are short chains — copies
+    of copies — so a small fixed bound converges; raise it for pathological
+    graphs). Each round is one join + one groupBy, both on the id key, and
+    labels are localCheckpoint'ed so round N+1 plans against a leaf, not N
+    stacked joins.
+
+    ``ids``: one row per document id (the universe — singletons keep
+    themselves as cluster_id)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["src"], "left"
+            )
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -145,6 +145,65 @@ c0l AS (SELECT cid, list(cval ORDER BY pos) AS c FROM c0 GROUP BY cid),"""
 )
 
 
+MINHASH_PAIR_CTES = """docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_aug),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks) u
+  WHERE shingle IS NOT NULL
+),
+shid AS (
+  SELECT doc_id,
+         CASE WHEN length(shingle) = 0 THEN 0 ELSE
+           list_reduce(list_transform(generate_series(1, length(shingle)),
+                       i -> ord(substr(shingle, i, 1)) % 8191),
+                       (h, c) -> (h*31 + c) % 8191) END AS sid
+  FROM sh
+),
+hashes AS (
+  SELECT doc_id, j, MIN(((2*j+3)*sid + 5*j+7) % 8191) AS mh
+  FROM shid CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
+  GROUP BY doc_id, j
+),
+bandkeys AS (
+  SELECT doc_id, j // 3 AS band,
+         STRING_AGG(CAST(mh AS VARCHAR), '_' ORDER BY j) AS bkey
+  FROM hashes GROUP BY doc_id, j // 3
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bandkeys l JOIN bandkeys r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_int
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+mh_pairs AS (
+  SELECT id_a, id_b, jacc_r FROM (
+    SELECT i.id_a, i.id_b,
+           FLOOR(CAST(i.n_int AS DOUBLE) / (sa.sz + sb.sz - i.n_int) * 10000) / 10000 AS jacc_r
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+  ) v WHERE jacc_r >= 0.6
+)"""
+
+
 ORACLES: dict[str, str] = {
     "recon_match_exact": q(
         BASE_CTES, MATCH_CTES,
@@ -588,62 +647,20 @@ WITH docs_aug AS (
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
 FROM docs_aug GROUP BY 1
 """,
-    "dedup_minhash_lsh": """
-WITH docs_aug AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
-  UNION ALL
-  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
-  FROM documents WHERE doc_id % 10 = 3
+    "dedup_minhash_lsh": "WITH " + MINHASH_PAIR_CTES
+    + "\nSELECT id_a, id_b, jacc_r FROM mh_pairs",
+    "dedup_clusters": "WITH RECURSIVE " + MINHASH_PAIR_CTES + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
 ),
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_aug),
-sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           unnest(list_transform(generate_series(1, len(t)-2),
-                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-    FROM toks) u
-  WHERE shingle IS NOT NULL
-),
-shid AS (
-  SELECT doc_id,
-         CASE WHEN length(shingle) = 0 THEN 0 ELSE
-           list_reduce(list_transform(generate_series(1, length(shingle)),
-                       i -> ord(substr(shingle, i, 1)) % 8191),
-                       (h, c) -> (h*31 + c) % 8191) END AS sid
-  FROM sh
-),
-hashes AS (
-  SELECT doc_id, j, MIN(((2*j+3)*sid + 5*j+7) % 8191) AS mh
-  FROM shid CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
-  GROUP BY doc_id, j
-),
-bandkeys AS (
-  SELECT doc_id, j // 3 AS band,
-         STRING_AGG(CAST(mh AS VARCHAR), '_' ORDER BY j) AS bkey
-  FROM hashes GROUP BY doc_id, j // 3
-),
-cand AS (
-  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bandkeys l JOIN bandkeys r
-    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, COUNT(*) AS n_int
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.id_a
-  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-  GROUP BY c.id_a, c.id_b
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM docs_aug
+  UNION
+  SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.node
 )
-SELECT id_a, id_b, jacc_r FROM (
-  SELECT i.id_a, i.id_b,
-         FLOOR(CAST(i.n_int AS DOUBLE) / (sa.sz + sb.sz - i.n_int) * 10000) / 10000 AS jacc_r
-  FROM inter i
-  JOIN sizes sa ON sa.doc_id = i.id_a
-  JOIN sizes sb ON sb.doc_id = i.id_b
-) v WHERE jacc_r >= 0.6
+SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
 """,
     "dedup_simhash": """
 WITH docs_aug AS (

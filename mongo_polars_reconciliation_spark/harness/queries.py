@@ -502,6 +502,21 @@ def dedup_simhash(spark, sf_dir) -> DataFrame:
     return simhash_near_dups(build_documents_aug(spark, sf_dir), hash_mode="poly")
 
 
+def dedup_clusters_cc(spark, sf_dir) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-verified
+    near-dup pairs (min-id label per component) — turns pairwise matches
+    into keep-one-per-cluster decisions for the whole corpus."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        dedup_clusters,
+        minhash_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    docs = build_documents_aug(spark, sf_dir)
+    pairs = minhash_near_dups(docs, hash_mode="poly")
+    return dedup_clusters(pairs, docs.select("doc_id"))
+
+
 def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.dedup import ngram_jaccard_pairs
     from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
@@ -805,6 +820,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters_cc,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_ivf": sim_topk_ivf,
