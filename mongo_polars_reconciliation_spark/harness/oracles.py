@@ -537,6 +537,26 @@ SELECT _id, src FROM (
 ) t WHERE rn = 1
 """,
     ),
+    "events_daily_type_pivot": """
+SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY 1
+""",
+    "events_retention": """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+  FROM events
+),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM days d JOIN first f USING (user_id)
+GROUP BY f.cohort_day, d.day - f.cohort_day
+""",
     "events_funnel": """
 WITH per_user AS (
   SELECT user_id,

@@ -420,6 +420,41 @@ def events_funnel(spark, sf_dir) -> DataFrame:
     )
 
 
+def events_retention(spark, sf_dir) -> DataFrame:
+    """Cohort retention: users are cohorted by their FIRST active day;
+    for each (cohort_day, day_offset) count distinct users active again
+    offset days later. Two hash-aggregates and one broadcast-sized join —
+    the classic retention-matrix shape, no window over raw events."""
+    e = _read_events(spark, sf_dir)
+    days = e.select(
+        "user_id", F.expr("ts DIV 86400000000000").cast("long").alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def events_daily_type_pivot(spark, sf_dir) -> DataFrame:
+    """Relational pivot: one row per day, one count column per event type.
+    Explicit value list keeps the output schema static (no extra pass to
+    discover values) and the plan a single hash-aggregate."""
+    e = _read_events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.select(
+            F.expr("ts DIV 86400000000000").cast("long").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
 def events_hourly(spark, sf_dir) -> DataFrame:
     """Tumbling 1h window aggregation (batch form; streaming skin reuses the
     same expressions over readStream + watermark)."""
@@ -814,6 +849,8 @@ QUERIES = {
     "recon_union_remanent_dedup": recon_union_remanent_dedup,
     "events_hourly": events_hourly,
     "events_funnel": events_funnel,
+    "events_retention": events_retention,
+    "events_daily_type_pivot": events_daily_type_pivot,
     "events_sessionize": events_sessionize,
     "q1_pricing_summary": q1_pricing_summary,
     "dedup_exact": dedup_exact,
