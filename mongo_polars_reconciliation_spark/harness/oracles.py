@@ -537,6 +537,27 @@ SELECT _id, src FROM (
 ) t WHERE rn = 1
 """,
     ),
+    "events_props_extract": """
+SELECT event_type,
+       COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       MAX(k) AS k_max
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events) t
+GROUP BY event_type
+""",
+    "events_rollup": """
+SELECT COALESCE(day, -1) AS day,
+       COALESCE(event_type, 'ALL') AS event_type,
+       n
+FROM (
+  SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
+         event_type, COUNT(*) AS n
+  FROM events
+  GROUP BY ROLLUP (1, event_type)
+) t
+""",
     "events_daily_type_pivot": """
 SELECT CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day,
        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,

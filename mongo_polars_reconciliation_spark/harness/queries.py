@@ -455,6 +455,47 @@ def events_daily_type_pivot(spark, sf_dir) -> DataFrame:
     )
 
 
+def events_props_extract(spark, sf_dir) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column (get_json_object — JVM-side JSON path, no Python) and
+    aggregate on it; the schemaless-column pattern every event pipeline
+    needs."""
+    e = _read_events(spark, sf_dir)
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+def events_rollup(spark, sf_dir) -> DataFrame:
+    """ROLLUP aggregation: per (day, event_type) counts plus per-day and
+    grand totals in one pass — multi-level aggregates without re-scanning."""
+    e = _read_events(spark, sf_dir)
+    return (
+        e.select(
+            F.expr("ts DIV 86400000000000").cast("long").alias("day"),
+            "event_type",
+        )
+        .rollup("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # sentinel the NULL subtotal keys: -1 / 'ALL' never occur in data,
+        # and typed non-null keys survive any engine's row ordering
+        .select(
+            F.coalesce(F.col("day"), F.lit(-1)).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n",
+        )
+    )
+
+
 def events_hourly(spark, sf_dir) -> DataFrame:
     """Tumbling 1h window aggregation (batch form; streaming skin reuses the
     same expressions over readStream + watermark)."""
@@ -851,6 +892,8 @@ QUERIES = {
     "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_daily_type_pivot": events_daily_type_pivot,
+    "events_props_extract": events_props_extract,
+    "events_rollup": events_rollup,
     "events_sessionize": events_sessionize,
     "q1_pricing_summary": q1_pricing_summary,
     "dedup_exact": dedup_exact,
