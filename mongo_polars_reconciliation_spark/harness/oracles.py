@@ -547,6 +547,16 @@ FROM (SELECT event_type,
       FROM events) t
 GROUP BY event_type
 """,
+    "events_user_running_value": """
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+            (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+""",
     "events_rollup": """
 SELECT COALESCE(day, -1) AS day,
        COALESCE(event_type, 'ALL') AS event_type,

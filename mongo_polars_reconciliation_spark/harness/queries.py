@@ -7,7 +7,7 @@ sorts columns by name before value-hashing).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongo_polars_reconciliation_spark.harness.fixtures import (
@@ -496,6 +496,31 @@ def events_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+def events_user_running_value(spark, sf_dir) -> DataFrame:
+    """Per-user running value sum and event index, ordered by (ts,
+    event_id) — the keyed cumulative-window shape (partitioned by user, so
+    no global window; DECIMAL-routed so the running sum is exact and
+    order-stable across engines)."""
+    e = _read_events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("seq"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
 def events_hourly(spark, sf_dir) -> DataFrame:
     """Tumbling 1h window aggregation (batch form; streaming skin reuses the
     same expressions over readStream + watermark)."""
@@ -894,6 +919,7 @@ QUERIES = {
     "events_daily_type_pivot": events_daily_type_pivot,
     "events_props_extract": events_props_extract,
     "events_rollup": events_rollup,
+    "events_user_running_value": events_user_running_value,
     "events_sessionize": events_sessionize,
     "q1_pricing_summary": q1_pricing_summary,
     "dedup_exact": dedup_exact,
