@@ -1,0 +1,76 @@
+"""As-of (nearest-preceding) join — a custom operator Spark's built-ins
+lack, expressed as a composition of existing DataFrame ops (SURVEY.md §2.9
+custom-operator policy: composition first, Pandas UDF only if semantics
+demand it — here they don't).
+
+Physical shape: tag-and-union both sides, ONE shuffle on the key, one
+ordered window with an ignore-nulls carry-forward of the right side's
+payload, filter back to left rows. This is the scale-correct plan — the
+naive range join explodes to O(|L|·|R|) pairs per key before picking the
+max, while the union-window form is O(|L|+|R|) rows through one sort. A
+backward as-of join by (key, time) is exactly "most recent right row at or
+before my time".
+
+Determinism: the window orders by (ts, side-tag, tiebreak); the right-side
+tag sorts before the left at equal timestamps, so a right row AT the left
+row's timestamp matches, and among equal-ts right rows the greatest
+tiebreak wins — mirrored exactly by the oracle's ROW_NUMBER form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the payload of the LAST right row with
+    ``right.ts <= left.ts`` on the same key (null payload when none).
+
+    ``payload_cols``: right-side columns to carry (renamed as-is — alias
+    beforehand to avoid collisions). ``tiebreak_col``: right-side column
+    ordering equal-timestamp right rows (greatest wins); required for a
+    deterministic result when right timestamps can tie."""
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
+        "__tb", F.lit(None).cast("long")
+    )
+    for c in payload_cols:
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    r_cols = on + [ts_col] + payload_cols
+    r_tag = (
+        right.select(*r_cols)
+        .withColumn("__side", F.lit(0))
+        .withColumn(
+            "__tb",
+            (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).cast("long"),
+        )
+    )
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    both = l_tag.unionByName(r_tag.select(l_tag.columns))
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "*",
+        *[
+            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"__asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = carried.where(F.col("__side") == 1).drop("__side", "__tb", *payload_cols)
+    for c in payload_cols:
+        out = out.withColumnRenamed(f"__asof_{c}", c)
+    return out

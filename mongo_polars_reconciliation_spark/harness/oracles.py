@@ -547,6 +547,26 @@ FROM (SELECT event_type,
       FROM events) t
 GROUP BY event_type
 """,
+    "events_asof_last_view": """
+WITH p AS (
+  SELECT event_id AS purchase_event_id, user_id, epoch_ns(ts) AS tn
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, epoch_ns(ts) AS tn, event_id AS view_event_id
+  FROM events WHERE event_type = 'view'
+),
+ranked AS (
+  SELECT p.purchase_event_id, p.user_id, v.view_event_id,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_event_id
+                            ORDER BY v.tn DESC, v.view_event_id DESC) AS rn
+  FROM p JOIN v ON v.user_id = p.user_id AND v.tn <= p.tn
+)
+SELECT p.purchase_event_id, p.user_id,
+       COALESCE(r.view_event_id, -1) AS view_event_id
+FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  ON r.purchase_event_id = p.purchase_event_id
+""",
     "events_user_running_value": """
 SELECT user_id, event_id,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,

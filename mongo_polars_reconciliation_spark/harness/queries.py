@@ -521,6 +521,35 @@ def events_user_running_value(spark, sf_dir) -> DataFrame:
     )
 
 
+def events_asof_last_view(spark, sf_dir) -> DataFrame:
+    """As-of join: every purchase attached to the user's most recent view
+    at-or-before it (union + carry-forward window: one shuffle on the key,
+    no O(pairs) range explosion). Unmatched purchases carry sentinel -1 so
+    the output stays typed and orderable."""
+    from mongo_polars_reconciliation_spark.functions.asof import asof_join_backward
+
+    e = _read_events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join_backward(
+        purchases,
+        views,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["view_event_id"],
+        tiebreak_col="view_event_id",
+    )
+    return out.select(
+        "purchase_event_id",
+        "user_id",
+        F.coalesce(F.col("view_event_id"), F.lit(-1)).alias("view_event_id"),
+    )
+
+
 def events_hourly(spark, sf_dir) -> DataFrame:
     """Tumbling 1h window aggregation (batch form; streaming skin reuses the
     same expressions over readStream + watermark)."""
@@ -920,6 +949,7 @@ QUERIES = {
     "events_props_extract": events_props_extract,
     "events_rollup": events_rollup,
     "events_user_running_value": events_user_running_value,
+    "events_asof_last_view": events_asof_last_view,
     "events_sessionize": events_sessionize,
     "q1_pricing_summary": q1_pricing_summary,
     "dedup_exact": dedup_exact,

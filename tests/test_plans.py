@@ -194,3 +194,13 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     # no centroid may be NaN/None even if its cluster emptied
     for c in cents:
         assert all(x == x and x is not None for x in c)
+
+
+def test_asof_join_is_union_window_not_range_join(spark):
+    """The as-of join must plan as union + keyed carry-forward window —
+    NO join operator at all (a range join would explode to O(pairs) per
+    key before picking the max)."""
+    plan = formatted_plan(QUERIES["events_asof_last_view"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
