@@ -547,6 +547,33 @@ FROM (SELECT event_type,
       FROM events) t
 GROUP BY event_type
 """,
+    "events_user_kmv": """
+WITH hv AS (
+  SELECT DISTINCT
+    list_reduce(list_transform(generate_series(1, length(CAST(user_id AS VARCHAR))),
+                i -> ord(substr(CAST(user_id AS VARCHAR), i, 1)) % 2147483647),
+                (h, c) -> (CAST(h AS BIGINT)*31 + c) % 2147483647) AS hv
+  FROM events
+),
+kth AS (SELECT hv FROM hv ORDER BY hv LIMIT 64),
+est AS (SELECT MAX(hv) AS kth_min, COUNT(*) AS k_actual FROM kth),
+exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+SELECT k_actual, kth_min, n_exact,
+       CAST(FLOOR((k_actual - 1) * 2147483647.0 / kth_min) AS BIGINT) AS n_estimate
+FROM est CROSS JOIN exact
+""",
+    "events_daily_rollup2": """
+WITH hourly AS (
+  SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(hour_bucket // 24 AS BIGINT) AS day_bucket, event_type,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(CAST(value_sum AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM hourly GROUP BY 1, 2
+""",
     "events_asof_last_view": """
 WITH p AS (
   SELECT event_id AS purchase_event_id, user_id, epoch_ns(ts) AS tn

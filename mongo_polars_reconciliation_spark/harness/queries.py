@@ -550,6 +550,64 @@ def events_asof_last_view(spark, sf_dir) -> DataFrame:
     )
 
 
+def events_user_kmv(spark, sf_dir) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64: hash every key
+    with the cross-engine polynomial hash, keep the k smallest distinct
+    hash values (TakeOrderedAndProject — k rows to the driver), estimate
+    |distinct| ≈ (k-1)·P/kth_min. Unlike HyperLogLog this sketch is fully
+    deterministic and integer-exact, so the oracle reproduces it
+    bit-for-bit; the exact distinct count rides along for the error
+    check. At scale the k-min pass is one scan with per-partition local
+    top-k — no shuffle of raw keys."""
+    e = _read_events(spark, sf_dir)
+    p = 2147483647
+    k = 64
+    hashed = e.select(
+        F.expr(
+            f"aggregate(sequence(1, length(CAST(user_id AS STRING))), cast(0 as bigint),"
+            f" (h, i) -> pmod(h * 31 + pmod(ascii(substring(CAST(user_id AS STRING), i, 1)), {p}), {p}))"
+        ).alias("hv")
+    ).distinct()
+    kth = hashed.orderBy(F.col("hv").asc()).limit(k)
+    est = kth.agg(
+        F.max("hv").alias("kth_min"), F.count(F.lit(1)).alias("k_actual")
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        est.crossJoin(exact)
+        .select(
+            "k_actual",
+            "kth_min",
+            "n_exact",
+            F.floor(
+                (F.col("k_actual") - 1) * F.lit(float(p)) / F.col("kth_min")
+            )
+            .cast("long")
+            .alias("n_estimate"),
+        )
+    )
+
+
+def events_hourly_from_daily_rollup(spark, sf_dir) -> DataFrame:
+    """Hypertable-style hierarchical rollup: the DAY aggregate is computed
+    FROM the hourly aggregate, not from raw events — the
+    continuous-aggregate reuse pattern (coarser resolutions re-aggregate
+    ~24× fewer rows instead of rescanning the table)."""
+    hourly = events_hourly(spark, sf_dir)
+    return (
+        hourly.groupBy(
+            F.expr("hour_bucket DIV 24").cast("long").alias("day_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum(F.col("value_sum").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+
+
 def events_hourly(spark, sf_dir) -> DataFrame:
     """Tumbling 1h window aggregation (batch form; streaming skin reuses the
     same expressions over readStream + watermark)."""
@@ -950,6 +1008,8 @@ QUERIES = {
     "events_rollup": events_rollup,
     "events_user_running_value": events_user_running_value,
     "events_asof_last_view": events_asof_last_view,
+    "events_user_kmv": events_user_kmv,
+    "events_daily_rollup2": events_hourly_from_daily_rollup,
     "events_sessionize": events_sessionize,
     "q1_pricing_summary": q1_pricing_summary,
     "dedup_exact": dedup_exact,
