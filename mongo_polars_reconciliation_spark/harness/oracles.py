@@ -1204,6 +1204,20 @@ SELECT doc_id,
        'text/plain' AS mime
 FROM documents
 """,
+    "text_split_assign": """
+WITH h AS (
+  SELECT doc_id,
+         list_reduce(list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
+                     i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1)) % 2147483647),
+                     (a, c) -> (CAST(a AS BIGINT)*31 + c) % 2147483647) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
     "text_contamination": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (

@@ -831,6 +831,26 @@ def text_contamination(spark, sf_dir) -> DataFrame:
     return contamination_probe(docs, bench, n=5)
 
 
+def text_split_assign(spark, sf_dir) -> DataFrame:
+    """Deterministic train/val/test split: bucket = polynomial hash of the
+    doc id mod 100 → 80/10/10. Hash-based assignment is the reproducible-
+    sampling primitive every training-data pipeline needs — stable across
+    runs, engines and cluster shapes (no rand(), no partition order
+    dependence), and any stratum's rate is changeable without reshuffling
+    other docs."""
+    p = 2147483647
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.expr(
+        f"pmod(aggregate(sequence(1, length(CAST(doc_id AS STRING))), cast(0 as bigint),"
+        f" (h, i) -> pmod(h * 31 + pmod(ascii(substring(CAST(doc_id AS STRING), i, 1)), {p}), {p})), 100)"
+    )
+    return docs.select(
+        "doc_id",
+        h.alias("bucket"),
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
+
+
 def text_repetition(spark, sf_dir) -> DataFrame:
     """Gopher-style repetition quality signals over the documents table."""
     from mongo_polars_reconciliation_spark.extensions.text import repetition_signals
@@ -1031,6 +1051,7 @@ QUERIES = {
     "text_ngram_freq": text_ngram_freq,
     "text_repetition": text_repetition,
     "text_contamination": text_contamination,
+    "text_split_assign": text_split_assign,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample": mm_frame_sample,
     "stream_dedup": stream_dedup_events,
