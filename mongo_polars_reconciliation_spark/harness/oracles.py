@@ -547,6 +547,19 @@ FROM (SELECT event_type,
       FROM events) t
 GROUP BY event_type
 """,
+    "events_top_users_per_type": """
+WITH totals AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, rnk, user_id, total_value FROM (
+  SELECT event_type, user_id, total_value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY total_value DESC, user_id) AS BIGINT) AS rnk
+  FROM totals
+) t WHERE rnk <= 3
+""",
     "events_user_kmv": """
 WITH hv AS (
   SELECT DISTINCT

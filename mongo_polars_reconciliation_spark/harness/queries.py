@@ -608,6 +608,25 @@ def events_hourly_from_daily_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+def events_top_users_per_type(spark, sf_dir) -> DataFrame:
+    """Per-group top-k: the 3 highest-value users per event type. One
+    hash-aggregate then a rank window PARTITIONED BY the group key — per-
+    group sort only, never a global sort; DECIMAL-routed totals keep the
+    ranking order-stable across engines."""
+    e = _read_events(spark, sf_dir)
+    totals = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        totals.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "user_id", "total_value")
+    )
+
+
 def events_hourly(spark, sf_dir) -> DataFrame:
     """Tumbling 1h window aggregation (batch form; streaming skin reuses the
     same expressions over readStream + watermark)."""
@@ -1030,6 +1049,7 @@ QUERIES = {
     "events_asof_last_view": events_asof_last_view,
     "events_user_kmv": events_user_kmv,
     "events_daily_rollup2": events_hourly_from_daily_rollup,
+    "events_top_users_per_type": events_top_users_per_type,
     "events_sessionize": events_sessionize,
     "q1_pricing_summary": q1_pricing_summary,
     "dedup_exact": dedup_exact,
