@@ -214,19 +214,19 @@ def minhash_near_dups(
     plans/pipeline.py module doc).
 
     The shingle frame is hash-repartitioned on the doc id before the
-    checkpoint: the downstream per-character polynomial hash is the
-    CPU-heavy step, and a small corpus read from few parquet splits would
-    otherwise run it on as few cores (measured: 3 tasks on 32 cores).
-    One small shuffle buys full-width parallelism; at 100 TB pass a higher
-    ``shingle_partitions`` (or the natural input partitioning already
-    exceeds it — the repartition only ever widens)."""
-    spark = df.sparkSession
-    parts = shingle_partitions or spark.sparkContext.defaultParallelism
-    sh = (
-        shingles(df, id_col, text_col, n)
-        .repartition(parts, F.col(id_col))
-        .localCheckpoint(eager=False)
+    checkpoint ONLY when its natural partitioning is narrower than the
+    target: the downstream per-character polynomial hash is the CPU-heavy
+    step, and a small corpus read from few parquet splits would otherwise
+    run it on as few cores (measured: 3 tasks on 32 cores). When the
+    input already has more partitions (the 100 TB case) no repartition —
+    and no shuffle — happens at all."""
+    sh_base = shingles(df, id_col, text_col, n)
+    target = (
+        shingle_partitions or df.sparkSession.sparkContext.defaultParallelism
     )
+    if sh_base.rdd.getNumPartitions() < target:
+        sh_base = sh_base.repartition(target, F.col(id_col))
+    sh = sh_base.localCheckpoint(eager=False)
     sigs = minhash_signatures(_shingle_ids(sh, hash_mode), id_col, num_hashes)
     # candidate pairs are tiny (bucket collisions only) but sit on top of
     # the whole signature pipeline — materialize once
@@ -353,20 +353,23 @@ def dedup_clusters(
     pairs: DataFrame,
     ids: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 5,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document gets the
     MIN id reachable through the pair graph as its ``cluster_id`` — the
     step that turns pairwise matches into keep-one-per-cluster decisions.
 
-    Iterative min-label propagation in pure DataFrame ops: each round
-    joins current labels across the (symmetrized) edge list and takes the
-    elementwise min; ``max_iter`` rounds resolve any component whose
-    diameter is below it (near-dup components are short chains — copies
-    of copies — so a small fixed bound converges; raise it for pathological
-    graphs). Each round is one join + one groupBy, both on the id key, and
-    labels are localCheckpoint'ed so round N+1 plans against a leaf, not N
-    stacked joins.
+    Iterative min-label propagation TO CONVERGENCE in pure DataFrame ops:
+    each round joins current labels across the (symmetrized) edge list,
+    takes the elementwise min, and stops when a round changes nothing —
+    so the result is the exact fixpoint (what the SQL oracle's recursive
+    closure computes) for any component shape, not just short chains.
+    Rounds needed = max min-label eccentricity ≈ component diameter; the
+    per-round convergence check is one count over changed labels.
+    ``max_iter`` is a loud safety bound, not a silent truncation. Each
+    round is one join + one groupBy on the id key, and labels are
+    localCheckpoint'ed so round N+1 plans against a leaf, not N stacked
+    joins.
 
     ``ids``: one row per document id (the universe — singletons keep
     themselves as cluster_id)."""
@@ -387,17 +390,29 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        labels = (
+        new_labels = (
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["src"], "left"
             )
             .select(
-                F.col("node"),
+                labels["node"].alias("node"),
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
+                (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl")).alias(
+                    "__chg"
+                ),
             )
             .localCheckpoint(eager=False)
+        )
+        changed = new_labels.where(F.col("__chg")).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds the safety bound; raise max_iter"
         )
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
 
@@ -409,22 +424,25 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int = 50,
+    shingle_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup via shingle inverted index. Shingles
     with document frequency > max_df are dropped from the *index* (classic
     stop-shingle removal — bounds bucket blowup); Jaccard is computed over
     the capped shingle sets of both docs (consistent, engine-mirrorable).
 
-    The shingle frame is repartitioned wide and checkpointed once: it is
-    read three times (df-counts, both sides of the inverted-index join),
-    and a few-split corpus would otherwise run the per-character shingle
-    work on a handful of cores."""
-    spark = df.sparkSession
-    sh = (
-        shingles(df, id_col, text_col, n)
-        .repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
-        .localCheckpoint(eager=False)
+    The shingle frame is checkpointed once (read three times: df-counts,
+    both sides of the inverted-index join) and widened — never narrowed —
+    to ``shingle_partitions`` (default: the cluster's parallelism) when a
+    few-split corpus would otherwise run the per-character shingle work
+    on a handful of cores."""
+    sh_base = shingles(df, id_col, text_col, n)
+    target = (
+        shingle_partitions or df.sparkSession.sparkContext.defaultParallelism
     )
+    if sh_base.rdd.getNumPartitions() < target:
+        sh_base = sh_base.repartition(target, F.col(id_col))
+    sh = sh_base.localCheckpoint(eager=False)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     capped = sh.join(df_counts.where(F.col("df_") <= max_df), "shingle").select(
         F.col(id_col), "shingle"

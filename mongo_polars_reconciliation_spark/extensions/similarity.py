@@ -134,7 +134,12 @@ def kmeans_fit(
     replay the fit bit-for-bit (kmeans++ sampling cannot be mirrored)."""
     vecs = emb.select(F.col(id_col).alias("_kid"), _as_double(vec_col).alias("v"))
     init = vecs.orderBy("_kid").limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_fit: input has no rows")
+    # fewer rows than k: fit the clusters the data can support — the
+    # update loop below indexes cents[c], so k must equal len(cents)
     cents = [list(r["v"]) for r in init]
+    k = len(cents)
     dim = len(cents[0])
     for _ in range(n_iter):
         assigned = vecs.select(cluster_assign(F.col("v"), cents).alias("cid"), "v")
@@ -188,6 +193,10 @@ def topk_ivf_fitted(
             dot += x * float(y)
             nc += x * x
             nq += float(y) * float(y)
+        if nc == 0.0 or nq == 0.0:
+            # a zero-norm centroid (all-zero cluster) ranks last instead of
+            # crashing the driver; the SQL mirror has the matching CASE
+            return float("-inf")
         return dot / (math.sqrt(nc) * math.sqrt(nq))
 
     ranked = sorted(

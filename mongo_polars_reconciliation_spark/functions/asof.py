@@ -38,39 +38,46 @@ def asof_join_backward(
     beforehand to avoid collisions). ``tiebreak_col``: right-side column
     ordering equal-timestamp right rows (greatest wins); required for a
     deterministic result when right timestamps can tie."""
-    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
-        "__tb", F.lit(None).cast("long")
+    # the payload travels as ONE struct: last(ignorenulls) then skips left
+    # rows (their struct is null) but never a right row — a right row whose
+    # payload FIELDS are null still has a non-null struct, so the match is
+    # row-atomic (no mixing fields from different right rows) and "last
+    # right row" means last ROW, not last non-null value
+    rtypes = dict(right.dtypes)
+    l_tag = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__tb", F.lit(None).cast("long"))
+        .withColumn(
+            "__payload",
+            F.lit(None).cast(
+                "struct<" + ", ".join(f"{c}: {rtypes[c]}" for c in payload_cols) + ">"
+            ),
+        )
     )
-    for c in payload_cols:
-        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    r_cols = on + [ts_col] + payload_cols
     r_tag = (
-        right.select(*r_cols)
+        right.select(*(on + [ts_col] + payload_cols))
         .withColumn("__side", F.lit(0))
         .withColumn(
             "__tb",
             (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).cast("long"),
         )
+        .withColumn("__payload", F.struct(*payload_cols))
+        .drop(*payload_cols)
     )
+    ltypes = dict(left.dtypes)
     for c in left.columns:
         if c not in r_tag.columns:
-            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(ltypes[c]))
     both = l_tag.unionByName(r_tag.select(l_tag.columns))
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = both.select(
-        "*",
-        *[
-            F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"__asof_{c}")
-            for c in payload_cols
-        ],
+    carried = both.withColumn(
+        "__asof", F.last(F.col("__payload"), ignorenulls=True).over(w)
     )
-    out = carried.where(F.col("__side") == 1).drop("__side", "__tb", *payload_cols)
+    out = carried.where(F.col("__side") == 1).drop("__side", "__tb", "__payload")
     for c in payload_cols:
-        out = out.withColumnRenamed(f"__asof_{c}", c)
-    return out
+        out = out.withColumn(c, F.col("__asof")[c])
+    return out.drop("__asof")

@@ -1,0 +1,41 @@
+"""Cross-engine polynomial string hash — ONE definition for every site.
+
+``h = fold(chars, 0, (h, c) -> (h*31 + (ord(c) mod p)) mod p)``: pure
+integer arithmetic, bit-identical in Spark SQL and DuckDB, which is what
+lets shingle ids, sampling buckets and sketch hashes be oracle-verified.
+Both builders MUST stay in lockstep — that is the point of this module
+(three hand-inlined copies drifted apart is the failure mode it removes).
+
+The fold seeds 0 and ``f(0, c1) = c1``, so DuckDB's first-element-seeded
+``list_reduce`` produces the same sequence. The bigint accumulator keeps
+``h*31`` exact for p up to 2^31-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_P31 = 2147483647  # Mersenne prime 2^31-1 — the default modulus
+
+
+def poly_hash_col(expr: str, p: int = POLY_P31) -> Column:
+    """Spark column: polynomial hash of the (string) SQL expression
+    ``expr``. Empty strings hash to 0 (sequence(1,0) would count DOWN)."""
+    s = f"CAST({expr} AS STRING)"
+    return F.expr(
+        f"CASE WHEN length({s}) = 0 THEN cast(0 as bigint) ELSE "
+        f"aggregate(sequence(1, length({s})), cast(0 as bigint), "
+        f"(h, i) -> pmod(h * 31 + pmod(ascii(substring({s}, i, 1)), {p}), {p})) END"
+    )
+
+
+def poly_hash_sql(expr: str, p: int = POLY_P31) -> str:
+    """DuckDB SQL fragment computing the identical hash of ``expr``."""
+    s = f"CAST({expr} AS VARCHAR)"
+    return (
+        f"CASE WHEN length({s}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_transform(generate_series(1, length({s})), "
+        f"i -> ord(substr({s}, i, 1)) % {p}), "
+        f"(h, c) -> (CAST(h AS BIGINT)*31 + c) % {p}) END"
+    )

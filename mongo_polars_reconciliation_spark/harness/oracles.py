@@ -562,10 +562,7 @@ SELECT event_type, rnk, user_id, total_value FROM (
 """,
     "events_user_kmv": """
 WITH hv AS (
-  SELECT DISTINCT
-    list_reduce(list_transform(generate_series(1, length(CAST(user_id AS VARCHAR))),
-                i -> ord(substr(CAST(user_id AS VARCHAR), i, 1)) % 2147483647),
-                (h, c) -> (CAST(h AS BIGINT)*31 + c) % 2147483647) AS hv
+  SELECT DISTINCT {POLY_HASH_USER} AS hv
   FROM events
 ),
 kth AS (SELECT hv FROM hv ORDER BY hv LIMIT 64),
@@ -979,9 +976,14 @@ ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 """ + KMEANS_CTES + """,
 cscore AS (
   SELECT c.cid,
+         CASE WHEN list_reduce(list_transform(generate_series(1, len(c.c)), i -> c.c[i]*c.c[i]), (x,y) -> x+y) = 0
+                OR list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y) = 0
+         THEN CAST('-infinity' AS DOUBLE)
+         ELSE
          list_reduce(list_transform(generate_series(1, len(c.c)), i -> c.c[i]*q[i]), (x,y) -> x+y)
          / (sqrt(list_reduce(list_transform(generate_series(1, len(c.c)), i -> c.c[i]*c.c[i]), (x,y) -> x+y))
-          * sqrt(list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y))) AS c_cos
+          * sqrt(list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y)))
+         END AS c_cos
   FROM c2l c CROSS JOIN qv
 ),
 probe AS (
@@ -1219,10 +1221,7 @@ FROM documents
 """,
     "text_split_assign": """
 WITH h AS (
-  SELECT doc_id,
-         list_reduce(list_transform(generate_series(1, length(CAST(doc_id AS VARCHAR))),
-                     i -> ord(substr(CAST(doc_id AS VARCHAR), i, 1)) % 2147483647),
-                     (a, c) -> (CAST(a AS BIGINT)*31 + c) % 2147483647) % 100 AS bucket
+  SELECT doc_id, {POLY_HASH_DOC} % 100 AS bucket
   FROM documents
 )
 SELECT doc_id, bucket,
@@ -1314,3 +1313,15 @@ WHERE CAST(l_shipdate AS DATE) <= DATE '1999-12-31'
 GROUP BY l_returnflag, l_linestatus
 """,
 }
+
+
+# Shared cross-engine polynomial hash (functions/hashing.py) — substituted
+# here so the Spark expression and the SQL mirror can never drift apart.
+from mongo_polars_reconciliation_spark.functions.hashing import poly_hash_sql  # noqa: E402
+
+ORACLES["events_user_kmv"] = ORACLES["events_user_kmv"].replace(
+    "{POLY_HASH_USER}", poly_hash_sql("user_id")
+)
+ORACLES["text_split_assign"] = ORACLES["text_split_assign"].replace(
+    "{POLY_HASH_DOC}", poly_hash_sql("doc_id")
+)

@@ -49,8 +49,14 @@ def _ab(spark: SparkSession, sf_dir: str):
     small leaf scans instead of re-analyzing the whole fixture-synthesis
     tree (unions + void join + row-number index) at every AQE stage — that
     re-analysis dominated wall time, not compute."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     if key not in _AB_CACHE:
+        # drop entries from stopped sessions so their checkpoint RDD
+        # references become collectable (the dict would otherwise pin
+        # them for process lifetime)
+        for stale in [k for k in _AB_CACHE if k[0] != app]:
+            del _AB_CACHE[stale]
         cfg = recon_cfg()
         a = build_internal(spark, sf_dir).localCheckpoint(eager=True)
         b = build_external(spark, sf_dir, cfg).localCheckpoint(eager=True)
@@ -559,15 +565,15 @@ def events_user_kmv(spark, sf_dir) -> DataFrame:
     bit-for-bit; the exact distinct count rides along for the error
     check. At scale the k-min pass is one scan with per-partition local
     top-k — no shuffle of raw keys."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        POLY_P31,
+        poly_hash_col,
+    )
+
     e = _read_events(spark, sf_dir)
-    p = 2147483647
+    p = POLY_P31
     k = 64
-    hashed = e.select(
-        F.expr(
-            f"aggregate(sequence(1, length(CAST(user_id AS STRING))), cast(0 as bigint),"
-            f" (h, i) -> pmod(h * 31 + pmod(ascii(substring(CAST(user_id AS STRING), i, 1)), {p}), {p}))"
-        ).alias("hv")
-    ).distinct()
+    hashed = e.select(poly_hash_col("user_id").alias("hv")).distinct()
     kth = hashed.orderBy(F.col("hv").asc()).limit(k)
     est = kth.agg(
         F.max("hv").alias("kth_min"), F.count(F.lit(1)).alias("k_actual")
@@ -857,12 +863,10 @@ def text_split_assign(spark, sf_dir) -> DataFrame:
     runs, engines and cluster shapes (no rand(), no partition order
     dependence), and any stratum's rate is changeable without reshuffling
     other docs."""
-    p = 2147483647
+    from mongo_polars_reconciliation_spark.functions.hashing import poly_hash_col
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    h = F.expr(
-        f"pmod(aggregate(sequence(1, length(CAST(doc_id AS STRING))), cast(0 as bigint),"
-        f" (h, i) -> pmod(h * 31 + pmod(ascii(substring(CAST(doc_id AS STRING), i, 1)), {p}), {p})), 100)"
-    )
+    h = F.pmod(poly_hash_col("doc_id"), F.lit(100))
     return docs.select(
         "doc_id",
         h.alias("bucket"),

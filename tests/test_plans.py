@@ -171,29 +171,74 @@ def test_ivf_fitted_prunes_without_join(spark):
 
 def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     """A centroid that attracts no vectors in an iteration must keep its
-    previous position (both engines mirror this via COALESCE). Init takes
-    the 4 smallest ids; three identical far-away points steal everything
-    from centroid 3 after iteration 1."""
+    previous position (both engines mirror this via COALESCE). Vector 3
+    DUPLICATES vector 0, so at distance-0 ties the cid tie-break sends
+    both to centroid 0 — centroid 3's cluster is genuinely EMPTY in
+    round 1, while centroid 0's mean moves (id 4 pulls it right)."""
     from mongo_polars_reconciliation_spark.extensions.similarity import kmeans_fit
 
-    # ids 0..3 are init centroids; vectors chosen so that after the first
-    # assignment, centroid 3's cluster is empty (its only candidate, id 3,
-    # is closer to the dense blob at the origin).
     rows = [
-        (0, [0.0, 0.0]),
-        (1, [100.0, 100.0]),
-        (2, [0.1, 0.0]),
-        (3, [0.2, 0.0]),
-        (4, [0.15, 0.05]),
+        (0, [0.2, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [20.0, 20.0]),
+        (3, [0.2, 0.0]),   # duplicate of id 0 → ties to cid 0, empties c3
+        (4, [0.4, 0.0]),   # joins c0, moving its mean off 0.2
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    cents = kmeans_fit(emb, k=4, n_iter=2)
+    cents = kmeans_fit(emb, k=4, n_iter=1)
     assert len(cents) == 4 and all(len(c) == 2 for c in cents)
-    # centroid 1 keeps attracting only the far point — stays at (100, 100)
-    assert cents[1] == [100.0, 100.0]
-    # no centroid may be NaN/None even if its cluster emptied
-    for c in cents:
-        assert all(x == x and x is not None for x in c)
+    # the emptied centroid kept its init value exactly...
+    assert cents[3] == [0.2, 0.0]
+    # ...while the cluster that absorbed its duplicate moved
+    assert cents[0] != [0.2, 0.0] and abs(cents[0][0] - 0.8 / 3) < 1e-9
+    assert cents[1] == [10.0, 10.0] and cents[2] == [20.0, 20.0]
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    """k larger than the corpus: fit the clusters the data supports
+    instead of crashing in the update loop."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import kmeans_fit
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [5.0, 5.0])], "vec_id long, embedding array<double>"
+    )
+    cents = kmeans_fit(emb, k=4, n_iter=2)
+    assert cents == [[0.0, 1.0], [5.0, 5.0]]
+
+
+def test_dedup_clusters_converges_on_long_chain(spark):
+    """A 7-node path graph (diameter 6): min-label propagation must run to
+    the true fixpoint — every node labeled 0 — not stop at a fixed round
+    count."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, ids).collect()}
+    assert got == {i: 0 for i in range(7)}
+
+
+def test_asof_join_null_payload_is_row_atomic(spark):
+    """The carry-forward must track the last right ROW, not the last
+    non-null VALUE: a newer right row with a NULL payload field shadows an
+    older row's value instead of letting it leak through."""
+    from mongo_polars_reconciliation_spark.functions.asof import asof_join_backward
+
+    right = spark.createDataFrame(
+        [(1, 3, 7, "old"), (1, 5, None, "new")],
+        "user_id long, ts long, ref long, tag string",
+    )
+    left = spark.createDataFrame([(100, 1, 6)], "eid long, user_id long, ts long")
+    out = asof_join_backward(
+        left, right, on=["user_id"], ts_col="ts",
+        payload_cols=["ref", "tag"], tiebreak_col="ref",
+    ).collect()
+    assert len(out) == 1
+    # the ts=5 row is the as-of match: ref must be NULL (not 7 leaking
+    # from ts=3), and tag must come from the SAME row ("new")
+    assert out[0]["ref"] is None and out[0]["tag"] == "new"
 
 
 def test_asof_join_is_union_window_not_range_join(spark):
