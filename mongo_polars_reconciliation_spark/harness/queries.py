@@ -1020,7 +1020,27 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
     return matched_state(spark, state)
 
 
+# Dict order = the driver's check order (it walks insertion order and may
+# stop when its per-round budget runs out). Queries that have not yet earned
+# a driver-verified CORRECTNESS row go FIRST so a budget cut can only ever
+# hit queries that already have green rows from prior rounds.
 QUERIES = {
+    # -- never driver-verified (r1+r2 budget tail) --
+    "stream_view_attribution": stream_view_attribution,
+    "text_repetition": text_repetition,
+    "text_contamination": text_contamination,
+    "text_split_assign": text_split_assign,
+    # -- driver-verified r1 but not r2 --
+    "text_fingerprint": text_fingerprint,
+    "text_ngram_freq": text_ngram_freq,
+    "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
+    "stream_dedup": stream_dedup_events,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_sessionize_agg": stream_sessionize_agg,
+    "stream_user_seq": stream_user_seq,
+    "stream_incremental_match": stream_incremental_match,
+    # -- driver-verified green in r2 --
     "recon_match_exact": recon_match_exact,
     "recon_duplicate_losers": recon_duplicate_losers,
     "recon_residual_internal": recon_residual_internal,
@@ -1071,17 +1091,4 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
-    "text_fingerprint": text_fingerprint,
-    "text_ngram_freq": text_ngram_freq,
-    "text_repetition": text_repetition,
-    "text_contamination": text_contamination,
-    "text_split_assign": text_split_assign,
-    "mm_decode_features": mm_decode_features,
-    "mm_frame_sample": mm_frame_sample,
-    "stream_dedup": stream_dedup_events,
-    "stream_events_hourly": stream_events_hourly,
-    "stream_sessionize_agg": stream_sessionize_agg,
-    "stream_user_seq": stream_user_seq,
-    "stream_view_attribution": stream_view_attribution,
-    "stream_incremental_match": stream_incremental_match,
 }
