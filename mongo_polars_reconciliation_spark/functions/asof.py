@@ -44,9 +44,13 @@ def asof_join_backward(
     # row-atomic (no mixing fields from different right rows) and "last
     # right row" means last ROW, not last non-null value
     rtypes = dict(right.dtypes)
+    # keep the tiebreak in its NATURAL orderable type — casting to long would
+    # turn e.g. a string id into NULL for every row and silently break the
+    # determinism guarantee for equal-ts right rows
+    tb_type = rtypes[tiebreak_col] if tiebreak_col else "long"
     l_tag = (
         left.withColumn("__side", F.lit(1))
-        .withColumn("__tb", F.lit(None).cast("long"))
+        .withColumn("__tb", F.lit(None).cast(tb_type))
         .withColumn(
             "__payload",
             F.lit(None).cast(
@@ -59,7 +63,7 @@ def asof_join_backward(
         .withColumn("__side", F.lit(0))
         .withColumn(
             "__tb",
-            (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).cast("long"),
+            F.col(tiebreak_col) if tiebreak_col else F.lit(0).cast("long"),
         )
         .withColumn("__payload", F.struct(*payload_cols))
         .drop(*payload_cols)

@@ -128,21 +128,45 @@ def _kmeans_means(src_assign: str, prev: str, mname: str, fname: str, lname: str
 {lname} AS (SELECT cid, list(cval ORDER BY pos) AS c FROM {fname} GROUP BY cid)"""
 
 
-KMEANS_CTES = (
-    """
+# Single source of truth for the fitted-k-means queries: harness/queries.py
+# imports these and passes them to kmeans_fit / *_fitted, and the oracle CTE
+# chain below is GENERATED from the same values — changing k or n_iter can
+# no longer silently diverge the two engines.
+KMEANS_ORACLE_K = 4
+KMEANS_ORACLE_N_ITER = 2
+
+
+def kmeans_ctes(k: int = KMEANS_ORACLE_K, n_iter: int = KMEANS_ORACLE_N_ITER) -> str:
+    """SQL mirror of similarity.kmeans_fit, unrolled for ``n_iter`` Lloyd
+    iterations over ``k`` centroids. Exposes two fixed final aliases so
+    downstream SQL is independent of the iteration count:
+    ``cents_final`` (cid, c) and ``assign_final`` (vec_id, v, cid)."""
+    parts = [
+        f"""
 c0 AS (
   SELECT CAST(rn - 1 AS INT) AS cid,
          generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS cval
   FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-        FROM ev ORDER BY vec_id LIMIT 4) t
+        FROM ev ORDER BY vec_id LIMIT {k}) t
 ),
 c0l AS (SELECT cid, list(cval ORDER BY pos) AS c FROM c0 GROUP BY cid),"""
-    + _kmeans_assign("c0l", "a1") + ","
-    + _kmeans_means("a1", "c0", "m1", "c1f", "c1l") + ","
-    + _kmeans_assign("c1l", "a2") + ","
-    + _kmeans_means("a2", "c1f", "m2", "c2f", "c2l") + ","
-    + _kmeans_assign("c2l", "a3")
-)
+    ]
+    prev_flat, prev_list = "c0", "c0l"
+    for i in range(1, n_iter + 1):
+        parts.append(_kmeans_assign(prev_list, f"a{i}") + ",")
+        parts.append(
+            _kmeans_means(f"a{i}", prev_flat, f"m{i}", f"c{i}f", f"c{i}l") + ","
+        )
+        prev_flat, prev_list = f"c{i}f", f"c{i}l"
+    parts.append(_kmeans_assign(prev_list, f"a{n_iter + 1}") + ",")
+    parts.append(f"\ncents_final AS (SELECT cid, c FROM {prev_list}),")
+    parts.append(
+        f"\nassign_final AS (SELECT vec_id, v, cid FROM a{n_iter + 1})"
+    )
+    return "".join(parts)
+
+
+KMEANS_CTES = kmeans_ctes()
 
 
 MINHASH_PAIR_CTES = """docs_aug AS (
@@ -564,12 +588,15 @@ SELECT event_type, rnk, user_id, total_value FROM (
 WITH hv AS (
   SELECT DISTINCT {POLY_HASH_USER} AS hv
   FROM events
+  WHERE {POLY_HASH_USER} IS NOT NULL
 ),
 kth AS (SELECT hv FROM hv ORDER BY hv LIMIT 64),
 est AS (SELECT MAX(hv) AS kth_min, COUNT(*) AS k_actual FROM kth),
 exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
 SELECT k_actual, kth_min, n_exact,
-       CAST(FLOOR((k_actual - 1) * 2147483647.0 / kth_min) AS BIGINT) AS n_estimate
+       CASE WHEN kth_min > 0
+            THEN CAST(FLOOR((k_actual - 1) * 2147483647.0 / kth_min) AS BIGINT)
+       END AS n_estimate
 FROM est CROSS JOIN exact
 """,
     "events_daily_rollup2": """
@@ -984,14 +1011,14 @@ cscore AS (
          / (sqrt(list_reduce(list_transform(generate_series(1, len(c.c)), i -> c.c[i]*c.c[i]), (x,y) -> x+y))
           * sqrt(list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y)))
          END AS c_cos
-  FROM c2l c CROSS JOIN qv
+  FROM cents_final c CROSS JOIN qv
 ),
 probe AS (
   SELECT cid FROM (
     SELECT cid, ROW_NUMBER() OVER (ORDER BY c_cos DESC, cid) AS rn FROM cscore
   ) t WHERE rn <= 2
 ),
-pruned AS (SELECT a.vec_id, a.v FROM a3 a JOIN probe USING (cid)),
+pruned AS (SELECT a.vec_id, a.v FROM assign_final a JOIN probe USING (cid)),
 scored AS (
   SELECT p.vec_id,
          ROUND(
@@ -1024,7 +1051,7 @@ SELECT id_a, id_b, cos_r FROM (
            / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
             * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)), i -> b.v[i]*b.v[i]), (x,y) -> x+y))),
            6) AS cos_r
-  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  FROM assign_final a JOIN assign_final b ON a.cid = b.cid AND a.vec_id < b.vec_id
 ) p WHERE cos_r >= 0.8
 """,
     "curation_pipeline": """

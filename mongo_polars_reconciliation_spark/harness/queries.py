@@ -573,7 +573,15 @@ def events_user_kmv(spark, sf_dir) -> DataFrame:
     e = _read_events(spark, sf_dir)
     p = POLY_P31
     k = 64
-    hashed = e.select(poly_hash_col("user_id").alias("hv")).distinct()
+    # NULL keys are excluded on BOTH engines (Spark orderBy puts NULLs first
+    # while DuckDB's ORDER BY ... LIMIT puts them last — a null user_id would
+    # skew k_actual/kth_min differently); countDistinct ignores NULLs too, so
+    # the sketch and the exact count agree on the key universe.
+    hashed = (
+        e.select(poly_hash_col("user_id").alias("hv"))
+        .where(F.col("hv").isNotNull())
+        .distinct()
+    )
     kth = hashed.orderBy(F.col("hv").asc()).limit(k)
     est = kth.agg(
         F.max("hv").alias("kth_min"), F.count(F.lit(1)).alias("k_actual")
@@ -585,11 +593,12 @@ def events_user_kmv(spark, sf_dir) -> DataFrame:
             "k_actual",
             "kth_min",
             "n_exact",
-            F.floor(
-                (F.col("k_actual") - 1) * F.lit(float(p)) / F.col("kth_min")
-            )
-            .cast("long")
-            .alias("n_estimate"),
+            F.when(
+                F.col("kth_min") > 0,
+                F.floor(
+                    (F.col("k_actual") - 1) * F.lit(float(p)) / F.col("kth_min")
+                ).cast("long"),
+            ).alias("n_estimate"),
         )
     )
 
@@ -770,10 +779,19 @@ def sim_topk_ivf_fitted(spark, sf_dir) -> DataFrame:
         topk_ivf_fitted,
     )
     from mongo_polars_reconciliation_spark.harness.fixtures import query_vector
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        KMEANS_ORACLE_K,
+        KMEANS_ORACLE_N_ITER,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return topk_ivf_fitted(
-        emb, query_vector(spark, sf_dir), k=10, nlist=4, n_iter=2, nprobe=2
+        emb,
+        query_vector(spark, sf_dir),
+        k=10,
+        nlist=KMEANS_ORACLE_K,
+        n_iter=KMEANS_ORACLE_N_ITER,
+        nprobe=2,
     )
 
 
@@ -784,9 +802,16 @@ def dedup_embedding_cosine_fitted(spark, sf_dir) -> DataFrame:
         embedding_near_dups_fitted,
     )
     from mongo_polars_reconciliation_spark.harness.fixtures import build_embeddings_aug
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        KMEANS_ORACLE_K,
+        KMEANS_ORACLE_N_ITER,
+    )
 
     return embedding_near_dups_fitted(
-        build_embeddings_aug(spark, sf_dir), threshold=0.8, nlist=4, n_iter=2
+        build_embeddings_aug(spark, sf_dir),
+        threshold=0.8,
+        nlist=KMEANS_ORACLE_K,
+        n_iter=KMEANS_ORACLE_N_ITER,
     )
 
 

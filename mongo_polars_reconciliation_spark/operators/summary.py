@@ -7,6 +7,7 @@ metadata into a single summary document. SURVEY.md §2.6 A1.
 
 from __future__ import annotations
 
+from fractions import Fraction
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -73,12 +74,16 @@ def bucket_quantiles(
     aggs = []
     for q in qs:
         name = f"q{str(q).replace('0.', '')}"
+        # nearest-rank position in INTEGER arithmetic: q as an exact
+        # rational num/den, rank = ceil(num·n/den) = (num·n + den − 1) DIV
+        # den — a float product could land just above an integer for
+        # arbitrary q and shift the rank by one vs the oracle's exact CEIL
+        frac = Fraction(str(q))
+        num, den = frac.numerator, frac.denominator
+        rank = F.expr(f"({num} * __n + {den - 1}) DIV {den}")
         aggs.append(
             F.max(
-                F.when(
-                    F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")),
-                    F.col(value_col),
-                )
+                F.when(F.col("__rn") == rank, F.col(value_col))
             ).alias(name)
         )
     return ranked.groupBy(bucket_col).agg(

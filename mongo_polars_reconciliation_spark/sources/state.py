@@ -57,7 +57,11 @@ def merge_into_sql(table: str, source_view: str, on: str) -> str:
 
 
 def upsert_state_table(
-    spark: SparkSession, table: str, source: DataFrame, on: str = "_id"
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: str = "_id",
+    allow_full_rewrite: bool = False,
 ) -> None:
     """Idempotent in-place upsert of a named state table.
 
@@ -65,23 +69,37 @@ def upsert_state_table(
     INTO`` — files containing matched keys are rewritten, everything else
     untouched, which is the only shape that survives a 100 TB state table.
     Without one (this container), falls back to the DataFrame
-    read-merge-rewrite: same visible semantics (``merge_upsert``), full
-    rewrite cost, documented as test-scale only. The fallback eagerly
-    localCheckpoints the merged frame so the overwrite doesn't read from
-    the table it is replacing."""
+    read-merge-rewrite: same visible semantics (``merge_upsert``) but FULL
+    rewrite cost — so the fallback must be opted into explicitly with
+    ``allow_full_rewrite=True``; a cluster misconfiguration (transactional
+    jar missing) then fails loudly instead of silently rewriting 100 TB.
+    The fallback eagerly localCheckpoints the merged frame so the rewrite
+    doesn't read from the table it is replacing, and swaps via
+    rename-aside (tmp → live, old aside, drop old): at no point is the
+    only copy of the state gone — a crash mid-swap leaves intact data
+    under ``{table}`` / ``{table}__merge_old`` / ``{table}__merge_tmp``."""
     if transactional_format_available(spark):
         view = f"__merge_src_{abs(hash(table)) % 10**8}"
         source.createOrReplaceTempView(view)
         spark.sql(merge_into_sql(table, view, on))
         return
+    if not allow_full_rewrite:
+        raise ValueError(
+            "upsert_state_table: no transactional table format (Delta/"
+            "Iceberg) on the classpath; the fallback is a FULL table "
+            "rewrite. Pass allow_full_rewrite=True to accept that cost "
+            "(test-scale only)."
+        )
+    tmp, old = f"{table}__merge_tmp", f"{table}__merge_old"
     merged = merge_upsert(spark.table(table), source, on).localCheckpoint(
         eager=True
     )
-    merged.write.mode("overwrite").format("parquet").saveAsTable(
-        f"{table}__merge_tmp"
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {table}__merge_tmp RENAME TO {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    merged.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
 
 
 def merge_keep_existing(target: DataFrame, source: DataFrame, on: str) -> DataFrame:

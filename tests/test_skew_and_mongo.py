@@ -89,11 +89,24 @@ def test_upsert_state_table_fallback_path(spark):
         [("a", "OLD"), ("b", "OLD")], ["_id", "status"]
     ).write.saveAsTable("t_upsert_fallback")
     src = spark.createDataFrame([("b", "NEW"), ("c", "NEW")], ["_id", "status"])
-    upsert_state_table(spark, "t_upsert_fallback", src, on="_id")
+    # the full-rewrite fallback is opt-in: without the flag it must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="allow_full_rewrite"):
+        upsert_state_table(spark, "t_upsert_fallback", src, on="_id")
+    upsert_state_table(
+        spark, "t_upsert_fallback", src, on="_id", allow_full_rewrite=True
+    )
     got = sorted(map(tuple, spark.table("t_upsert_fallback").collect()))
     assert got == [("a", "OLD"), ("b", "NEW"), ("c", "NEW")]
+    # no swap debris left behind
+    tbls = {t.name for t in spark.catalog.listTables()}
+    assert "t_upsert_fallback__merge_tmp" not in tbls
+    assert "t_upsert_fallback__merge_old" not in tbls
     # idempotent: re-applying the same source changes nothing
-    upsert_state_table(spark, "t_upsert_fallback", src, on="_id")
+    upsert_state_table(
+        spark, "t_upsert_fallback", src, on="_id", allow_full_rewrite=True
+    )
     got2 = sorted(map(tuple, spark.table("t_upsert_fallback").collect()))
     assert got2 == got
     spark.sql("DROP TABLE IF EXISTS t_upsert_fallback")
