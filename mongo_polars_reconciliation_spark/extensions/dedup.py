@@ -354,6 +354,7 @@ def dedup_clusters(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    check_every: int = 3,
 ) -> DataFrame:
     """Connected components over near-dup pairs: every document gets the
     MIN id reachable through the pair graph as its ``cluster_id`` — the
@@ -364,12 +365,19 @@ def dedup_clusters(
     takes the elementwise min, and stops when a round changes nothing —
     so the result is the exact fixpoint (what the SQL oracle's recursive
     closure computes) for any component shape, not just short chains.
-    Rounds needed = max min-label eccentricity ≈ component diameter; the
-    per-round convergence check is one count over changed labels.
+    Rounds needed = max min-label eccentricity ≈ component diameter.
     ``max_iter`` is a loud safety bound, not a silent truncation. Each
     round is one join + one groupBy on the id key, and labels are
     localCheckpoint'ed so round N+1 plans against a leaf, not N stacked
     joins.
+
+    Convergence is counted every ``check_every`` rounds, not every round:
+    labels are MONOTONE (only ever decrease), so "the latest round changed
+    nothing" certifies the fixpoint regardless of what the uncounted
+    rounds in between did. A long-chain graph therefore costs
+    ~1/check_every as many driver actions (the uncounted rounds fuse into
+    the next count's job), trading at most check_every−1 cheap no-op
+    rounds after convergence.
 
     ``ids``: one row per document id (the universe — singletons keep
     themselves as cluster_id)."""
@@ -384,7 +392,8 @@ def dedup_clusters(
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).localCheckpoint(eager=False)
-    for _ in range(max_iter):
+    converged = False
+    for rnd in range(1, max_iter + 1):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
@@ -405,11 +414,14 @@ def dedup_clusters(
             )
             .localCheckpoint(eager=False)
         )
-        changed = new_labels.where(F.col("__chg")).count()
+        if rnd % check_every == 0 or rnd == max_iter:
+            changed = new_labels.where(F.col("__chg")).count()
+            if changed == 0:
+                labels = new_labels.drop("__chg")
+                converged = True
+                break
         labels = new_labels.drop("__chg")
-        if changed == 0:
-            break
-    else:
+    if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds — "
             "component diameter exceeds the safety bound; raise max_iter"

@@ -286,6 +286,18 @@ LSH_LCG_M = 65536
 LSH_MIX = 4096  # j*MIX + i decorrelates planes (requires dim < 4096)
 
 
+def _check_lsh_dim(dim: int) -> None:
+    """The (j, i) → j·MIX + i seeding decorrelates hyperplanes only while
+    i < MIX; a ≥MIX-dim embedding would silently alias plane j's tail onto
+    plane j+1's head. Fail loudly instead."""
+    if dim >= LSH_MIX:
+        raise ValueError(
+            f"LSH signature supports dim < {LSH_MIX}; got dim={dim}. "
+            f"Raise LSH_MIX (changing every signature) or reduce the "
+            f"embedding dimension."
+        )
+
+
 def _lsh_component(j: int, i: int) -> float:
     """Hyperplane component h_j[i] (0-based i), identical to the SQL form."""
     return ((LSH_LCG_A * (j * LSH_MIX + i) + LSH_LCG_C) % LSH_LCG_M) / LSH_LCG_M - 0.5
@@ -294,6 +306,7 @@ def _lsh_component(j: int, i: int) -> float:
 def lsh_signature_py(vec: list[float], nbits: int = 8) -> int:
     """Signature of a driver-side query vector — same fold order and IEEE ops
     as the Spark/SQL expression, so the integers agree bit-for-bit."""
+    _check_lsh_dim(len(vec))
     sig = 0
     for j in range(nbits):
         s = 0.0
@@ -318,6 +331,7 @@ def lsh_signature_col(vec_col: str, nbits: int = 8, dim: int | None = None) -> C
     way (integer LCG, power-of-two divide), and the fold order is the
     same."""
     if dim is not None:
+        _check_lsh_dim(dim)
         v = f"transform({vec_col}, x -> cast(x as double))"
         terms = []
         for j in range(nbits):

@@ -44,10 +44,13 @@ def incremental_match(
     spark = a.sparkSession
 
     def process(batch_b: DataFrame, epoch_id: int) -> None:
-        try:
+        # first-batch detection is an explicit path-absence probe, NOT a
+        # broad except around the read: a CORRUPT state dir must fail the
+        # stream loudly — swallowing it would silently re-match everything
+        if _has_state_files(spark, state_dir):
             matched_ids = spark.read.parquet(state_dir).select("_id").distinct()
             a_open = a.join(matched_ids, "_id", "left_anti")
-        except Exception:  # first batch: no state yet
+        else:  # first batch: nothing persisted yet ⇒ every A row is open
             a_open = a
         matched, _ = match_records(a_open, batch_b, cfg)
         (
@@ -63,6 +66,22 @@ def incremental_match(
         .start()
     )
     query.awaitTermination()
+
+
+def _has_state_files(spark: SparkSession, state_dir: str) -> bool:
+    """True when ``state_dir`` holds at least one parquet data file. Probed
+    through the Hadoop FileSystem API so any supported scheme (file://,
+    s3a://, hdfs://) answers — this is a metadata call, not a scan."""
+    jvm = spark._jvm  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
 
 
 def matched_state(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -249,3 +249,54 @@ def test_asof_join_is_union_window_not_range_join(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_clusters_counts_every_k_rounds(spark):
+    """Convergence is counted once per check_every-round block, not per
+    round: a diameter-6 chain with check_every=3 must finish with ~1/3 the
+    driver actions while still reaching the exact fixpoint."""
+    from mongo_polars_reconciliation_spark.extensions import dedup as ddp
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    counts = {"n": 0}
+    orig = ddp.DataFrame.count
+
+    def counting(self):
+        counts["n"] += 1
+        return orig(self)
+
+    ddp.DataFrame.count = counting
+    try:
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in ddp.dedup_clusters(pairs, ids, check_every=3).collect()
+        }
+    finally:
+        ddp.DataFrame.count = orig
+    assert got == {i: 0 for i in range(7)}
+    # chain converges by round 6 at the latest; checks fire at rounds 3, 6,
+    # (9) — at most 3 convergence counts instead of one per round
+    assert counts["n"] <= 3
+
+
+def test_lsh_dim_guard(spark):
+    """Embeddings with dim >= LSH_MIX would silently correlate hyperplanes
+    (plane j's tail aliases plane j+1's head) — both signature builders
+    must refuse instead."""
+    import pytest as _pytest
+
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        LSH_MIX,
+        lsh_signature_col,
+        lsh_signature_py,
+    )
+
+    with _pytest.raises(ValueError, match="dim"):
+        lsh_signature_py([0.0] * LSH_MIX)
+    with _pytest.raises(ValueError, match="dim"):
+        lsh_signature_col("embedding", dim=LSH_MIX)
+    # in-range dims still work
+    assert isinstance(lsh_signature_py([1.0, -1.0]), int)

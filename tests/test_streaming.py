@@ -133,3 +133,38 @@ def test_view_attribution_stream_equals_batch(spark):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_corrupt_state_dir_fails_loudly(spark, tmp_path):
+    """A state dir that EXISTS but is unreadable must fail the stream, not
+    be silently treated as first-batch (which would re-match everything)."""
+    from mongo_polars_reconciliation_spark.streaming.recon import (
+        _has_state_files,
+        incremental_match,
+    )
+
+    root = str(tmp_path / "corrupt_state")
+    state, ckpt, feed = f"{root}/state", f"{root}/ckpt", f"{root}/feed"
+    os.makedirs(state)
+    with open(f"{state}/part-00000.parquet", "wb") as f:
+        f.write(b"this is not a parquet file")
+    assert _has_state_files(spark, state)
+
+    cfg, a, b = _ab(spark, SF_DIR)
+    b.limit(10).write.mode("overwrite").parquet(f"{feed}/half0")
+    b_stream = (
+        spark.readStream.schema(b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{feed}/half*")
+    )
+    with pytest.raises(Exception, match="(?i)parquet|magic|foreach"):
+        incremental_match(a, b_stream, cfg, state, ckpt)
+
+
+def test_has_state_files_absent_and_empty(spark, tmp_path):
+    from mongo_polars_reconciliation_spark.streaming.recon import _has_state_files
+
+    assert not _has_state_files(spark, str(tmp_path / "never_created"))
+    empty = tmp_path / "empty_state"
+    empty.mkdir()
+    assert not _has_state_files(spark, str(empty))
