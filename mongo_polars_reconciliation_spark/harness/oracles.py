@@ -88,11 +88,12 @@ def q(*cte_blocks: str, select: str) -> str:
 
 
 # SQL mirror of similarity.kmeans_fit: unrolled deterministic Lloyd over a
-# CTE named `ev(vec_id, v DOUBLE[])`. Init = vectors of the 4 smallest ids;
-# 2 iterations; DECIMAL-routed per-dimension means; empty clusters keep the
-# previous centroid (COALESCE). Final centroids in `c2l(cid, c)`, final
-# assignment of every vector in `a3(vec_id, v, cid)`. Left-fold distance /
-# list_reduce gives bit-identical doubles to Spark's aggregate() fold.
+# CTE named `ev(vec_id, v DOUBLE[])`. Init = vectors of the k smallest ids;
+# n_iter iterations; DECIMAL-routed per-dimension means; empty clusters keep
+# the previous centroid (COALESCE). Final centroids in `cents_final(cid, c)`,
+# final assignment of every vector in `assign_final(vec_id, v, cid)`.
+# Left-fold distance / list_reduce gives bit-identical doubles to Spark's
+# aggregate() fold.
 _SQDIST = (
     "list_reduce(list_transform(generate_series(1, len(e.v)),"
     " i -> (e.v[i]-c.c[i])*(e.v[i]-c.c[i])), (x,y) -> x+y)"
@@ -228,6 +229,58 @@ mh_pairs AS (
 )"""
 
 
+# Cascade CTE chain (zero-effect → exact pass → tolerance pass), shared by
+# recon_cascade_summary and recon_persist_roundtrip. Appends to BASE_CTES +
+# ZE_CTES; exposes mt_all (matched), a_nmt / b_nmt (final residuals).
+CASCADE_TAIL_CTES = """
+, a1 AS (
+  SELECT a.* FROM a_tbl a
+  WHERE NOT EXISTS (SELECT 1 FROM ze WHERE ze.sale_id = a._id)
+    AND NOT EXISTS (SELECT 1 FROM ze WHERE ze.void_id = a._id)
+),
+j1 AS (
+  SELECT a._id, a.transaction_code, a.amount, a.trx_date,
+         b.codigo, b.importe, b.fecha, b.row_num,
+         ROW_NUMBER() OVER (PARTITION BY a._id ORDER BY b.row_num) AS rn
+  FROM a1 a JOIN b_tbl b
+    ON a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha
+),
+m1 AS (SELECT _id, amount FROM j1 WHERE rn = 1),
+losers1 AS (SELECT codigo, importe, fecha, row_num FROM j1 WHERE rn > 1),
+a_res1 AS (
+  SELECT a.* FROM a1 a WHERE NOT EXISTS (SELECT 1 FROM b_tbl b
+    WHERE a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha)
+),
+b_res1 AS (
+  SELECT b.codigo, b.importe, b.fecha, b.row_num FROM b_tbl b
+  WHERE NOT EXISTS (SELECT 1 FROM a1 a
+    WHERE a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha)
+  UNION ALL
+  SELECT codigo, importe, fecha, row_num FROM losers1
+),
+tm AS (
+  SELECT * FROM (
+    SELECT a._id, a.transaction_code, a.amount, a.trx_date,
+           b.codigo, b.importe, b.fecha, b.row_num,
+           ABS(b.importe - a.amount) AS diff,
+           ROW_NUMBER() OVER (PARTITION BY a.transaction_code, a.trx_date
+                              ORDER BY ABS(b.importe - a.amount), b.row_num) AS trn
+    FROM a_res1 a JOIN b_res1 b
+      ON a.transaction_code = b.codigo AND a.trx_date = b.fecha
+    WHERE ABS(b.importe - a.amount) <= 1.0
+  ) t WHERE trn = 1
+),
+a_nmt AS (
+  SELECT a.* FROM a_res1 a WHERE NOT EXISTS (SELECT 1 FROM tm
+    WHERE tm.transaction_code = a.transaction_code AND tm.trx_date = a.trx_date)
+),
+b_nmt AS (
+  SELECT b.* FROM b_res1 b WHERE NOT EXISTS (SELECT 1 FROM tm
+    WHERE tm.codigo = b.codigo AND tm.importe = b.importe AND tm.fecha = b.fecha)
+),
+mt_all AS (SELECT _id, amount FROM m1 UNION ALL SELECT _id, amount FROM tm)"""
+
+
 ORACLES: dict[str, str] = {
     "recon_match_exact": q(
         BASE_CTES, MATCH_CTES,
@@ -338,53 +391,7 @@ SELECT _id, row_num, ROUND(diff, 2) AS diff FROM (
     ),
     "recon_cascade_summary": q(
         BASE_CTES, ZE_CTES,
-        select=f"""
-, a1 AS (
-  SELECT a.* FROM a_tbl a
-  WHERE NOT EXISTS (SELECT 1 FROM ze WHERE ze.sale_id = a._id)
-    AND NOT EXISTS (SELECT 1 FROM ze WHERE ze.void_id = a._id)
-),
-j1 AS (
-  SELECT a._id, a.transaction_code, a.amount, a.trx_date,
-         b.codigo, b.importe, b.fecha, b.row_num,
-         ROW_NUMBER() OVER (PARTITION BY a._id ORDER BY b.row_num) AS rn
-  FROM a1 a JOIN b_tbl b
-    ON a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha
-),
-m1 AS (SELECT _id, amount FROM j1 WHERE rn = 1),
-losers1 AS (SELECT codigo, importe, fecha, row_num FROM j1 WHERE rn > 1),
-a_res1 AS (
-  SELECT a.* FROM a1 a WHERE NOT EXISTS (SELECT 1 FROM b_tbl b
-    WHERE a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha)
-),
-b_res1 AS (
-  SELECT b.codigo, b.importe, b.fecha, b.row_num FROM b_tbl b
-  WHERE NOT EXISTS (SELECT 1 FROM a1 a
-    WHERE a.transaction_code = b.codigo AND a.amount = b.importe AND a.trx_date = b.fecha)
-  UNION ALL
-  SELECT codigo, importe, fecha, row_num FROM losers1
-),
-tm AS (
-  SELECT * FROM (
-    SELECT a._id, a.transaction_code, a.amount, a.trx_date,
-           b.codigo, b.importe, b.fecha, b.row_num,
-           ABS(b.importe - a.amount) AS diff,
-           ROW_NUMBER() OVER (PARTITION BY a.transaction_code, a.trx_date
-                              ORDER BY ABS(b.importe - a.amount), b.row_num) AS trn
-    FROM a_res1 a JOIN b_res1 b
-      ON a.transaction_code = b.codigo AND a.trx_date = b.fecha
-    WHERE ABS(b.importe - a.amount) <= 1.0
-  ) t WHERE trn = 1
-),
-a_nmt AS (
-  SELECT a.* FROM a_res1 a WHERE NOT EXISTS (SELECT 1 FROM tm
-    WHERE tm.transaction_code = a.transaction_code AND tm.trx_date = a.trx_date)
-),
-b_nmt AS (
-  SELECT b.* FROM b_res1 b WHERE NOT EXISTS (SELECT 1 FROM tm
-    WHERE tm.codigo = b.codigo AND tm.importe = b.importe AND tm.fecha = b.fecha)
-),
-mt_all AS (SELECT _id, amount FROM m1 UNION ALL SELECT _id, amount FROM tm)
+        select=CASCADE_TAIL_CTES + f"""
 SELECT 'a_to_b_mt' AS bucket, COUNT(*) AS n, {DEC_SUM} AS amount_sum FROM mt_all
 UNION ALL
 SELECT 'a_to_b_nmt', COUNT(*), {DEC_SUM} FROM a_nmt
@@ -392,6 +399,27 @@ UNION ALL
 SELECT 'b_to_a_nmt', COUNT(*), 0.0 FROM b_nmt
 UNION ALL
 SELECT 'z_eff_a', COUNT(*), {DEC_SUM} FROM ze
+""",
+    ),
+    # The roundtrip query's values are what the CASCADE produces — the disk
+    # roundtrip (stage → time-partitioned move → re-read, and the summary
+    # doc re-read) must be value-preserving, which is exactly what this
+    # mirror checks. doc_* rows repeat mt_all/a_nmt by construction: the
+    # doc is COMPUTED from the re-read buckets, so agreement here proves
+    # the doc write→read also preserved them.
+    "recon_persist_roundtrip": q(
+        BASE_CTES, ZE_CTES,
+        select=CASCADE_TAIL_CTES + f"""
+SELECT 'a_to_b_mt' AS bucket, COUNT(*) AS n, {DEC_SUM} AS amount_sum FROM mt_all
+UNION ALL
+SELECT 'a_to_b_nmt', COUNT(*), {DEC_SUM} FROM a_nmt
+UNION ALL
+SELECT 'b_to_a_nmt', COUNT(*),
+       COALESCE(CAST(SUM(CAST(importe AS DECIMAL(18,2))) AS DOUBLE), 0.0) FROM b_nmt
+UNION ALL
+SELECT 'doc_conciliated', COUNT(*), {DEC_SUM} FROM mt_all
+UNION ALL
+SELECT 'doc_remanent', COUNT(*), {DEC_SUM} FROM a_nmt
 """,
     ),
     "recon_duplicate_losers_strict": q(

@@ -255,6 +255,96 @@ def recon_summary_doc(spark, sf_dir) -> DataFrame:
     )
 
 
+def recon_persist_roundtrip(spark, sf_dir) -> DataFrame:
+    """Reference's end-of-run persistence loop END-TO-END
+    (``persist_results``, second_conciliate.py:486-503): cascade → each
+    bucket staged then moved time-partitioned into its final dir → the
+    aggregated-results doc computed FROM the re-read final buckets and
+    persisted too. Every returned row is derived from what actually landed
+    on disk, so the oracle checks the whole write→read path, not the
+    in-memory frames."""
+    from mongo_polars_reconciliation_spark.operators.summary import summary_document
+    from mongo_polars_reconciliation_spark.sources.sinks import persist_results
+
+    cfg, a, b = _ab(spark, sf_dir)
+    rc = Reconciliation(cfg, a, b)
+    rc.run(
+        [ExactPass(), TolerancePass(TOLERANCE_RULES)],
+        zero_effect_rules=[ZE_RULE],
+    )
+    bk = rc.buckets()
+    mt = bk["a_to_b_mt"].select("_id", "amount", "trx_date")
+    a_nmt = bk["a_to_b_nmt"].select("_id", "amount", "trx_date")
+    b_nmt = bk["b_to_a_nmt"].select(
+        F.col(ROW_NUM).alias("row_num"),
+        F.col("ext_codigo").alias("codigo"),
+        F.col("ext_importe").alias("importe"),
+        F.col("ext_fecha").alias("fecha"),
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = f"/root/repo/.stream_tmp/{tag}/persist_roundtrip"
+    paths = persist_results(
+        {
+            "a_to_b_mt": (mt, "trx_date"),
+            "a_to_b_nmt": (a_nmt, "trx_date"),
+            "b_to_a_nmt": (b_nmt, "fecha"),
+        },
+        root,
+    )
+    mt_r = spark.read.parquet(paths["a_to_b_mt"])
+    a_nmt_r = spark.read.parquet(paths["a_to_b_nmt"])
+    b_nmt_r = spark.read.parquet(paths["b_to_a_nmt"])
+    doc = summary_document(
+        mt_r,
+        a_nmt_r,
+        meta={
+            "execution_id": "exec-0001",
+            "execution_type": "on_demand",
+            "execution_date": "2024-01-01",
+            "processor_name": "processor-a",
+            "conciliation_currency": "MXN",
+        },
+        amount_col="amount",
+        id_col="_id",
+    )
+    doc_path = persist_results({}, root, summary=doc)["aggregated_results"]
+    doc_r = spark.read.parquet(doc_path)
+
+    def agg_row(df: DataFrame, name: str, amt_col: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(
+                F.sum(F.col(amt_col).cast("decimal(18,2)")).cast("double"),
+                F.lit(0.0),
+            ).alias("amount_sum"),
+        ).select(F.lit(name).alias("bucket"), "n", "amount_sum")
+
+    doc_rows = doc_r.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("doc_conciliated").alias("bucket"),
+                    F.col("conciliated_transactions_number")
+                    .cast("long")
+                    .alias("n"),
+                    F.col("conciliated_amount").alias("amount_sum"),
+                ),
+                F.struct(
+                    F.lit("doc_remanent").alias("bucket"),
+                    F.col("remanent_transactions_number").cast("long").alias("n"),
+                    F.col("remanent_amount").alias("amount_sum"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return (
+        agg_row(mt_r, "a_to_b_mt", "amount")
+        .unionByName(agg_row(a_nmt_r, "a_to_b_nmt", "amount"))
+        .unionByName(agg_row(b_nmt_r, "b_to_a_nmt", "importe"))
+        .unionByName(doc_rows)
+    )
+
+
 # --- state-table semantics (SURVEY.md §2.1 S2/S8/S9) ---------------------------
 
 
@@ -1050,7 +1140,8 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # a driver-verified CORRECTNESS row go FIRST so a budget cut can only ever
 # hit queries that already have green rows from prior rounds.
 QUERIES = {
-    # -- never driver-verified (r1+r2 budget tail) --
+    # -- never driver-verified (new this round / r1+r2 budget tail) --
+    "recon_persist_roundtrip": recon_persist_roundtrip,
     "stream_view_attribution": stream_view_attribution,
     "text_repetition": text_repetition,
     "text_contamination": text_contamination,

@@ -47,3 +47,53 @@ def write_time_partitioned(
     second_conciliate.py:409-417) and let Spark's task parallelism do the
     concurrent writes. Each output file covers a contiguous time range."""
     df.repartitionByRange(num_partitions, ts_col).write.mode("overwrite").parquet(path)
+
+
+def _fs_delete(df: DataFrame, path: str) -> None:
+    """Drop a staging dir through the Hadoop FileSystem API (works for any
+    scheme — file://, s3a://, hdfs://) — the ``clean_tmp_collections`` step."""
+    spark = df.sparkSession
+    jvm = spark._jvm  # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    fs.delete(p, True)
+
+
+def persist_results(
+    buckets: dict[str, tuple[DataFrame, str]],
+    out_root: str,
+    summary: DataFrame | None = None,
+    num_partitions: int = 5,
+) -> dict[str, str]:
+    """The reference's end-of-run persistence loop (``persist_results``,
+    second_conciliate.py:486-503): every result bucket is written to a TMP
+    collection, moved time-partitioned into its final collection
+    (``move_tmp_data_to_final`` = 5 equal time intervals on a thread pool),
+    and the tmp collection dropped; finally the aggregated-results document
+    is saved (second_conciliate.py:450-483).
+
+    Spark shape: stage → publish. Each bucket lands in a staging dir first
+    (one atomic-ish publish point per bucket, like the tmp collection),
+    then the staged data — a plain scan, no recomputation of the cascade —
+    is range-repartitioned on its time column and written to the final
+    dir; the staging dir is dropped. The manual interval fan-out becomes
+    ``repartitionByRange(num_partitions, ts_col)``: same contiguous
+    time-range files, executor-parallel instead of thread-pooled.
+
+    ``buckets``: name → (frame, time column for the partitioned move).
+    Returns name → final path (plus ``"aggregated_results"`` when
+    ``summary`` is given)."""
+    paths: dict[str, str] = {}
+    for name, (df, ts_col) in buckets.items():
+        staging = f"{out_root}/__tmp_{name}"
+        df.write.mode("overwrite").parquet(staging)
+        staged = df.sparkSession.read.parquet(staging)
+        final = f"{out_root}/{name}"
+        write_time_partitioned(staged, final, ts_col, num_partitions)
+        _fs_delete(df, staging)
+        paths[name] = final
+    if summary is not None:
+        path = f"{out_root}/aggregated_results"
+        summary.coalesce(1).write.mode("overwrite").parquet(path)
+        paths["aggregated_results"] = path
+    return paths
