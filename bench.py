@@ -32,6 +32,21 @@ HEADLINE = [
     "sim_topk_ivf_fitted",
 ]
 
+# Heavy extension queries tracked round-over-round WITHOUT joining the
+# headline metric (keeps the headline total comparable across rounds while
+# making regressions in the tail visible). Timed identically; reported
+# under "secondary".
+SECONDARY = [
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "text_ngram_freq",
+    "text_repetition",
+    "text_contamination",
+    "recon_persist_roundtrip",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,17 +67,21 @@ def main() -> None:
     b.count()
     fixture_warm = round(time.perf_counter() - t0, 3)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def run(name: str) -> float:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
+
+    timings = {name: run(name) for name in HEADLINE}
+    secondary = {name: run(name) for name in SECONDARY}
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "secondary": secondary,
+        "secondary_total_sec": round(sum(secondary.values()), 3),
         "fixture_warm_sec": fixture_warm,
         "sf": float(sf),
     }
