@@ -147,3 +147,50 @@ def test_simhash_blocking_finds_every_close_pair(spark, docs):
         for r in simhash_near_dups(df).collect()
     }
     assert got == expected
+
+
+# --- as-of join vs brute force ------------------------------------------------
+
+_uid = st.integers(min_value=1, max_value=2)
+_ts = st.integers(min_value=0, max_value=4)
+_ref = st.one_of(st.none(), st.integers(min_value=0, max_value=9))
+_left_rows = st.lists(st.tuples(_uid, _ts), max_size=12)
+_right_rows = st.lists(st.tuples(_uid, _ts, _ref), max_size=12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lrows=_left_rows, rrows=_right_rows)
+def test_asof_join_matches_bruteforce(spark, lrows, rrows):
+    """asof_join_backward vs a per-row brute-force oracle on random frames:
+    equal-timestamp ties (greatest STRING tiebreak wins — pins the
+    natural-type tiebreak fix), null payload fields, users with no
+    candidate at all."""
+    from mongo_polars_reconciliation_spark.functions.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(lrows)],
+        "lid long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(u, t, r, f"t{i:02d}") for i, (u, t, r) in enumerate(rrows)],
+        "user_id long, ts long, ref long, tag string",
+    )
+    out = asof_join_backward(
+        left, right, on=["user_id"], ts_col="ts",
+        payload_cols=["ref", "tag"], tiebreak_col="tag",
+    )
+    got = {r["lid"]: (r["ref"], r["tag"]) for r in out.collect()}
+
+    expected = {}
+    rseq = [(u, t, r, f"t{i:02d}") for i, (u, t, r) in enumerate(rrows)]
+    for i, (u, t) in enumerate(lrows):
+        cands = [(rt, tag, ref) for (ru, rt, ref, tag) in rseq
+                 if ru == u and rt <= t]
+        if cands:
+            _, tag, ref = max(cands)
+            expected[i] = (ref, tag)
+        else:
+            expected[i] = (None, None)
+
+    assert len(got) == len(lrows)  # every left row survives exactly once
+    assert got == expected
