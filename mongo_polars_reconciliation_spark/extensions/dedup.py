@@ -429,6 +429,88 @@ def dedup_clusters(
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 
+def dedup_clusters_star(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds —
+    the O(log n)-round production path for graphs whose diameter makes
+    per-hop min-label propagation (``dedup_clusters``) too slow. Same
+    output contract: every document labeled with the MIN id reachable
+    through the pair graph ("Connected Components in MapReduce and
+    Beyond", Kiveris et al., SOCC'14).
+
+    Per round: large-star rewires every node's LARGER neighbors to the
+    minimum of its neighborhood; small-star rewires the smaller ones.
+    Both are one groupBy + one join on the node key — no global
+    structure, so a 1000-executor cluster partitions each round by node
+    id. Edges double-halve toward a star forest rooted at each
+    component's minimum in O(log n) rounds regardless of diameter.
+
+    Convergence is an exact set-fixpoint test (count + exceptAll), not a
+    heuristic; ``max_iter`` is a loud safety bound like the propagation
+    variant's."""
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input oriented u > v; m = min of u's smaller neighborhood
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            e.join(m, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = m.select("u", F.col("m").alias("v"))
+        return rewired.unionAll(self_edge).distinct()
+
+    converged = False
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=False)
+        n_new = new_edges.count()
+        if n_new == edges.count() and new_edges.exceptAll(edges).count() == 0:
+            edges = new_edges
+            converged = True
+            break
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_iter} rounds"
+        )
+    labels = edges.groupBy("u").agg(F.min("v").alias("lbl"))
+    return (
+        ids.select(F.col(id_col).alias("node"))
+        .join(labels, F.col("node") == F.col("u"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("lbl"), F.col("node")).alias("cluster_id"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

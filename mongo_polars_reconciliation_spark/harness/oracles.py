@@ -1380,3 +1380,7 @@ ORACLES["events_user_kmv"] = ORACLES["events_user_kmv"].replace(
 ORACLES["text_split_assign"] = ORACLES["text_split_assign"].replace(
     "{POLY_HASH_DOC}", poly_hash_sql("doc_id")
 )
+
+# The star-based CC variant shares the propagation variant's oracle: both
+# compute the identical min-reachable-id fixpoint over the same pair graph.
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]

@@ -829,6 +829,22 @@ def dedup_clusters_cc(spark, sf_dir) -> DataFrame:
     return dedup_clusters(pairs, docs.select("doc_id"))
 
 
+def dedup_clusters_star_cc(spark, sf_dir) -> DataFrame:
+    """Same clustering contract computed by alternating large-star /
+    small-star rounds (O(log n) rounds vs diameter) — the production CC
+    path for deep graphs; shares the propagation variant's oracle since
+    the fixpoint is identical."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        dedup_clusters_star,
+        minhash_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    docs = build_documents_aug(spark, sf_dir)
+    pairs = minhash_near_dups(docs, hash_mode="poly")
+    return dedup_clusters_star(pairs, docs.select("doc_id"))
+
+
 def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.dedup import ngram_jaccard_pairs
     from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
@@ -1142,6 +1158,7 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 QUERIES = {
     # -- never driver-verified (new this round / r1+r2 budget tail) --
     "recon_persist_roundtrip": recon_persist_roundtrip,
+    "dedup_clusters_star": dedup_clusters_star_cc,
     "stream_view_attribution": stream_view_attribution,
     "text_repetition": text_repetition,
     "text_contamination": text_contamination,

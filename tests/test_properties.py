@@ -194,3 +194,45 @@ def test_asof_join_matches_bruteforce(spark, lrows, rrows):
 
     assert len(got) == len(lrows)  # every left row survives exactly once
     assert got == expected
+
+
+# --- connected components: star variant vs propagation ------------------------
+
+_node = st.integers(min_value=0, max_value=9)
+_edges = st.lists(st.tuples(_node, _node), max_size=15)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=_edges)
+def test_cc_star_equals_propagation(spark, edges):
+    """dedup_clusters_star (large-star/small-star, O(log n) rounds) must
+    produce the identical min-label fixpoint as the per-hop propagation
+    variant on arbitrary graphs — self-loops, duplicate edges, singletons,
+    multi-component."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    prop = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs, ids).collect()}
+    star = {r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters_star(pairs, ids).collect()}
+    assert star == prop
+
+
+def test_cc_star_long_chain(spark):
+    """A 12-node path (diameter 11): the star variant must reach the full
+    fixpoint in far fewer than diameter rounds (O(log n))."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import dedup_clusters_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters_star(pairs, ids, max_iter=8).collect()}
+    assert got == {i: 0 for i in range(12)}
