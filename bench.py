@@ -39,6 +39,7 @@ HEADLINE = [
 SECONDARY = [
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_clusters_star",
     "dedup_ngram_jaccard",
     "text_quality",
     "text_ngram_freq",
