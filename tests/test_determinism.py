@@ -21,7 +21,8 @@ def _sorted_rows(df):
 @pytest.mark.parametrize(
     "name",
     ["recon_cascade_summary", "recon_duplicate_losers", "recon_tolerance_match",
-     "dedup_minhash_lsh", "sim_topk_lsh", "sim_topk_ivf_fitted"],
+     "dedup_minhash_lsh", "sim_topk_lsh", "sim_topk_ivf_fitted",
+     "recon_persist_roundtrip", "dedup_clusters_star"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
