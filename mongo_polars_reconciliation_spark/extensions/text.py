@@ -36,6 +36,70 @@ def tokens(df: DataFrame, text_col: str = "text", out: str = "toks") -> DataFram
     return df.withColumn(out, F.split(F.col(text_col), " "))
 
 
+SCRUB_DEFAULT_TERMS = ("customer", "stream")
+
+
+def scrub_terms(
+    df: DataFrame,
+    terms: tuple[str, ...] = SCRUB_DEFAULT_TERMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sensitive-term scrubbing — the PII-redaction operator shape (count
+    every hit for the audit log, globally replace, fingerprint the scrubbed
+    text) in pure built-in expressions: ``regexp_extract_all`` for counts,
+    ``regexp_replace`` for the rewrite, md5 for the audit hash. Real PII
+    patterns (emails, phone numbers, ID formats) drop into the same
+    word-boundary regexes; the synthetic corpus has no digits, so the
+    demo terms are dictionary words. Stays on whole-stage codegen — no
+    Python, no shuffle (row-local), scan-width cost only."""
+    out_cols = [F.col(id_col)]
+    red = F.col(text_col)
+    for t in terms:
+        pat = rf"\b{t}\b"
+        out_cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{t}")
+        )
+        red = F.regexp_replace(red, pat, f"<{t}>")
+    return df.select(*out_cols, F.md5(red).alias("redacted_md5"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.1,
+    id_col: str = "doc_id",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic hash-based stratified downsampling: a row is kept iff
+    ``pmod(poly_hash(id), denom) < rate(stratum) · denom``. The per-stratum
+    rate is exact to 1/denom, assignment is stable across runs, engines and
+    cluster shapes (no ``rand()``, no partition-order dependence), and any
+    stratum's rate can change without resampling the others — the
+    reproducible corpus-mixing primitive (e.g. re-weighting languages or
+    sources into a training mix). Pure column arithmetic on the scan: no
+    shuffle, no Python."""
+    from mongo_polars_reconciliation_spark.functions.hashing import poly_hash_col
+
+    h = F.pmod(poly_hash_col(id_col), F.lit(denom))
+    threshold = None
+    for k in sorted(rates):
+        cond = F.col(strata_col) == k
+        val = F.lit(int(rates[k] * denom))
+        threshold = (
+            F.when(cond, val) if threshold is None else threshold.when(cond, val)
+        )
+    threshold = (
+        threshold.otherwise(F.lit(int(default_rate * denom)))
+        if threshold is not None
+        else F.lit(int(default_rate * denom))
+    )
+    return df.where(h < threshold)
+
+
 def token_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1285,6 +1285,25 @@ SELECT doc_id, bucket,
             ELSE 'test' END AS split
 FROM h
 """,
+    "text_sample_stratified": """
+WITH h AS (
+  SELECT doc_id, lang, {POLY_HASH_DOC} % 10000 AS hb
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE hb < CASE WHEN lang = 'en' THEN 5000
+               WHEN lang = 'es' THEN 2500
+               ELSE 1000 END
+""",
+    "text_scrub_terms": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\bcustomer\\b')) AS BIGINT) AS n_customer,
+       CAST(len(regexp_extract_all(text, '\\bstream\\b')) AS BIGINT) AS n_stream,
+       md5(regexp_replace(
+             regexp_replace(text, '\\bcustomer\\b', '<customer>', 'g'),
+             '\\bstream\\b', '<stream>', 'g')) AS redacted_md5
+FROM documents
+""",
     "text_contamination": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (
@@ -1378,6 +1397,9 @@ ORACLES["events_user_kmv"] = ORACLES["events_user_kmv"].replace(
     "{POLY_HASH_USER}", poly_hash_sql("user_id")
 )
 ORACLES["text_split_assign"] = ORACLES["text_split_assign"].replace(
+    "{POLY_HASH_DOC}", poly_hash_sql("doc_id")
+)
+ORACLES["text_sample_stratified"] = ORACLES["text_sample_stratified"].replace(
     "{POLY_HASH_DOC}", poly_hash_sql("doc_id")
 )
 

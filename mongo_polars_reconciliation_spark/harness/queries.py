@@ -1012,6 +1012,26 @@ def text_repetition(spark, sf_dir) -> DataFrame:
     return repetition_signals(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_scrub_terms(spark, sf_dir) -> DataFrame:
+    """Sensitive-term scrubbing (PII-redaction shape): per-term hit counts +
+    md5 of the globally-redacted text, all built-in expressions."""
+    from mongo_polars_reconciliation_spark.extensions.text import scrub_terms
+
+    return scrub_terms(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def text_sample_stratified(spark, sf_dir) -> DataFrame:
+    """Deterministic hash-based stratified downsample of documents by
+    language (en 50%, es 25%, everything else 10%) — the reproducible
+    corpus-mixing primitive."""
+    from mongo_polars_reconciliation_spark.extensions.text import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "es": 0.25}, default_rate=0.1
+    ).select("doc_id", "lang")
+
+
 def mm_decode_features(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.multimodal import (
         attach_payload,
@@ -1159,6 +1179,8 @@ QUERIES = {
     # -- never driver-verified (new this round / r1+r2 budget tail) --
     "recon_persist_roundtrip": recon_persist_roundtrip,
     "dedup_clusters_star": dedup_clusters_star_cc,
+    "text_scrub_terms": text_scrub_terms,
+    "text_sample_stratified": text_sample_stratified,
     "stream_view_attribution": stream_view_attribution,
     "text_repetition": text_repetition,
     "text_contamination": text_contamination,
