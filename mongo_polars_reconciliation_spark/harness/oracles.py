@@ -627,6 +627,26 @@ SELECT k_actual, kth_min, n_exact,
        END AS n_estimate
 FROM est CROSS JOIN exact
 """,
+    "events_kmv_merge": """
+WITH hv AS (
+  SELECT DISTINCT event_type, {POLY_HASH_USER} AS hv
+  FROM events
+  WHERE {POLY_HASH_USER} IS NOT NULL
+),
+sk AS (
+  SELECT hv, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM hv
+),
+mg AS (SELECT DISTINCT hv FROM sk WHERE rn <= 64),
+kth AS (SELECT hv FROM mg ORDER BY hv LIMIT 64),
+est AS (SELECT MAX(hv) AS kth_min, COUNT(*) AS k_actual FROM kth),
+exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+SELECT k_actual, kth_min, n_exact,
+       CASE WHEN kth_min > 0
+            THEN CAST(FLOOR((k_actual - 1) * 2147483647.0 / kth_min) AS BIGINT)
+       END AS n_estimate
+FROM est CROSS JOIN exact
+""",
     "events_daily_rollup2": """
 WITH hourly AS (
   SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type,
@@ -1394,6 +1414,9 @@ GROUP BY l_returnflag, l_linestatus
 from mongo_polars_reconciliation_spark.functions.hashing import poly_hash_sql  # noqa: E402
 
 ORACLES["events_user_kmv"] = ORACLES["events_user_kmv"].replace(
+    "{POLY_HASH_USER}", poly_hash_sql("user_id")
+)
+ORACLES["events_kmv_merge"] = ORACLES["events_kmv_merge"].replace(
     "{POLY_HASH_USER}", poly_hash_sql("user_id")
 )
 ORACLES["text_split_assign"] = ORACLES["text_split_assign"].replace(

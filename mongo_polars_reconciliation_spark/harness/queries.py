@@ -693,6 +693,50 @@ def events_user_kmv(spark, sf_dir) -> DataFrame:
     )
 
 
+def events_kmv_merge(spark, sf_dir) -> DataFrame:
+    """Mergeable-sketch pattern: per-event-type KMV sketches (the k
+    smallest distinct key hashes of each type) merged into the global
+    distinct-count estimate — the partial-aggregation shape that lets a
+    100 TB table be sketched per partition/day/source and combined without
+    rescanning. Merging k-min sets and re-taking the k smallest
+    reproduces the full-scan sketch EXACTLY (any global k-minimum is a
+    within-type k-minimum), so this row equals events_user_kmv
+    bit-for-bit — which is precisely the mergeability property the oracle
+    pins."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        POLY_P31,
+        poly_hash_col,
+    )
+
+    e = _read_events(spark, sf_dir)
+    p, k = POLY_P31, 64
+    hashed = (
+        e.select("event_type", poly_hash_col("user_id").alias("hv"))
+        .where(F.col("hv").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    sketches = hashed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    merged = sketches.select("hv").distinct().orderBy(F.col("hv").asc()).limit(k)
+    est = merged.agg(
+        F.max("hv").alias("kth_min"), F.count(F.lit(1)).alias("k_actual")
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("n_exact"))
+    return est.crossJoin(exact).select(
+        "k_actual",
+        "kth_min",
+        "n_exact",
+        F.when(
+            F.col("kth_min") > 0,
+            F.floor(
+                (F.col("k_actual") - 1) * F.lit(float(p)) / F.col("kth_min")
+            ).cast("long"),
+        ).alias("n_estimate"),
+    )
+
+
 def events_hourly_from_daily_rollup(spark, sf_dir) -> DataFrame:
     """Hypertable-style hierarchical rollup: the DAY aggregate is computed
     FROM the hourly aggregate, not from raw events — the
@@ -1181,6 +1225,7 @@ QUERIES = {
     "dedup_clusters_star": dedup_clusters_star_cc,
     "text_scrub_terms": text_scrub_terms,
     "text_sample_stratified": text_sample_stratified,
+    "events_kmv_merge": events_kmv_merge,
     "stream_view_attribution": stream_view_attribution,
     "text_repetition": text_repetition,
     "text_contamination": text_contamination,
