@@ -36,6 +36,49 @@ def tokens(df: DataFrame, text_col: str = "text", out: str = "toks") -> DataFram
     return df.withColumn(out, F.split(F.col(text_col), " "))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token chunking — the sequence-packing front half of a
+    training pipeline: each document becomes ceil(n_tokens/chunk_tokens)
+    rows of ``chunk_tokens`` whitespace tokens (last chunk ragged).
+    ``posexplode`` over a chunk-index sequence + ``slice`` keeps the whole
+    thing in built-in expressions: per-row work is linear in document
+    length, rows never leave their partition (no shuffle), and the output
+    inherits the input's partitioning — at 100 TB this is a map-only
+    stage. Deterministic chunk ids make the output stable for downstream
+    hash-based splits."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.expr(f"(size(split({text_col}, ' ')) + {chunk_tokens - 1}) DIV {chunk_tokens}")
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc"))
+        .select(
+            id_col,
+            F.explode(F.expr("sequence(0, __nc - 1)")).alias("chunk_id"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                F.col("__toks"),
+                F.col("chunk_id") * chunk_tokens + 1,
+                chunk_tokens,
+            ).alias("__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(F.col("__chunk")).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        )
+    )
+
+
 SCRUB_DEFAULT_TERMS = ("customer", "stream")
 
 

@@ -1305,6 +1305,26 @@ SELECT doc_id, bucket,
             ELSE 'test' END AS split
 FROM h
 """,
+    "text_chunk": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+nc AS (
+  SELECT doc_id, t, (len(t) + 31) // 32 AS n_chunks FROM toks
+),
+ex AS (
+  SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM nc
+),
+sl AS (
+  SELECT doc_id, chunk_id,
+         list_slice(t, chunk_id*32 + 1, chunk_id*32 + 32) AS l
+  FROM ex
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       array_to_string(l, ' ') AS chunk_text
+FROM sl
+""",
     "text_sample_stratified": """
 WITH h AS (
   SELECT doc_id, lang, {POLY_HASH_DOC} % 10000 AS hb

@@ -1064,6 +1064,14 @@ def text_scrub_terms(spark, sf_dir) -> DataFrame:
     return scrub_terms(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_chunk(spark, sf_dir) -> DataFrame:
+    """Fixed-size token chunking (32-token windows) — the sequence-packing
+    front half of a training pipeline; map-only, shuffle-free."""
+    from mongo_polars_reconciliation_spark.extensions.text import chunk_documents
+
+    return chunk_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def text_sample_stratified(spark, sf_dir) -> DataFrame:
     """Deterministic hash-based stratified downsample of documents by
     language (en 50%, es 25%, everything else 10%) — the reproducible
@@ -1226,6 +1234,7 @@ QUERIES = {
     "text_scrub_terms": text_scrub_terms,
     "text_sample_stratified": text_sample_stratified,
     "events_kmv_merge": events_kmv_merge,
+    "text_chunk": text_chunk,
     "stream_view_attribution": stream_view_attribution,
     "text_repetition": text_repetition,
     "text_contamination": text_contamination,
