@@ -46,6 +46,9 @@ SECONDARY = [
     "text_repetition",
     "text_contamination",
     "recon_persist_roundtrip",
+    "text_tfidf_top_terms",
+    "text_pack_sequences",
+    "events_salted_agg",
 ]
 
 

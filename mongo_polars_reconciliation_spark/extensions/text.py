@@ -79,6 +79,78 @@ def chunk_documents(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-document top-k distinguishing terms by integer-exact tf·idf:
+    ``score_q = tf · scale DIV df(term)``. The 1/df idf proxy is monotone in
+    the usual log((N+1)/(df+1)) for a fixed corpus, so the top-k set and
+    order are identical to float tf·idf while staying BIGINT-exact across
+    engines (no libm ``ln`` whose last bit differs between runtimes).
+
+    Plan shape at 100 TB: one explode (map-side), a (doc,term) hash-groupBy
+    for tf, a term hash-groupBy for df (partial aggregation both — the
+    term-frequency skew of natural text is absorbed by map-side combine),
+    one shuffle join on term, and a per-doc window for the top-k. No Python,
+    no driver-side data, no all-pairs anything."""
+    tf = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs_with_term")
+    )
+    scored = tf.join(dft, "term").withColumn(
+        "score_q", F.expr(f"tf * CAST({scale} AS BIGINT) DIV n_docs_with_term")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_q"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("n_docs_with_term").cast("long").alias("n_docs_with_term"),
+            F.col("score_q").cast("long").alias("score_q"),
+            "rnk",
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous token-budget batch packing — the back half of sequence
+    packing: documents taken in a deterministic total order (``id_col``) are
+    laid out end-to-end and cut into batches of ``token_budget`` tokens;
+    each doc reports its global ``start_offset`` and the ``batch_id`` its
+    first token lands in. The global running offset comes from the two-pass
+    distributed prefix sum (functions/indexing.py:with_prefix_sum), so the
+    sequential-looking layout is one scan + one tiny broadcast at 100 TB."""
+    from mongo_polars_reconciliation_spark.functions.indexing import with_prefix_sum
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = with_prefix_sum(toks, [id_col], "n_tokens", name="start_offset")
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset DIV {token_budget}").cast("long").alias("batch_id"),
+    )
+
+
 SCRUB_DEFAULT_TERMS = ("customer", "stream")
 
 

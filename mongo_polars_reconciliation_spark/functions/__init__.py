@@ -1,4 +1,7 @@
-from mongo_polars_reconciliation_spark.functions.indexing import with_file_row_number
+from mongo_polars_reconciliation_spark.functions.indexing import (
+    with_file_row_number,
+    with_prefix_sum,
+)
 from mongo_polars_reconciliation_spark.functions.windows import (
     duplicated_rows,
     keep_first,
@@ -8,6 +11,7 @@ from mongo_polars_reconciliation_spark.functions.windows import (
 
 __all__ = [
     "with_file_row_number",
+    "with_prefix_sum",
     "duplicated_rows",
     "keep_first",
     "keep_last",

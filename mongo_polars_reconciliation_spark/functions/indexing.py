@@ -28,6 +28,62 @@ from pyspark.storagelevel import StorageLevel
 from mongo_polars_reconciliation_spark.functions.windows import single_partition_key
 
 
+def with_prefix_sum(
+    df: DataFrame,
+    order_by: list[str],
+    value_col: str,
+    name: str = "prefix_sum",
+    scalable: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an EXCLUSIVE prefix sum of ``value_col`` (long) by the given total
+    order: row i gets sum(value of rows 0..i-1), first row gets 0.
+
+    Same two-pass shape as ``with_file_row_number``: range-repartition on the
+    order keys, per-partition partial sums (a tiny ≤num_partitions-row table)
+    broadcast back as offsets, then a within-partition running sum. The global
+    sequential dependency collapses to one scan + one broadcast — the
+    distributed scan primitive behind sequence packing, byte-offset
+    assignment, and contiguous shard layout at 100 TB.
+    """
+    if not order_by:
+        raise ValueError("order_by must name a deterministic total order")
+    v = F.col(value_col).cast("long")
+    if not scalable:
+        w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, -1)
+        return df.withColumn(name, F.coalesce(F.sum(v).over(w), F.lit(0)))
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(parts, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sums = ranged.groupBy("__pid").agg(F.sum(v).alias("__s"))
+    w_off = (
+        Window.partitionBy(single_partition_key())
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        "__pid", F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__offset")
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            name, F.coalesce(F.sum(v).over(w_in), F.lit(0)) + F.col("__offset")
+        )
+        .drop("__pid", "__offset")
+    )
+    return out
+
+
 def with_file_row_number(
     df: DataFrame,
     order_by: list[str],

@@ -37,6 +37,42 @@ def replicate_small(df: DataFrame, buckets: int) -> DataFrame:
     return df.select("*", salts)
 
 
+def salted_two_stage_agg(
+    df: DataFrame,
+    keys: list[str],
+    count_name: str = "n",
+    sum_cols: dict[str, str] | None = None,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation: partial agg on (keys..., salt), then
+    merge on keys — the manual form of map-side combine for the case where a
+    single hot key overwhelms even the combined partials (e.g. one event
+    type is 90% of a 100 TB table: stage 1 spreads it over ``buckets``
+    reducers; stage 2 merges ``buckets`` rows per key).
+
+    Only algebraic, order-insensitive aggregates are offered: counts and
+    DECIMAL-routed sums (``sum_cols`` maps input column → output name; each
+    is cast to DECIMAL(18,2) so re-association across salt buckets cannot
+    change a double's rounding). The result is bit-identical to the unsalted
+    ``df.groupBy(keys).agg(...)``."""
+    sum_cols = sum_cols or {}
+    salted = salt_large(df, buckets)
+    partial = salted.groupBy(*keys, SALT).agg(
+        F.count(F.lit(1)).alias("__pn"),
+        *[
+            F.sum(F.col(src).cast("decimal(18,2)")).alias(f"__ps_{out}")
+            for src, out in sum_cols.items()
+        ],
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__pn").alias(count_name),
+        *[
+            F.sum(f"__ps_{out}").cast("double").alias(out)
+            for out in sum_cols.values()
+        ],
+    )
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

@@ -1325,6 +1325,53 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        array_to_string(l, ' ') AS chunk_text
 FROM sl
 """,
+    "text_tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+dft AS (
+  SELECT term, COUNT(*) AS n_docs_with_term FROM tf GROUP BY 1
+),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.n_docs_with_term,
+         tf.tf * 1000000000 // dft.n_docs_with_term AS score_q
+  FROM tf JOIN dft USING (term)
+),
+rk AS (
+  SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score_q DESC, term) AS rnk
+  FROM sc
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(n_docs_with_term AS BIGINT) AS n_docs_with_term,
+       CAST(score_q AS BIGINT) AS score_q, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= 3
+""",
+    "text_pack_sequences": """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS batch_id
+FROM p
+""",
+    "events_salted_agg": """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1
+""",
     "text_sample_stratified": """
 WITH h AS (
   SELECT doc_id, lang, {POLY_HASH_DOC} % 10000 AS hb

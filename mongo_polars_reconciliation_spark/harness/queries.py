@@ -1072,6 +1072,38 @@ def text_chunk(spark, sf_dir) -> DataFrame:
     return chunk_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_tfidf_top_terms(spark, sf_dir) -> DataFrame:
+    """Per-doc top-3 distinguishing terms by integer-exact tf·idf
+    (score = tf·10^9 DIV doc_freq — BIGINT-exact cross-engine, monotone in
+    float tf·idf for a fixed corpus)."""
+    from mongo_polars_reconciliation_spark.extensions.text import tfidf_top_terms
+
+    return tfidf_top_terms(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def text_pack_sequences(spark, sf_dir) -> DataFrame:
+    """Token-budget batch packing via the scalable two-pass distributed
+    prefix sum: global start offset + 512-token batch id per document."""
+    from mongo_polars_reconciliation_spark.extensions.text import pack_sequences
+
+    return pack_sequences(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def events_salted_agg(spark, sf_dir) -> DataFrame:
+    """Skew-proof two-stage aggregation: per event_type counts + DECIMAL-
+    routed value sums computed via (key, salt) partials then merged —
+    bit-identical to the plain GROUP BY the oracle runs, pinning that
+    salting is semantics-preserving."""
+    from mongo_polars_reconciliation_spark.functions.skew import (
+        salted_two_stage_agg,
+    )
+
+    e = _read_events(spark, sf_dir)
+    return salted_two_stage_agg(
+        e, ["event_type"], count_name="n", sum_cols={"value": "value_sum"}
+    )
+
+
 def text_sample_stratified(spark, sf_dir) -> DataFrame:
     """Deterministic hash-based stratified downsample of documents by
     language (en 50%, es 25%, everything else 10%) — the reproducible
@@ -1229,6 +1261,9 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # hit queries that already have green rows from prior rounds.
 QUERIES = {
     # -- never driver-verified (new this round / r1+r2 budget tail) --
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_pack_sequences": text_pack_sequences,
+    "events_salted_agg": events_salted_agg,
     "recon_persist_roundtrip": recon_persist_roundtrip,
     "dedup_clusters_star": dedup_clusters_star_cc,
     "text_scrub_terms": text_scrub_terms,

@@ -22,7 +22,8 @@ def _sorted_rows(df):
     "name",
     ["recon_cascade_summary", "recon_duplicate_losers", "recon_tolerance_match",
      "dedup_minhash_lsh", "sim_topk_lsh", "sim_topk_ivf_fitted",
-     "recon_persist_roundtrip", "dedup_clusters_star"],
+     "recon_persist_roundtrip", "dedup_clusters_star",
+     "text_pack_sequences", "events_salted_agg", "text_tfidf_top_terms"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")

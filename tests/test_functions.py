@@ -5,7 +5,55 @@ from mongo_polars_reconciliation_spark.functions import (
     keep_first,
     keep_last,
     with_file_row_number,
+    with_prefix_sum,
 )
+
+
+def test_prefix_sum_scalable_matches_window(spark):
+    df = spark.range(0, 500).selectExpr("id", "(id % 13) + 1 as v")
+    scal = rows(
+        with_prefix_sum(df, ["id"], "v", scalable=True, num_partitions=8),
+        "id",
+        "prefix_sum",
+    )
+    simple = rows(
+        with_prefix_sum(df, ["id"], "v", scalable=False), "id", "prefix_sum"
+    )
+    assert scal == simple
+    # exclusive semantics: first row is 0, each next adds the previous value
+    assert scal[0] == (0, 0)
+    assert scal[2] == (2, (0 % 13 + 1) + (1 % 13 + 1))
+
+
+def test_salted_two_stage_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from mongo_polars_reconciliation_spark.functions.skew import (
+        salted_two_stage_agg,
+    )
+
+    df = spark.range(0, 2000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE 'cold' END AS k",
+        "CAST(id AS DOUBLE) / 7 AS value",
+    )
+    salted = rows(
+        salted_two_stage_agg(df, ["k"], sum_cols={"value": "value_sum"}),
+        "k",
+        "n",
+        "value_sum",
+    )
+    plain = rows(
+        df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        ),
+        "k",
+        "n",
+        "value_sum",
+    )
+    assert salted == plain
 
 
 def test_file_row_number_contiguous(spark):
