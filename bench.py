@@ -49,6 +49,7 @@ SECONDARY = [
     "text_tfidf_top_terms",
     "text_pack_sequences",
     "events_salted_agg",
+    "events_hist_quantiles",
 ]
 
 

@@ -1372,6 +1372,36 @@ SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
 FROM events GROUP BY 1
 """,
+    "events_hist_quantiles": """
+WITH vals AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+),
+stats AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM vals
+),
+binned AS (
+  SELECT CASE WHEN s.hi = s.lo THEN 0
+         ELSE LEAST(CAST(FLOOR((t.v - s.lo) / ((s.hi - s.lo) / 1000.0))
+                    AS BIGINT), 999) END AS bin,
+         COUNT(*) AS c
+  FROM vals t, stats s GROUP BY 1
+),
+cum AS (
+  SELECT bin, SUM(c) OVER (ORDER BY bin
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM binned
+),
+qs(q_label, num, den) AS (VALUES ('0.5', 1, 2), ('0.9', 9, 10), ('0.99', 99, 100)),
+ranks AS (
+  SELECT q.q_label, (q.num * s.n + q.den - 1) // q.den AS rank, s.lo, s.hi
+  FROM qs q, stats s
+)
+SELECT r.q_label, CAST(r.rank AS BIGINT) AS rank,
+       CAST(MIN(c.bin) AS BIGINT) AS bin,
+       r.lo + CAST(MIN(c.bin) AS DOUBLE) * ((r.hi - r.lo) / 1000.0) AS est
+FROM ranks r JOIN cum c ON c.cumc >= r.rank
+GROUP BY r.q_label, r.rank, r.lo, r.hi
+""",
     "text_sample_stratified": """
 WITH h AS (
   SELECT doc_id, lang, {POLY_HASH_DOC} % 10000 AS hb

@@ -1104,6 +1104,18 @@ def events_salted_agg(spark, sf_dir) -> DataFrame:
     )
 
 
+def events_hist_quantiles(spark, sf_dir) -> DataFrame:
+    """Histogram quantile sketch over events.value: 1000 fixed bins, exact
+    integer ranks, bin-edge estimates — the O(bins)-state scale path next to
+    the exact nearest-rank quantiles, still hash-comparable because bin math
+    is pure IEEE arithmetic."""
+    from mongo_polars_reconciliation_spark.operators.summary import (
+        histogram_quantiles,
+    )
+
+    return histogram_quantiles(_read_events(spark, sf_dir), "value")
+
+
 def text_sample_stratified(spark, sf_dir) -> DataFrame:
     """Deterministic hash-based stratified downsample of documents by
     language (en 50%, es 25%, everything else 10%) — the reproducible
@@ -1264,6 +1276,7 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_pack_sequences": text_pack_sequences,
     "events_salted_agg": events_salted_agg,
+    "events_hist_quantiles": events_hist_quantiles,
     "recon_persist_roundtrip": recon_persist_roundtrip,
     "dedup_clusters_star": dedup_clusters_star_cc,
     "text_scrub_terms": text_scrub_terms,

@@ -91,6 +91,92 @@ def bucket_quantiles(
     )
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 1000,
+) -> DataFrame:
+    """Fixed-bin histogram quantile SKETCH — the 100 TB path next to
+    ``bucket_quantiles``'s exact nearest-rank: two scans (min/max/count,
+    then bin counts), a ≤``bins``-row cumulative table, and the quantile is
+    the lower edge of the first bin whose cumulative count reaches the
+    nearest-rank position. Error is bounded by one bin width; no global
+    sort, no per-group window over the data, state is O(bins) regardless of
+    input size.
+
+    Cross-engine determinism: bin assignment and edge reconstruction are
+    pure IEEE double ops (identical bit results in any engine), the rank is
+    integer-rational ceil(q·n), and counts are exact — so even the sketch
+    is hash-comparable, not just "close"."""
+    from fractions import Fraction as _Fr
+
+    from mongo_polars_reconciliation_spark.functions.windows import (
+        single_partition_key,
+    )
+
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("double").alias("__v")
+    )
+    stats = vals.agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    binned = (
+        vals.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__bin",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("__v") - F.col("__lo")) / width),
+                    F.lit(bins - 1),
+                )
+            )
+            .cast("long"),
+        )
+        .groupBy("__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(single_partition_key())
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = binned.withColumn("__cum", F.sum("__c").over(w_cum))
+
+    q_structs = ", ".join(
+        f"named_struct('q_label', '{q}', 'num', {_Fr(str(q)).numerator}L, "
+        f"'den', {_Fr(str(q)).denominator}L)"
+        for q in qs
+    )
+    q_rows = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.expr(f"array({q_structs})")).alias("q"))
+        .select("q.q_label", "q.num", "q.den")
+    )
+    ranks = q_rows.crossJoin(F.broadcast(stats)).withColumn(
+        "__rank", F.expr("(num * __n + den - 1) DIV den")
+    )
+    hit = ranks.crossJoin(F.broadcast(cum)).where(F.col("__cum") >= F.col("__rank"))
+    return (
+        hit.groupBy("q_label", "__rank", "__lo", "__hi")
+        .agg(F.min("__bin").alias("bin"))
+        .select(
+            "q_label",
+            F.col("__rank").cast("long").alias("rank"),
+            "bin",
+            (
+                F.col("__lo")
+                + F.col("bin").cast("double")
+                * ((F.col("__hi") - F.col("__lo")) / F.lit(float(bins)))
+            ).alias("est"),
+        )
+    )
+
+
 def summary_document(
     matched: DataFrame,
     unmatched: DataFrame,

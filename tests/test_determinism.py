@@ -23,7 +23,8 @@ def _sorted_rows(df):
     ["recon_cascade_summary", "recon_duplicate_losers", "recon_tolerance_match",
      "dedup_minhash_lsh", "sim_topk_lsh", "sim_topk_ivf_fitted",
      "recon_persist_roundtrip", "dedup_clusters_star",
-     "text_pack_sequences", "events_salted_agg", "text_tfidf_top_terms"],
+     "text_pack_sequences", "events_salted_agg", "text_tfidf_top_terms",
+     "events_hist_quantiles"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
