@@ -57,6 +57,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Fail loudly on testdata schema drift BEFORE any query runs: round 3's
+    # bench died mid-run with an opaque AnalysisException because events.ts
+    # changed physical type; this names the drifted column up front.
+    from mongo_polars_reconciliation_spark.harness.schema_guard import (
+        assert_testdata_schema,
+    )
+
+    assert_testdata_schema(sf_dir)
+
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
     spark.range(10).count()  # JVM/session warmup
 

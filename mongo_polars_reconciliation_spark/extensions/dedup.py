@@ -127,18 +127,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 4,
-    rows_per_band: int = 3,
+def _band_keys(
+    sigs: DataFrame, id_col: str, rows_per_band: int
 ) -> DataFrame:
-    """Band the signature (bands × rows_per_band), bucket-join on the band
-    key, emit distinct candidate pairs (id_a < id_b). The join is the LSH
-    trick: only same-bucket docs ever meet, so cost scales with bucket sizes,
-    not n^2."""
+    """(id, band, bkey) — one bucket key per (doc, band)."""
     # collect_list order is nondeterministic — order the band key by j
-    band_key = (
+    return (
         sigs.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         .agg(
@@ -153,6 +147,43 @@ def lsh_candidate_pairs(
             ).alias("bkey")
         )
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band), bucket-join on the band
+    key, emit distinct candidate pairs (id_a < id_b). The join is the LSH
+    trick: only same-bucket docs ever meet, so cost scales with bucket sizes,
+    not n^2.
+
+    ``max_bucket_size`` is the hot-bucket guard: one degenerate bucket (a
+    boilerplate band key shared by B docs) makes the self-join emit B² pairs
+    — AQE's skew split spreads the shuffle but cannot shrink the pair count.
+    With the cap set, buckets over the threshold are SKIPPED before the
+    join (same pattern as the n-gram doc-frequency cap below): a bucket that
+    common is near-certainly boilerplate collision, and genuinely similar
+    docs still meet in their other, less-degenerate bands. Use
+    :func:`lsh_dropped_buckets` to surface exactly what a given cap drops —
+    capping must never be silent. Default None = exact (the oracle-checked
+    configuration)."""
+    band_key = _band_keys(sigs, id_col, rows_per_band)
+    if max_bucket_size is not None:
+        ok = (
+            band_key.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            # singleton buckets can't form pairs — dropping them here also
+            # shrinks the join input (pure win, no semantic change)
+            .where((F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket_size))
+            .select("band", "bkey")
+        )
+        # the count agg and the pair join hash on the same (band, bkey)
+        # keys, so this adds no extra shuffle of the big side
+        band_key = band_key.join(ok, ["band", "bkey"])
     l = band_key.select(F.col(id_col).alias("id_a"), "band", "bkey")
     r = band_key.select(F.col(id_col).alias("id_b"), "band", "bkey")
     return (
@@ -160,6 +191,25 @@ def lsh_candidate_pairs(
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_dropped_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """(band, bkey, bsz) for every bucket the cap in
+    :func:`lsh_candidate_pairs` would skip — the audit face of the cap, so
+    a capped run can report WHAT it declined to compare instead of silently
+    under-reporting duplicates."""
+    return (
+        _band_keys(sigs, id_col, rows_per_band)
+        .groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > max_bucket_size)
     )
 
 
@@ -203,8 +253,12 @@ def minhash_near_dups(
     threshold: float = 0.6,
     hash_mode: str = "poly",
     shingle_partitions: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """shingle → minhash → LSH bands → verified near-dup pairs.
+    ``max_bucket_size`` caps degenerate LSH buckets (see
+    lsh_candidate_pairs; pair with lsh_dropped_buckets for an audit of
+    what a cap skips). Default None = exact.
 
     Materialization is ``localCheckpoint`` (not ``persist``): the verify
     join reads the shingle and pair frames multiple times, and lineage
@@ -231,7 +285,7 @@ def minhash_near_dups(
     # candidate pairs are tiny (bucket collisions only) but sit on top of
     # the whole signature pipeline — materialize once
     pairs = lsh_candidate_pairs(
-        sigs, id_col, bands, num_hashes // bands
+        sigs, id_col, bands, num_hashes // bands, max_bucket_size
     ).localCheckpoint(eager=False)
     return jaccard_verify(pairs, sh, id_col, threshold)
 

@@ -486,11 +486,19 @@ def recon_csv_roundtrip(spark, sf_dir) -> DataFrame:
 
 
 def _read_events(spark, sf_dir) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS,false), which Spark's reader
-    rejects unless nanos-as-long is on. Set it here (runtime-settable SQL
-    conf) so the queries are correct in ANY session, not just ours."""
+    """Events scan with the ``ts`` column normalized to the engine's epoch-
+    nanos BIGINT convention, whatever the parquet physical type is: the
+    testdata has shipped both TIMESTAMP(NANOS) (readable only via
+    nanos-as-long) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Normalize
+    ONCE here (see functions/timenorm.py) so every downstream query keeps
+    exact integer nanosecond arithmetic and any future drift fails loudly
+    in one place."""
+    from mongo_polars_reconciliation_spark.functions.timenorm import (
+        ensure_epoch_nanos,
+    )
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ensure_epoch_nanos(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def events_funnel(spark, sf_dir) -> DataFrame:
@@ -1272,59 +1280,20 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # a driver-verified CORRECTNESS row go FIRST so a budget cut can only ever
 # hit queries that already have green rows from prior rounds.
 QUERIES = {
-    # -- never driver-verified (new this round / r1+r2 budget tail) --
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "text_pack_sequences": text_pack_sequences,
-    "events_salted_agg": events_salted_agg,
-    "events_hist_quantiles": events_hist_quantiles,
-    "recon_persist_roundtrip": recon_persist_roundtrip,
-    "dedup_clusters_star": dedup_clusters_star_cc,
-    "text_scrub_terms": text_scrub_terms,
-    "text_sample_stratified": text_sample_stratified,
-    "events_kmv_merge": events_kmv_merge,
-    "text_chunk": text_chunk,
+    # Ordering is the driver-verification budget (it checks ~49 of the ~73
+    # entries per round, front-first). r4 priority: first the 6 rows red in
+    # CORRECTNESS_r03 (the events.ts regression — prove the fix), then the
+    # 23 rows the r03 run never reached (includes the 3 locally-red events
+    # queries), then the long-green tail.
+    # -- red in r03: events.ts TIMESTAMP(MICROS) regression, fixed via
+    #    functions/timenorm.py at the read boundary --
     "stream_view_attribution": stream_view_attribution,
-    "text_repetition": text_repetition,
-    "text_contamination": text_contamination,
-    "text_split_assign": text_split_assign,
-    # -- driver-verified r1 but not r2 --
-    "text_fingerprint": text_fingerprint,
-    "text_ngram_freq": text_ngram_freq,
-    "mm_decode_features": mm_decode_features,
-    "mm_frame_sample": mm_frame_sample,
-    "stream_dedup": stream_dedup_events,
     "stream_events_hourly": stream_events_hourly,
     "stream_sessionize_agg": stream_sessionize_agg,
-    "stream_user_seq": stream_user_seq,
-    "stream_incremental_match": stream_incremental_match,
-    # -- driver-verified green in r2 --
-    "recon_match_exact": recon_match_exact,
-    "recon_duplicate_losers": recon_duplicate_losers,
-    "recon_residual_internal": recon_residual_internal,
-    "recon_residual_external": recon_residual_external,
-    "recon_zero_effect_pairs": recon_zero_effect_pairs,
-    "recon_zero_effect_clean": recon_zero_effect_clean,
-    "recon_tolerance_match": recon_tolerance_match,
-    "recon_cascade_summary": recon_cascade_summary,
-    "recon_duplicate_losers_strict": recon_duplicate_losers_strict,
-    "recon_state_merge_upsert": recon_state_merge_upsert,
-    "recon_match_on_names": recon_match_on_names,
-    "recon_cascade_three_pass": recon_cascade_three_pass,
-    "recon_summary_doc": recon_summary_doc,
-    "recon_subset_dedup_keep_last": recon_subset_dedup_keep_last,
-    "recon_amount_quantiles": recon_amount_quantiles,
-    "recon_source_scan_filtered": recon_source_scan_filtered,
-    "recon_csv_roundtrip": recon_csv_roundtrip,
-    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
-    "recon_mongo_json_scan": recon_mongo_json_scan,
-    "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
-    "recon_remanent_lookup": recon_remanent_lookup,
-    "recon_union_remanent_dedup": recon_union_remanent_dedup,
     "events_hourly": events_hourly,
-    "events_funnel": events_funnel,
     "events_retention": events_retention,
     "events_daily_type_pivot": events_daily_type_pivot,
-    "events_props_extract": events_props_extract,
+    # -- not driver-checked in r03 (green r02 / local pytest) --
     "events_rollup": events_rollup,
     "events_user_running_value": events_user_running_value,
     "events_asof_last_view": events_asof_last_view,
@@ -1348,4 +1317,49 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
+    # -- driver-verified green in r03 --
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_pack_sequences": text_pack_sequences,
+    "events_salted_agg": events_salted_agg,
+    "events_hist_quantiles": events_hist_quantiles,
+    "recon_persist_roundtrip": recon_persist_roundtrip,
+    "dedup_clusters_star": dedup_clusters_star_cc,
+    "text_scrub_terms": text_scrub_terms,
+    "text_sample_stratified": text_sample_stratified,
+    "events_kmv_merge": events_kmv_merge,
+    "text_chunk": text_chunk,
+    "text_repetition": text_repetition,
+    "text_contamination": text_contamination,
+    "text_split_assign": text_split_assign,
+    "text_fingerprint": text_fingerprint,
+    "text_ngram_freq": text_ngram_freq,
+    "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
+    "stream_dedup": stream_dedup_events,
+    "stream_user_seq": stream_user_seq,
+    "stream_incremental_match": stream_incremental_match,
+    "recon_match_exact": recon_match_exact,
+    "recon_duplicate_losers": recon_duplicate_losers,
+    "recon_residual_internal": recon_residual_internal,
+    "recon_residual_external": recon_residual_external,
+    "recon_zero_effect_pairs": recon_zero_effect_pairs,
+    "recon_zero_effect_clean": recon_zero_effect_clean,
+    "recon_tolerance_match": recon_tolerance_match,
+    "recon_cascade_summary": recon_cascade_summary,
+    "recon_duplicate_losers_strict": recon_duplicate_losers_strict,
+    "recon_state_merge_upsert": recon_state_merge_upsert,
+    "recon_match_on_names": recon_match_on_names,
+    "recon_cascade_three_pass": recon_cascade_three_pass,
+    "recon_summary_doc": recon_summary_doc,
+    "recon_subset_dedup_keep_last": recon_subset_dedup_keep_last,
+    "recon_amount_quantiles": recon_amount_quantiles,
+    "recon_source_scan_filtered": recon_source_scan_filtered,
+    "recon_csv_roundtrip": recon_csv_roundtrip,
+    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
+    "recon_mongo_json_scan": recon_mongo_json_scan,
+    "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
+    "recon_remanent_lookup": recon_remanent_lookup,
+    "recon_union_remanent_dedup": recon_union_remanent_dedup,
+    "events_funnel": events_funnel,
+    "events_props_extract": events_props_extract,
 }

@@ -42,9 +42,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS,false); Spark has no nanos
-        # timestamp — read as epoch-nanos long (matches the reference's
-        # time-as-int64 convention, SURVEY.md §1.1).
+        # events.parquet has shipped as TIMESTAMP(NANOS,false) in some
+        # testdata generations; Spark has no nanos timestamp, so keep the
+        # nanos-as-long escape hatch on. Harmless for MICROS files — those
+        # read as TIMESTAMP_NTZ and functions/timenorm.py normalizes either
+        # form to the engine's epoch-nanos int64 convention (SURVEY.md §1.1).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -29,7 +29,7 @@ from pyspark.sql.types import (
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch nanos (nanosAsLong read)
+        StructField("ts", LongType()),  # epoch nanos (engine convention)
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -44,6 +44,17 @@ NANOS_PER_SEC = 1_000_000_000
 SENTINEL_USER = -1
 
 
+def _stored_events_schema(spark: SparkSession, path: str) -> StructType:
+    """The schema the file source will actually produce for this file.
+    readStream requires an explicit schema, and it MUST match the parquet
+    physical type: declaring ``ts LongType`` over a TIMESTAMP(MICROS) file
+    silently reinterprets micros as the declared unit — the round-3 silent-
+    wrong-answer class. Read the footer through the batch reader (one
+    metadata-only job) and stream with exactly that."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -51,9 +62,11 @@ def read_events_stream(
     with_sentinel: bool = False,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over the events table. The file stream source
-    needs a *directory*, so the table file is symlinked into a private feed
-    dir (a live pipeline points this at an arriving-files dir or Kafka).
+    """File-source stream over the events table, ``ts`` normalized to the
+    engine's epoch-nanos BIGINT whatever the file's physical type (see
+    functions/timenorm.py). The file stream source needs a *directory*, so
+    the table file is symlinked into a private feed dir (a live pipeline
+    points this at an arriving-files dir or Kafka).
 
     ``with_sentinel`` appends one far-future event (user ``SENTINEL_USER``):
     on a bounded stream, append-mode aggregations only emit once the
@@ -64,22 +77,41 @@ def read_events_stream(
     import os
     import shutil
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from mongo_polars_reconciliation_spark.functions.timenorm import (
+        ensure_epoch_nanos,
+    )
+
+    src_path = f"{sf_dir}/events.parquet"
+    stored = _stored_events_schema(spark, src_path)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     feed = f"/root/repo/.stream_tmp/{tag}/{name}/feed"
     shutil.rmtree(feed, ignore_errors=True)
     os.makedirs(feed)
-    os.symlink(f"{sf_dir}/events.parquet", f"{feed}/000_events.parquet")
+    os.symlink(src_path, f"{feed}/000_events.parquet")
     if with_sentinel:
-        mx = spark.read.parquet(f"{sf_dir}/events.parquet").agg(F.max("ts")).head()[0]
-        spark.createDataFrame(
-            [(int(-1), int(mx) + 10**15, SENTINEL_USER, "SENTINEL", 0.0, "")],
-            schema=EVENTS_SCHEMA,
+        # Far-future row in the FILE's native ts type (mixing physical types
+        # across feed files under one declared schema is exactly the silent
+        # corruption the stored-schema read exists to prevent).
+        batch = ensure_epoch_nanos(spark.read.parquet(src_path))
+        mx_ns = batch.agg(F.max("ts")).head()[0]
+        sentinel_ns = int(mx_ns) + 10**15
+        ts_type = stored["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            ts_expr = F.lit(sentinel_ns)
+        else:
+            ts_expr = F.timestamp_micros(F.lit(sentinel_ns // 1000)).cast(ts_type)
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            ts_expr.alias("ts"),
+            F.lit(SENTINEL_USER).cast("long").alias("user_id"),
+            F.lit("SENTINEL").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
         ).write.mode("overwrite").parquet(f"{feed}/zzz_sentinel.parquet")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    reader = spark.readStream.schema(stored)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(f"{feed}/*.parquet")
+    return ensure_epoch_nanos(reader.parquet(f"{feed}/*.parquet"))
 
 
 def read_events_stream_duplicated(
@@ -94,15 +126,20 @@ def read_events_stream_duplicated(
     import os
     import shutil
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from mongo_polars_reconciliation_spark.functions.timenorm import (
+        ensure_epoch_nanos,
+    )
+
+    src_path = f"{sf_dir}/events.parquet"
+    stored = _stored_events_schema(spark, src_path)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     feed = f"/root/repo/.stream_tmp/{tag}/{name}/feed"
     shutil.rmtree(feed, ignore_errors=True)
     os.makedirs(feed)
     for i in range(copies):
-        os.symlink(f"{sf_dir}/events.parquet", f"{feed}/{i:03d}_events.parquet")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        os.symlink(src_path, f"{feed}/{i:03d}_events.parquet")
+    return ensure_epoch_nanos(
+        spark.readStream.schema(stored)
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{feed}/*.parquet")
     )
@@ -117,6 +154,7 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     at-least-once ingest. Events later than the watermark are dropped as
     late data — which is also correct here, since any such row is a
     redelivery of an already-emitted event."""
+    events = _nanos(events)
     with_time = events.withColumn("event_time", _event_time())
     return (
         with_time.withWatermark("event_time", watermark)
@@ -132,10 +170,23 @@ def _event_time(col: str = "ts"):
     return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
 
 
+def _nanos(events: DataFrame) -> DataFrame:
+    """Operators accept ``ts`` as either epoch-nanos BIGINT (the engine
+    convention, what the readers above emit) or a raw TIMESTAMP frame (what
+    batch-parity callers hand in) — normalized here, no-op when already
+    long. This is what keeps one operator body valid for both regimes."""
+    from mongo_polars_reconciliation_spark.functions.timenorm import (
+        ensure_epoch_nanos,
+    )
+
+    return ensure_epoch_nanos(events)
+
+
 def hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour event-time window per event_type — the streaming form
     of queries.events_hourly, producing the identical (hour_bucket,
     event_type, n, value_sum) rows once windows close."""
+    events = _nanos(events)
     with_time = events.withColumn("event_time", _event_time())
     w = with_time.withWatermark("event_time", watermark) if watermark else with_time
     return (
@@ -174,7 +225,9 @@ def view_purchase_attribution(
 
     Works unchanged on a batch frame (the watermark is a no-op there) —
     the batch/stream parity contract of this module."""
-    base = events.withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+    base = _nanos(events).withColumn(
+        "ets", F.timestamp_micros(F.expr("ts div 1000"))
+    )
     views = (
         base.where(F.col("event_type") == "view")
         .select(
@@ -216,6 +269,7 @@ def session_agg(events: DataFrame, gap: str = "30 minutes",
     of one user belong to one session while consecutive gaps stay under
     ``gap``. Equivalent to the batch lag/cumsum sessionize (gaps-and-islands)
     aggregated per session."""
+    events = _nanos(events)
     with_time = events.withColumn("event_time", _event_time())
     w = with_time.withWatermark("event_time", watermark) if watermark else with_time
     return (
@@ -249,6 +303,8 @@ def user_running_seq(events: DataFrame) -> DataFrame:
     This is the template for operators the built-ins can't express —
     per-key state + arbitrary Python over Arrow batches."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = _nanos(events)
 
     def assign(key, pdfs, state: GroupState):
         import pandas as pd

@@ -1,0 +1,68 @@
+"""Hot-bucket cap for LSH candidate generation (VERDICT r3 item 4).
+
+A degenerate bucket — one band key shared by B docs — makes the LSH
+self-join emit B(B-1)/2 pairs; AQE's skew split spreads the shuffle but
+cannot shrink the pair count. The cap must (a) skip such buckets BEFORE
+the join, (b) keep every pair arising from healthy buckets, and (c) be
+auditable via lsh_dropped_buckets.
+"""
+
+from pyspark.sql import functions as F
+
+from mongo_polars_reconciliation_spark.extensions.dedup import (
+    lsh_candidate_pairs,
+    lsh_dropped_buckets,
+)
+
+BANDS, RPB, NH = 4, 3, 12
+
+
+def _sigs(spark, n_docs: int):
+    """Signature frame (doc_id, j, mh) where band 0 (j=0..2) is one
+    constant hot bucket across ALL docs, bands 1..3 are unique per doc —
+    except docs 0 and 1 share every band (a genuine near-dup pair)."""
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(NH - 1))).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        F.when(F.col("j") < RPB, F.lit(7))  # hot bucket: constant band 0
+        .when(F.col("doc_id") <= 1, F.col("j") * 1000)  # docs 0,1 twins
+        .otherwise(F.col("doc_id") * 100 + F.col("j"))
+        .cast("long")
+        .alias("mh"),
+    )
+
+
+def test_cap_skips_hot_bucket_keeps_healthy_pairs(spark):
+    n = 10_000
+    sigs = _sigs(spark, n)
+    # uncapped this join would emit ~50M pairs from band 0 alone; with the
+    # cap it must finish fast and keep exactly the twin pair from the
+    # healthy bands
+    pairs = lsh_candidate_pairs(sigs, bands=BANDS, rows_per_band=RPB,
+                                max_bucket_size=100)
+    assert [tuple(r) for r in pairs.collect()] == [(0, 1)]
+
+
+def test_dropped_buckets_audit_names_the_hot_bucket(spark):
+    n = 5_000
+    dropped = lsh_dropped_buckets(
+        _sigs(spark, n), bands=BANDS, rows_per_band=RPB, max_bucket_size=100
+    ).collect()
+    assert len(dropped) == 1
+    assert dropped[0]["band"] == 0 and dropped[0]["bsz"] == n
+
+
+def test_uncapped_equals_generous_cap(spark):
+    """On data with no bucket over the cap, capped output == exact output
+    (the cap only ever removes over-cap buckets, nothing else)."""
+    sigs = _sigs(spark, 60)
+    exact = lsh_candidate_pairs(sigs, bands=BANDS, rows_per_band=RPB)
+    capped = lsh_candidate_pairs(
+        sigs, bands=BANDS, rows_per_band=RPB, max_bucket_size=60
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, capped.collect())
+    )

@@ -1,0 +1,56 @@
+"""Testdata schema-drift tripwire (VERDICT r3 item 2): the MICROS-vs-NANOS
+events.ts drift must surface as ONE loud failure here, never as silent
+1000×-shrunk timestamps downstream."""
+
+import os
+
+import pytest
+
+from mongo_polars_reconciliation_spark.harness.schema_guard import (
+    EXPECTED,
+    assert_testdata_schema,
+    check_testdata_schema,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_current_testdata_is_clean():
+    assert_testdata_schema(SF_DIR)
+    # and the bench-scale dir, if present
+    if os.path.exists("/root/testdata/sf0.01/events.parquet"):
+        assert_testdata_schema("/root/testdata/sf0.01")
+
+
+def test_drifted_type_fails_loudly_naming_the_column(tmp_path):
+    """Write an events file whose ts is a type the engine does NOT handle
+    (plain string): the guard must raise one error naming events.ts."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fake = tmp_path / "sfX"
+    fake.mkdir()
+    for t in EXPECTED:
+        src = f"{SF_DIR}/{t}.parquet"
+        if t == "events":
+            tbl = pq.read_table(src)
+            drifted = tbl.set_column(
+                tbl.schema.get_field_index("ts"),
+                "ts",
+                pa.array([str(v) for v in tbl.column("ts").to_pylist()]),
+            )
+            pq.write_table(drifted, str(fake / "events.parquet"))
+        else:
+            shutil.copy(src, str(fake / f"{t}.parquet"))
+    problems = check_testdata_schema(str(fake))
+    assert len(problems) == 1 and "events.ts" in problems[0]
+    with pytest.raises(AssertionError, match="events.ts"):
+        assert_testdata_schema(str(fake))
+
+
+def test_missing_table_reported():
+    problems = check_testdata_schema("/nonexistent/sf")
+    assert len(problems) == len(EXPECTED)
+    assert all("file missing" in p for p in problems)

@@ -62,6 +62,41 @@ def test_mongo_option_assembly():
     assert w["operationType"] == "update"
     assert w["upsertDocument"] == "true"
     assert w["database"] == "odl" and w["collection"] == "recon_tx"
+    # composite business key — the connector takes a comma list where the
+    # reference's $merge takes on=[...]
+    w2 = writer_options("mongodb://h:27017", "odl", "recon_tx",
+                        id_field="code,amount")
+    assert w2["idFieldList"] == "code,amount"
+
+
+def test_mongo_upsert_gates_without_connector(spark):
+    """The write path must fail with the clear classpath error BEFORE
+    touching df.write (not an opaque ClassNotFound from the JVM)."""
+    from mongo_polars_reconciliation_spark.sources.mongo import mongo_upsert
+
+    df = spark.range(3).withColumnRenamed("id", "_id")
+    with pytest.raises(RuntimeError, match="connector not on the classpath"):
+        mongo_upsert(df, "mongodb://x", "db", "coll")
+
+
+def test_mongo_scan_filter_fields_compose(spark):
+    """mongo_scan's filter+projection assembly (the $match → $project
+    shape, src/data_extractor.py:30-48) — exercised against a stand-in
+    frame through the same apply_source_filter + select path the connector
+    read would flow through."""
+    from mongo_polars_reconciliation_spark.config import SourceFilter
+    from mongo_polars_reconciliation_spark.sources.scan import (
+        apply_source_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", 5.0, "x"), (2, "B", 6.0, "y"), (3, "A", 7.0, "z")],
+        "id long, status string, amount double, extra string",
+    )
+    flt = SourceFilter(equals={"status": "A"})
+    out = apply_source_filter(df, flt).select("id", "amount")
+    assert out.columns == ["id", "amount"]
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
 
 
 def test_merge_into_sql_shape():

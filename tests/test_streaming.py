@@ -6,6 +6,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from mongo_polars_reconciliation_spark.functions.timenorm import ensure_epoch_nanos
 from mongo_polars_reconciliation_spark.harness.queries import QUERIES, _ab
 from mongo_polars_reconciliation_spark.streaming.events import (
     EVENTS_SCHEMA,
@@ -40,7 +41,10 @@ def test_user_seq_state_carries_across_batches(spark):
     operator must continue each user's sequence where batch 1 left off —
     max(seq) per user equals that user's total events, with no gaps."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # normalize ts to the engine's nanos-long convention BEFORE writing the
+    # feed files: the stream below declares EVENTS_SCHEMA (ts bigint), and
+    # feed files must physically match the declared schema
+    ev = ensure_epoch_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
     root = "/root/repo/.stream_tmp/test_userseq_2batch"
     shutil.rmtree(root, ignore_errors=True)
     # split by time so batch order == event order per user
