@@ -109,6 +109,36 @@ def test_merge_into_sql_shape():
     )
 
 
+def test_upsert_state_table_transactional_merge(spark):
+    """The Delta/Iceberg MERGE INTO branch of upsert_state_table, run for
+    real whenever a transactional format is on the classpath. This
+    container has no Delta/Iceberg jar and no network to vendor one, so
+    here it records an explicit skip — the branch's statement shape is
+    still pinned by test_merge_into_sql_shape and the misconfiguration
+    gate by test_upsert_state_table_fallback_path."""
+    from mongo_polars_reconciliation_spark.sources.state import (
+        transactional_format_available,
+        upsert_state_table,
+    )
+
+    fmt = transactional_format_available(spark)
+    if fmt is None:
+        pytest.skip(
+            "no Delta/Iceberg jar on the classpath (offline container, "
+            "cannot vendor org.apache.spark:delta-spark) — MERGE INTO "
+            "branch covered by statement pin + capability-gate tests"
+        )
+    spark.sql("DROP TABLE IF EXISTS t_upsert_txn")
+    spark.createDataFrame(
+        [("a", "OLD"), ("b", "OLD")], ["_id", "status"]
+    ).write.format(fmt).saveAsTable("t_upsert_txn")
+    src = spark.createDataFrame([("b", "NEW"), ("c", "NEW")], ["_id", "status"])
+    upsert_state_table(spark, "t_upsert_txn", src, on="_id")
+    got = sorted(map(tuple, spark.table("t_upsert_txn").collect()))
+    assert got == [("a", "OLD"), ("b", "NEW"), ("c", "NEW")]
+    spark.sql("DROP TABLE IF EXISTS t_upsert_txn")
+
+
 def test_upsert_state_table_fallback_path(spark):
     """Without Delta/Iceberg on the classpath (this container), the named-
     table upsert takes the read-merge-rewrite fallback and must produce
