@@ -22,7 +22,16 @@ from mongo_polars_reconciliation_spark.harness.queries import QUERIES  # noqa: E
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: full reconciliation cascade
     (zero-effect → exact match → tolerance re-match) money summary."""
-    return QUERIES["recon_cascade_summary"](spark, "/root/testdata/sf0.001")
+    sf_dir = "/root/testdata/sf0.001"
+    # Loud-drift tripwire on the driver's own flagship call, not just bench
+    # and tests: a testdata schema change fails here with every drifted
+    # column named, instead of as an opaque AnalysisException mid-query.
+    from mongo_polars_reconciliation_spark.harness.schema_guard import (
+        assert_testdata_schema,
+    )
+
+    assert_testdata_schema(sf_dir)
+    return QUERIES["recon_cascade_summary"](spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

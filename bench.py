@@ -41,6 +41,7 @@ SECONDARY = [
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_capped",
     "text_quality",
     "text_ngram_freq",
     "text_repetition",
@@ -50,6 +51,11 @@ SECONDARY = [
     "text_pack_sequences",
     "events_salted_agg",
     "events_hist_quantiles",
+    # r5: no declared surface stays bench-blind — multimodal plumbing and
+    # one full streaming drain are timed in the tail too
+    "mm_decode_features",
+    "mm_frame_sample",
+    "stream_events_hourly",
 ]
 
 

@@ -21,11 +21,7 @@ from mongo_polars_reconciliation_spark.extensions.dedup import (
     exact_dedup_groups,
     minhash_near_dups,
 )
-from mongo_polars_reconciliation_spark.extensions.text import (
-    language_id,
-    quality_score,
-    token_counts,
-)
+from mongo_polars_reconciliation_spark.extensions.text import fused_doc_scores
 
 
 def curate_corpus(
@@ -35,9 +31,18 @@ def curate_corpus(
     min_quality: float = 0.5,
     near_dup_threshold: float = 0.6,
     hash_mode: str = "poly",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Per-language stats of the curated corpus: (pred_lang, n_docs,
-    total_ws_tokens, avg_quality_r)."""
+    total_ws_tokens, avg_quality_r).
+
+    ``max_bucket_size`` is the LSH hot-bucket guard passed through to
+    :func:`minhash_near_dups` (see extensions/dedup.py:lsh_candidate_pairs)
+    — the production corpus build should set it (default 1000) so one
+    boilerplate band key can never turn the bucket self-join into B² pairs;
+    ``None`` keeps exact mode. At test scale no bucket approaches the
+    default cap, so capped and exact results coincide — which is exactly
+    what the ``dedup_minhash_lsh_capped`` oracle query pins."""
     # 1. exact dedup — keep the min-id copy of each distinct text.
     # Stage boundaries are localCheckpoint'ed: `kept` feeds the near-dup
     # stage AND three downstream scorers, and without lineage truncation
@@ -50,23 +55,27 @@ def curate_corpus(
 
     # 2. near-dup removal — drop the higher id of every verified pair
     pairs = minhash_near_dups(
-        kept, id_col, text_col, threshold=near_dup_threshold, hash_mode=hash_mode
+        kept,
+        id_col,
+        text_col,
+        threshold=near_dup_threshold,
+        hash_mode=hash_mode,
+        max_bucket_size=max_bucket_size,
     )
     kept = kept.join(
         pairs.select(F.col("id_b").alias(id_col)), id_col, "left_anti"
     ).localCheckpoint(eager=False)
 
-    # 3. quality gate + language id + token counts (all JVM-side)
-    qual = quality_score(kept, id_col=id_col, text_col=text_col).where(
+    # 3. quality gate + language id + token count in ONE map-only projection
+    # (fused_doc_scores) — previously three scans of `kept` re-joined on
+    # doc_id, i.e. two whole-corpus hash shuffles for row-local computations
+    scored = fused_doc_scores(kept, id_col=id_col, text_col=text_col).where(
         F.col("quality_r") >= min_quality
     )
-    lang = language_id(kept, id_col=id_col, text_col=text_col)
-    toks = token_counts(kept, id_col=id_col, text_col=text_col)
 
     # 4. per-language corpus stats; the quality mean goes through an exact
     # DECIMAL sum so shuffle order can't change the rounded result
-    joined = qual.join(lang, id_col).join(toks, id_col)
-    return joined.groupBy("pred_lang").agg(
+    return scored.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ws_tokens").alias("total_ws_tokens"),
         (

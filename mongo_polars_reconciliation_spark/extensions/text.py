@@ -272,6 +272,56 @@ def language_id(
     )
 
 
+def fused_doc_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Single-pass row-local scorer: language argmax + quality + whitespace
+    token count in ONE projection — value-identical to
+    ``language_id``/``quality_score``/``token_counts`` (property-pinned in
+    tests/test_functions.py) but with ZERO shuffles: the stopword dictionary
+    is tiny and fixed, so each language's hit count is an array ``filter``
+    over the token array and the argmax is a greatest/when chain.
+
+    Exactness of the argmax: ``language_id`` orders by ``n_hit/n_tok`` desc.
+    All five ratios share the SAME positive denominator, so comparing the
+    integer hit counts IS comparing the ratios (IEEE division by a common
+    n ≤ 2^52 preserves strict order), and the when-chain walks languages in
+    ascending order — reproducing the (score desc, lang asc) tie-break with
+    no float comparison at all.
+
+    At 100 TB this is the curation stage-3 shape: a map-only projection on
+    the scan instead of three scans + two whole-corpus hash shuffles
+    (explode/join/window) that the operator-per-frame composition costs."""
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks).cast("long")
+    def _hits(ws: list[str]):
+        # single-arg lambda: F.filter dispatches on lambda arity, and a
+        # second parameter would be bound to the element INDEX column
+        return F.size(F.filter(toks, lambda t: t.isin(ws)))
+
+    hit = {lang: _hits(ws) for lang, ws in STOPWORDS.items()}
+    best = F.greatest(*hit.values())
+    pred = None
+    for lang in sorted(STOPWORDS):
+        cond = hit[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    n_chars = F.length(F.col(text_col)).cast("long")
+    avg_len = (n_chars - (n_tok - F.lit(1))) / n_tok
+    sw_ratio = hit["en"].cast("long") / n_tok
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - sw_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    )
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        floor4(best.cast("long") / n_tok).alias("score_r"),
+        floor4(quality).alias("quality_r"),
+        n_tok.alias("ws_tokens"),
+    )
+
+
 def quality_score(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -61,4 +61,16 @@ def ensure_epoch_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
         raise KeyError(f"column {col!r} not found; have {df.columns}")
     if dtype == "bigint":
         return df
+    # A timestamp→long conversion is only correct under UTC: session.py pins
+    # it, but a session created elsewhere would silently shift every value by
+    # the local-TZ offset — the exact silent-wrong-answer class this module
+    # exists to kill, so enforce rather than document.
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise RuntimeError(
+            f"ensure_epoch_nanos needs spark.sql.session.timeZone='UTC' to "
+            f"convert a {dtype} column exactly; session has {tz!r}. Create "
+            "sessions via mongo_polars_reconciliation_spark.session.get_spark "
+            "or set the conf before reading events."
+        )
     return df.withColumn(col, epoch_nanos_col(F.col(col), dtype).cast("long"))

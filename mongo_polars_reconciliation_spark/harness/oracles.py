@@ -832,6 +832,12 @@ FROM docs_aug GROUP BY 1
 """,
     "dedup_minhash_lsh": "WITH " + MINHASH_PAIR_CTES
     + "\nSELECT id_a, id_b, jacc_r FROM mh_pairs",
+    # capped variant: the Spark side runs with max_bucket_size=1000 (the
+    # production hot-bucket guard), and no test-scale bucket approaches the
+    # cap, so the correct answer IS exact mode — same CTEs; a divergence
+    # means the guard changed semantics when it should only bound cost
+    "dedup_minhash_lsh_capped": "WITH " + MINHASH_PAIR_CTES
+    + "\nSELECT id_a, id_b, jacc_r FROM mh_pairs",
     "dedup_clusters": "WITH RECURSIVE " + MINHASH_PAIR_CTES + """,
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM mh_pairs

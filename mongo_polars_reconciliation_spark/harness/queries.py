@@ -859,6 +859,20 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     return minhash_near_dups(build_documents_aug(spark, sf_dir), hash_mode="poly")
 
 
+def dedup_minhash_lsh_capped(spark, sf_dir) -> DataFrame:
+    """MinHash-LSH with the production hot-bucket guard ENGAGED
+    (max_bucket_size=1000): the cap's groupBy/filter/join path runs for
+    real, and because no test-scale bucket approaches 1000 docs the result
+    must equal exact mode — the oracle therefore checks that the guard
+    configuration is semantics-preserving, not just that it exists."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import minhash_near_dups
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    return minhash_near_dups(
+        build_documents_aug(spark, sf_dir), hash_mode="poly", max_bucket_size=1000
+    )
+
+
 def dedup_simhash(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.dedup import simhash_near_dups
     from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
@@ -997,11 +1011,14 @@ def text_ngram_freq(spark, sf_dir) -> DataFrame:
 def curation_pipeline(spark, sf_dir) -> DataFrame:
     """Composition showcase: exact dedup → MinHash-LSH near-dup removal →
     quality gate → per-language corpus stats, all from the tested operator
-    set (the 100 TB corpus-build shape)."""
+    set (the 100 TB corpus-build shape). Runs with the production LSH
+    hot-bucket cap engaged (max_bucket_size=1000 — no test-scale bucket
+    approaches it, so the result equals exact mode and the oracle pins the
+    capped code path)."""
     from mongo_polars_reconciliation_spark.extensions.curation import curate_corpus
     from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
 
-    return curate_corpus(build_documents_aug(spark, sf_dir))
+    return curate_corpus(build_documents_aug(spark, sf_dir), max_bucket_size=1000)
 
 
 def text_lang_id(spark, sf_dir) -> DataFrame:
@@ -1280,64 +1297,13 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # a driver-verified CORRECTNESS row go FIRST so a budget cut can only ever
 # hit queries that already have green rows from prior rounds.
 QUERIES = {
-    # Ordering is the driver-verification budget (it checks ~49 of the ~73
-    # entries per round, front-first). r4 priority: first the 6 rows red in
-    # CORRECTNESS_r03 (the events.ts regression — prove the fix), then the
-    # 23 rows the r03 run never reached (includes the 3 locally-red events
-    # queries), then the long-green tail.
-    # -- red in r03: events.ts TIMESTAMP(MICROS) regression, fixed via
-    #    functions/timenorm.py at the read boundary --
-    "stream_view_attribution": stream_view_attribution,
-    "stream_events_hourly": stream_events_hourly,
-    "stream_sessionize_agg": stream_sessionize_agg,
-    "events_hourly": events_hourly,
-    "events_retention": events_retention,
-    "events_daily_type_pivot": events_daily_type_pivot,
-    # -- not driver-checked in r03 (green r02 / local pytest) --
-    "events_rollup": events_rollup,
-    "events_user_running_value": events_user_running_value,
-    "events_asof_last_view": events_asof_last_view,
-    "events_user_kmv": events_user_kmv,
-    "events_daily_rollup2": events_hourly_from_daily_rollup,
-    "events_top_users_per_type": events_top_users_per_type,
-    "events_sessionize": events_sessionize,
-    "q1_pricing_summary": q1_pricing_summary,
-    "dedup_exact": dedup_exact,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_simhash": dedup_simhash,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_clusters": dedup_clusters_cc,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
-    "sim_topk_bruteforce": sim_topk_bruteforce,
-    "sim_topk_ivf": sim_topk_ivf,
-    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
-    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
-    "sim_topk_lsh": sim_topk_lsh,
-    "curation_pipeline": curation_pipeline,
-    "text_lang_id": text_lang_id,
-    "text_quality": text_quality,
-    "text_token_count": text_token_count,
-    # -- driver-verified green in r03 --
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "text_pack_sequences": text_pack_sequences,
-    "events_salted_agg": events_salted_agg,
-    "events_hist_quantiles": events_hist_quantiles,
-    "recon_persist_roundtrip": recon_persist_roundtrip,
-    "dedup_clusters_star": dedup_clusters_star_cc,
-    "text_scrub_terms": text_scrub_terms,
-    "text_sample_stratified": text_sample_stratified,
-    "events_kmv_merge": events_kmv_merge,
-    "text_chunk": text_chunk,
-    "text_repetition": text_repetition,
-    "text_contamination": text_contamination,
-    "text_split_assign": text_split_assign,
-    "text_fingerprint": text_fingerprint,
-    "text_ngram_freq": text_ngram_freq,
-    "mm_decode_features": mm_decode_features,
-    "mm_frame_sample": mm_frame_sample,
-    "stream_dedup": stream_dedup_events,
-    "stream_user_seq": stream_user_seq,
-    "stream_incremental_match": stream_incremental_match,
+    # Ordering is the driver-verification budget (it checks ~50 of the ~74
+    # entries per round, front-first). r5 priority: first the 23 entries the
+    # r04 run never reached (green in r03 + local parity, but the bar is a
+    # driver row), then the queries whose implementation changed this round
+    # (curation fusion, LSH cap plumbing, star-CC convergence cadence), then
+    # the long-green tail.
+    # -- not driver-checked in r04 (green r03 + local pytest) --
     "recon_match_exact": recon_match_exact,
     "recon_duplicate_losers": recon_duplicate_losers,
     "recon_residual_internal": recon_residual_internal,
@@ -1362,4 +1328,56 @@ QUERIES = {
     "recon_union_remanent_dedup": recon_union_remanent_dedup,
     "events_funnel": events_funnel,
     "events_props_extract": events_props_extract,
+    # -- new or implementation-changed this round --
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
+    "curation_pipeline": curation_pipeline,
+    "dedup_clusters_star": dedup_clusters_star_cc,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    # -- driver-verified green in r04 --
+    "stream_view_attribution": stream_view_attribution,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_sessionize_agg": stream_sessionize_agg,
+    "events_hourly": events_hourly,
+    "events_retention": events_retention,
+    "events_daily_type_pivot": events_daily_type_pivot,
+    "events_rollup": events_rollup,
+    "events_user_running_value": events_user_running_value,
+    "events_asof_last_view": events_asof_last_view,
+    "events_user_kmv": events_user_kmv,
+    "events_daily_rollup2": events_hourly_from_daily_rollup,
+    "events_top_users_per_type": events_top_users_per_type,
+    "events_sessionize": events_sessionize,
+    "q1_pricing_summary": q1_pricing_summary,
+    "dedup_exact": dedup_exact,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters_cc,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_topk_ivf": sim_topk_ivf,
+    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
+    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
+    "sim_topk_lsh": sim_topk_lsh,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_pack_sequences": text_pack_sequences,
+    "events_salted_agg": events_salted_agg,
+    "events_hist_quantiles": events_hist_quantiles,
+    "recon_persist_roundtrip": recon_persist_roundtrip,
+    "text_scrub_terms": text_scrub_terms,
+    "text_sample_stratified": text_sample_stratified,
+    "events_kmv_merge": events_kmv_merge,
+    "text_chunk": text_chunk,
+    "text_repetition": text_repetition,
+    "text_contamination": text_contamination,
+    "text_split_assign": text_split_assign,
+    "text_fingerprint": text_fingerprint,
+    "text_ngram_freq": text_ngram_freq,
+    "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
+    "stream_dedup": stream_dedup_events,
+    "stream_user_seq": stream_user_seq,
+    "stream_incremental_match": stream_incremental_match,
 }

@@ -97,6 +97,12 @@ def check_testdata_schema(sf_dir: str) -> list[str]:
                 problems.append(f"{table}.{col}: column missing")
                 continue
             actual = str(schema.field(col).type)
+            # tz-aware parquet timestamps (isAdjustedToUTC) are instants —
+            # Spark reads them as TIMESTAMP_LTZ and timenorm converts them
+            # exactly under the pinned UTC session, whatever tz string the
+            # footer displays. Compare on the unit, not the tz annotation.
+            if actual.startswith("timestamp[") and ", tz=" in actual:
+                actual = actual.split(", tz=")[0] + "]"
             if actual not in accepted:
                 problems.append(
                     f"{table}.{col}: type {actual!r} not in accepted "

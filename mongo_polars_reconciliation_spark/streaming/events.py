@@ -99,6 +99,10 @@ def read_events_stream(
         if ts_type == "bigint":
             ts_expr = F.lit(sentinel_ns)
         else:
+            # micros truncation loses up to 999 ns vs the bigint branch —
+            # acceptable ONLY because the sentinel sits ~11.5 days in the
+            # future and exists purely to push the watermark past every real
+            # window; don't shrink the 10**15 offset toward sub-micro scales
             ts_expr = F.timestamp_micros(F.lit(sentinel_ns // 1000)).cast(ts_type)
         spark.range(1).select(
             F.lit(-1).cast("long").alias("event_id"),

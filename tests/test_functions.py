@@ -135,3 +135,40 @@ def test_frame_sample_empty_payload_emits_no_frames(spark):
         (2, 0, 0),
         (2, 1, 256),
     ]
+
+
+def test_fused_doc_scores_equals_separate_operators(spark):
+    """fused_doc_scores (one map-only projection) must be value-identical to
+    language_id + quality_score + token_counts (three scans + joins) on the
+    real documents table — including the zero-hit tie-break (lang asc) and
+    the floor4 quantizations. This pins the curation stage-3 fusion."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        fused_doc_scores,
+        language_id,
+        quality_score,
+        token_counts,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # add an all-zero-hit doc and a tie-prone doc to exercise the argmax
+    extra = spark.createDataFrame(
+        [(900001, "zzz qqq xxx"), (900002, "de la le")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+
+    fused = fused_doc_scores(docs)
+    sep = (
+        language_id(docs)
+        .join(quality_score(docs).select("doc_id", "quality_r"), "doc_id")
+        .join(token_counts(docs).select("doc_id", "ws_tokens"), "doc_id")
+        .select("doc_id", "pred_lang", "score_r", "quality_r", "ws_tokens")
+    )
+    got = sorted(tuple(r) for r in fused.collect())
+    want = sorted(tuple(r) for r in sep.collect())
+    assert got == want

@@ -14,7 +14,7 @@ from mongo_polars_reconciliation_spark.extensions.dedup import (
     lsh_dropped_buckets,
 )
 
-BANDS, RPB, NH = 4, 3, 12
+RPB, NH = 3, 12  # bands derived from data: j // RPB
 
 
 def _sigs(spark, n_docs: int):
@@ -41,15 +41,14 @@ def test_cap_skips_hot_bucket_keeps_healthy_pairs(spark):
     # uncapped this join would emit ~50M pairs from band 0 alone; with the
     # cap it must finish fast and keep exactly the twin pair from the
     # healthy bands
-    pairs = lsh_candidate_pairs(sigs, bands=BANDS, rows_per_band=RPB,
-                                max_bucket_size=100)
+    pairs = lsh_candidate_pairs(sigs, rows_per_band=RPB, max_bucket_size=100)
     assert [tuple(r) for r in pairs.collect()] == [(0, 1)]
 
 
 def test_dropped_buckets_audit_names_the_hot_bucket(spark):
     n = 5_000
     dropped = lsh_dropped_buckets(
-        _sigs(spark, n), bands=BANDS, rows_per_band=RPB, max_bucket_size=100
+        _sigs(spark, n), rows_per_band=RPB, max_bucket_size=100
     ).collect()
     assert len(dropped) == 1
     assert dropped[0]["band"] == 0 and dropped[0]["bsz"] == n
@@ -59,9 +58,9 @@ def test_uncapped_equals_generous_cap(spark):
     """On data with no bucket over the cap, capped output == exact output
     (the cap only ever removes over-cap buckets, nothing else)."""
     sigs = _sigs(spark, 60)
-    exact = lsh_candidate_pairs(sigs, bands=BANDS, rows_per_band=RPB)
+    exact = lsh_candidate_pairs(sigs, rows_per_band=RPB)
     capped = lsh_candidate_pairs(
-        sigs, bands=BANDS, rows_per_band=RPB, max_bucket_size=60
+        sigs, rows_per_band=RPB, max_bucket_size=60
     )
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, capped.collect())

@@ -124,9 +124,12 @@ def test_upsert_state_table_transactional_merge(spark):
     fmt = transactional_format_available(spark)
     if fmt is None:
         pytest.skip(
-            "no Delta/Iceberg jar on the classpath (offline container, "
-            "cannot vendor org.apache.spark:delta-spark) — MERGE INTO "
-            "branch covered by statement pin + capability-gate tests"
+            "no Delta/Iceberg jar on the classpath — MERGE INTO branch "
+            "covered by statement pin + capability-gate tests. Vendoring "
+            "re-attempted 2026-08-13 (round 5): `pip download delta-spark` "
+            "fails DNS resolution (no network in container), no delta/"
+            "iceberg jar anywhere on the filesystem (`find / -name "
+            "'*delta*.jar'` empty)"
         )
     spark.sql("DROP TABLE IF EXISTS t_upsert_txn")
     spark.createDataFrame(
