@@ -65,3 +65,47 @@ def test_uncapped_equals_generous_cap(spark):
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, capped.collect())
     )
+
+
+def test_wide_signatures_equal_long(spark):
+    """The production wide signature path (one groupBy, 12 min columns,
+    row-local band keys) must produce exactly the long form's values and
+    band-key strings — pins the r5 shuffle-elimination refactor."""
+    from pyspark.sql import functions as F
+
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        _band_keys,
+        _band_keys_wide,
+        _shingle_ids,
+        minhash_signatures,
+        minhash_signatures_wide,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "entirely different content with other words here"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    sh_ids = _shingle_ids(shingles(docs), "poly")
+    long_sigs = minhash_signatures(sh_ids, "doc_id", NH)
+    wide_sigs = minhash_signatures_wide(sh_ids, "doc_id", NH)
+    long_as_wide = sorted(
+        tuple(r)
+        for r in long_sigs.groupBy("doc_id")
+        .pivot("j", list(range(NH)))
+        .agg(F.first("mh"))
+        .collect()
+    )
+    wide = sorted(tuple(r) for r in wide_sigs.collect())
+    assert long_as_wide == wide
+
+    bk_long = sorted(tuple(r) for r in _band_keys(long_sigs, "doc_id", RPB).collect())
+    bk_wide = sorted(
+        tuple(r) for r in _band_keys_wide(wide_sigs, "doc_id", RPB, NH).collect()
+    )
+    assert bk_long == bk_wide
