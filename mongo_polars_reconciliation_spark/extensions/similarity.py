@@ -423,3 +423,44 @@ def embedding_near_dups(
         )
         .where(F.col("cos_r") >= threshold)
     )
+
+
+def semantic_contamination(
+    emb: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus vector,
+    the maximum cosine to ANY benchmark vector (self-pairs excluded) and a
+    flag at ``threshold`` — the semantic complement of the n-gram
+    ``contamination_probe``, catching paraphrased eval leakage that exact
+    n-gram overlap misses.
+
+    Scale shape: the benchmark is eval-set-sized, so it broadcasts; each
+    corpus row computes |bench| fold dot-products map-side and the per-row
+    max needs only a map-side-partial hash aggregate on the corpus id —
+    no all-pairs shuffle ever materializes. MAX over doubles is
+    order-independent, so the result is deterministic; rounding happens
+    once, after the max."""
+    b = benchmark.select(
+        F.col(id_col).alias("__bid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__bv"),
+    )
+    pairs = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).join(F.broadcast(b), F.col(id_col) != F.col("__bid"))
+    scored = pairs.select(
+        F.col(id_col), cosine(F.col("__v"), F.col("__bv")).alias("__cos")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.max("__cos"), 6).alias("max_cos_r"))
+        .select(
+            F.col(id_col),
+            "max_cos_r",
+            (F.col("max_cos_r") >= threshold).alias("contaminated"),
+        )
+    )

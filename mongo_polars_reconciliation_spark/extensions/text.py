@@ -196,10 +196,13 @@ def stratified_sample(
     stratum's rate can change without resampling the others — the
     reproducible corpus-mixing primitive (e.g. re-weighting languages or
     sources into a training mix). Pure column arithmetic on the scan: no
-    shuffle, no Python."""
-    from mongo_polars_reconciliation_spark.functions.hashing import poly_hash_col
+    shuffle, no Python. Uses the MIXED hash (functions/hashing.py) so the
+    realized rate tracks the target even for short numeric ids."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        poly_hash_mixed_col,
+    )
 
-    h = F.pmod(poly_hash_col(id_col), F.lit(denom))
+    h = F.pmod(poly_hash_mixed_col(id_col), F.lit(denom))
     threshold = None
     for k in sorted(rates):
         cond = F.col(strata_col) == k
@@ -213,6 +216,102 @@ def stratified_sample(
         else F.lit(int(default_rate * denom))
     )
     return df.where(h < threshold)
+
+
+def mix_epochs(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    id_col: str = "doc_id",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic fractional-epoch corpus mixing — the sampling-weights
+    primitive of LLM pretraining data recipes (e.g. "2.5 epochs of source X,
+    0.3 of source Y"): every row is emitted ``floor(w)`` times, plus one
+    extra copy iff ``pmod(poly_hash(id), denom) < frac(w)·denom``, so each
+    stratum's expected multiplicity is exactly ``w`` to 1/denom while the
+    realized copy set is a pure function of the id — stable across runs,
+    engines and cluster shapes, and any stratum's weight can be retuned
+    without resampling the others (same contract as stratified_sample,
+    extended above 1.0).
+
+    Output: one row per (doc, epoch) with ``epoch`` in 1..n_copies.
+
+    Scale shape: a when-chain projection + explode of a per-row sequence —
+    map-only, no shuffle, output inherits the input partitioning. Uses the
+    MIXED hash (functions/hashing.py): raw poly-hash values of short
+    numeric ids sit in narrow bands and skew the realized rates badly."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        poly_hash_mixed_col,
+    )
+
+    h = F.pmod(poly_hash_mixed_col(id_col), F.lit(denom))
+    base = None
+    thr = None
+    for k in sorted(weights):
+        w = weights[k]
+        cond = F.col(strata_col) == k
+        b, t = F.lit(int(w)), F.lit(int(round((w - int(w)) * denom)))
+        base = F.when(cond, b) if base is None else base.when(cond, b)
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    dw = default_weight
+    db, dt = F.lit(int(dw)), F.lit(int(round((dw - int(dw)) * denom)))
+    base = base.otherwise(db) if base is not None else db
+    thr = thr.otherwise(dt) if thr is not None else dt
+    n_copies = base + F.when(h < thr, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("__n", n_copies)
+        # sequence(1, 0) would count DOWN — zero-copy rows must be filtered,
+        # not exploded
+        .where(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.explode(F.expr("sequence(1, __n)")).alias("epoch"),
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span measurement — the exact-substring-dedup
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): for each document, how many of its distinct n-token
+    windows also occur in at least one OTHER document, and the fraction.
+    Exact copies score 1.0; partially-quoted/boilerplate docs score in
+    between; within-doc repetition is deliberately excluded (that is
+    ``repetition_signals``' job) because windows are distinct per doc.
+
+    Scale shape: window explode (map-only) → window doc-frequency groupBy
+    with map-side combine → join back on the window string → per-doc
+    aggregate. Same inverted-index cost envelope as ``ngram_jaccard_pairs``
+    but with no pair join at all, so no df-cap is needed."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("df_") >= 2, 1)).alias("n_dup_windows"),
+        )
+        .select(
+            F.col(id_col),
+            "n_windows",
+            "n_dup_windows",
+            floor4(F.col("n_dup_windows") / F.col("n_windows")).alias(
+                "dup_span_frac_r"
+            ),
+        )
+    )
 
 
 def token_counts(

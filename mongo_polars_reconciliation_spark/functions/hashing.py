@@ -39,3 +39,23 @@ def poly_hash_sql(expr: str, p: int = POLY_P31) -> str:
         f"i -> ord(substr({s}, i, 1)) % {p}), "
         f"(h, c) -> (CAST(h AS BIGINT)*31 + c) % {p}) END"
     )
+
+
+MIX_A = 2654435761  # Knuth multiplicative constant (2^32 / golden ratio)
+
+
+def poly_hash_mixed_col(expr: str, p: int = POLY_P31) -> Column:
+    """Polynomial hash with one multiplicative scramble round:
+    ``pmod(poly_hash(x) * MIX_A, p)``. Use this — not the raw hash —
+    whenever the value feeds ``% denom`` sampling or an order statistic
+    (KMV): short same-length keys (small numeric ids) occupy narrow value
+    bands under the plain fold, so raw ``hash % 10000`` is badly biased
+    (measured 0.69 realized rate for a 0.25 target on 3-digit ids); the
+    scramble spreads the bands across [0, p). Exact BIGINT in both
+    engines: h < 2^31 so h·MIX_A < 2^63."""
+    return F.pmod(poly_hash_col(expr, p) * F.lit(MIX_A), F.lit(p))
+
+
+def poly_hash_mixed_sql(expr: str, p: int = POLY_P31) -> str:
+    """DuckDB SQL fragment computing the identical mixed hash."""
+    return f"(({poly_hash_sql(expr, p)}) * {MIX_A}) % {p}"

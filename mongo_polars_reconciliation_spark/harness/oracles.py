@@ -1311,6 +1311,83 @@ SELECT doc_id, bucket,
             ELSE 'test' END AS split
 FROM h
 """,
+    # en 2.5 epochs (base 2, extra iff hv < 5000), es 1.25 (base 1, < 2500),
+    # default 0.5 (base 0, < 5000) — mirrors extensions/text.py:mix_epochs
+    "text_mix_epochs": """
+WITH h AS (
+  SELECT doc_id, lang, {POLY_HASH_DOC} % 10000 AS hv FROM documents
+),
+n AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 2 WHEN lang = 'es' THEN 1 ELSE 0 END
+         + CASE WHEN hv < (CASE WHEN lang = 'en' THEN 5000
+                                WHEN lang = 'es' THEN 2500
+                                ELSE 5000 END)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM h
+)
+SELECT doc_id, lang,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+FROM n WHERE n_copies > 0
+""",
+    "text_dup_spans": """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_aug),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-7),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                   || ' ' || t[i+7])) AS shingle
+    FROM toks) u
+  WHERE shingle IS NOT NULL
+),
+dfq AS (SELECT shingle, COUNT(*) AS dfr FROM sh GROUP BY 1)
+SELECT s.doc_id,
+       COUNT(*) AS n_windows,
+       COUNT(CASE WHEN d.dfr >= 2 THEN 1 END) AS n_dup_windows,
+       FLOOR(COUNT(CASE WHEN d.dfr >= 2 THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000 AS dup_span_frac_r
+FROM sh s JOIN dfq d USING (shingle)
+GROUP BY s.doc_id
+""",
+    "sim_contamination": """
+WITH emb_aug AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CAST(embedding[i] AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CASE WHEN i <= 8 THEN 0.0 ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 10 = 1
+),
+bench AS (
+  SELECT vec_id AS bid,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CAST(embedding[i] AS DOUBLE)) AS bv
+  FROM embeddings WHERE vec_id % 10 = 1
+),
+scored AS (
+  SELECT e.vec_id,
+         list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*b.bv[i]), (x,y) -> x+y)
+         / (sqrt(list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*e.v[i]), (x,y) -> x+y))
+          * sqrt(list_reduce(list_transform(generate_series(1, len(b.bv)), i -> b.bv[i]*b.bv[i]), (x,y) -> x+y))) AS c
+  FROM emb_aug e JOIN bench b ON e.vec_id <> b.bid
+)
+SELECT vec_id, ROUND(MAX(c), 6) AS max_cos_r,
+       ROUND(MAX(c), 6) >= 0.9 AS contaminated
+FROM scored GROUP BY vec_id
+""",
     "text_chunk": """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1514,19 +1591,27 @@ GROUP BY l_returnflag, l_linestatus
 
 # Shared cross-engine polynomial hash (functions/hashing.py) — substituted
 # here so the Spark expression and the SQL mirror can never drift apart.
-from mongo_polars_reconciliation_spark.functions.hashing import poly_hash_sql  # noqa: E402
+# Sampling coordinates and KMV order statistics use the MIXED variant (one
+# multiplicative scramble) because raw poly-hash values of short numeric ids
+# occupy narrow bands — see poly_hash_mixed_col.
+from mongo_polars_reconciliation_spark.functions.hashing import (  # noqa: E402
+    poly_hash_mixed_sql,
+)
 
 ORACLES["events_user_kmv"] = ORACLES["events_user_kmv"].replace(
-    "{POLY_HASH_USER}", poly_hash_sql("user_id")
+    "{POLY_HASH_USER}", poly_hash_mixed_sql("user_id")
 )
 ORACLES["events_kmv_merge"] = ORACLES["events_kmv_merge"].replace(
-    "{POLY_HASH_USER}", poly_hash_sql("user_id")
+    "{POLY_HASH_USER}", poly_hash_mixed_sql("user_id")
 )
 ORACLES["text_split_assign"] = ORACLES["text_split_assign"].replace(
-    "{POLY_HASH_DOC}", poly_hash_sql("doc_id")
+    "{POLY_HASH_DOC}", poly_hash_mixed_sql("doc_id")
 )
 ORACLES["text_sample_stratified"] = ORACLES["text_sample_stratified"].replace(
-    "{POLY_HASH_DOC}", poly_hash_sql("doc_id")
+    "{POLY_HASH_DOC}", poly_hash_mixed_sql("doc_id")
+)
+ORACLES["text_mix_epochs"] = ORACLES["text_mix_epochs"].replace(
+    "{POLY_HASH_DOC}", poly_hash_mixed_sql("doc_id")
 )
 
 # The star-based CC variant shares the propagation variant's oracle: both

@@ -662,10 +662,12 @@ def events_user_kmv(spark, sf_dir) -> DataFrame:
     deterministic and integer-exact, so the oracle reproduces it
     bit-for-bit; the exact distinct count rides along for the error
     check. At scale the k-min pass is one scan with per-partition local
-    top-k — no shuffle of raw keys."""
+    top-k — no shuffle of raw keys. The MIXED hash matters here more than
+    anywhere: the estimator (k-1)·P/kth_min assumes hv ~ Uniform[0, P),
+    and raw poly-hash values of numeric user ids sit in narrow bands."""
     from mongo_polars_reconciliation_spark.functions.hashing import (
         POLY_P31,
-        poly_hash_col,
+        poly_hash_mixed_col,
     )
 
     e = _read_events(spark, sf_dir)
@@ -676,7 +678,7 @@ def events_user_kmv(spark, sf_dir) -> DataFrame:
     # skew k_actual/kth_min differently); countDistinct ignores NULLs too, so
     # the sketch and the exact count agree on the key universe.
     hashed = (
-        e.select(poly_hash_col("user_id").alias("hv"))
+        e.select(poly_hash_mixed_col("user_id").alias("hv"))
         .where(F.col("hv").isNotNull())
         .distinct()
     )
@@ -713,13 +715,13 @@ def events_kmv_merge(spark, sf_dir) -> DataFrame:
     pins."""
     from mongo_polars_reconciliation_spark.functions.hashing import (
         POLY_P31,
-        poly_hash_col,
+        poly_hash_mixed_col,
     )
 
     e = _read_events(spark, sf_dir)
     p, k = POLY_P31, 64
     hashed = (
-        e.select("event_type", poly_hash_col("user_id").alias("hv"))
+        e.select("event_type", poly_hash_mixed_col("user_id").alias("hv"))
         .where(F.col("hv").isNotNull())
         .distinct()
     )
@@ -1062,11 +1064,14 @@ def text_split_assign(spark, sf_dir) -> DataFrame:
     sampling primitive every training-data pipeline needs — stable across
     runs, engines and cluster shapes (no rand(), no partition order
     dependence), and any stratum's rate is changeable without reshuffling
-    other docs."""
-    from mongo_polars_reconciliation_spark.functions.hashing import poly_hash_col
+    other docs. Mixed hash: raw poly-hash bands of short numeric ids skew
+    the 80/10/10 proportions."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        poly_hash_mixed_col,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    h = F.pmod(poly_hash_col("doc_id"), F.lit(100))
+    h = F.pmod(poly_hash_mixed_col("doc_id"), F.lit(100))
     return docs.select(
         "doc_id",
         h.alias("bucket"),
@@ -1139,6 +1144,42 @@ def events_hist_quantiles(spark, sf_dir) -> DataFrame:
     )
 
     return histogram_quantiles(_read_events(spark, sf_dir), "value")
+
+
+def text_mix_epochs(spark, sf_dir) -> DataFrame:
+    """Deterministic fractional-epoch corpus mixing: en 2.5 epochs, es 1.25,
+    everything else 0.5 — the sampling-weights primitive of a pretraining
+    data recipe, map-only and engine-reproducible."""
+    from mongo_polars_reconciliation_spark.extensions.text import mix_epochs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mix_epochs(docs, "lang", {"en": 2.5, "es": 1.25}, default_weight=0.5)
+
+
+def text_dup_spans(spark, sf_dir) -> DataFrame:
+    """Cross-document duplicated-span fractions over 8-token windows (the
+    exact-substring-dedup signal) on the duplicate-injected corpus: exact
+    copies score 1.0, near-dup copies just below, organic docs near 0."""
+    from mongo_polars_reconciliation_spark.extensions.text import duplicate_spans
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    return duplicate_spans(build_documents_aug(spark, sf_dir), n=8)
+
+
+def sim_contamination(spark, sf_dir) -> DataFrame:
+    """Embedding-space benchmark decontamination: max cosine of every corpus
+    vector vs the benchmark slice (vec_id % 10 == 1 originals), flag ≥ 0.9.
+    The injected near-dup copies of exactly that slice must flag."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        semantic_contamination,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_embeddings_aug
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.where(F.col("vec_id") % 10 == 1)
+    return semantic_contamination(
+        build_embeddings_aug(spark, sf_dir), bench, threshold=0.9
+    )
 
 
 def text_sample_stratified(spark, sf_dir) -> DataFrame:
@@ -1330,6 +1371,9 @@ QUERIES = {
     "events_props_extract": events_props_extract,
     # -- new or implementation-changed this round --
     "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
+    "text_mix_epochs": text_mix_epochs,
+    "text_dup_spans": text_dup_spans,
+    "sim_contamination": sim_contamination,
     "curation_pipeline": curation_pipeline,
     "dedup_clusters_star": dedup_clusters_star_cc,
     "dedup_minhash_lsh": dedup_minhash_lsh,
