@@ -56,6 +56,10 @@ SECONDARY = [
     "mm_decode_features",
     "mm_frame_sample",
     "stream_events_hourly",
+    "stream_dedup_corpus",
+    "text_dup_spans",
+    "sim_contamination",
+    "text_mix_epochs",
 ]
 
 

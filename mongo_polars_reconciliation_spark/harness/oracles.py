@@ -830,6 +830,20 @@ WITH docs_aug AS (
 SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
 FROM docs_aug GROUP BY 1
 """,
+    # streaming face of dedup_exact: drained complete-mode aggregation state
+    # must equal the batch groupBy (min/count commute with micro-batching)
+    "stream_dedup_corpus": """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+)
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM docs_aug GROUP BY 1
+""",
     "dedup_minhash_lsh": "WITH " + MINHASH_PAIR_CTES
     + "\nSELECT id_a, id_b, jacc_r FROM mh_pairs",
     # capped variant: the Spark side runs with max_bucket_size=1000 (the

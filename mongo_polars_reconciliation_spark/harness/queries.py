@@ -1217,6 +1217,35 @@ def mm_frame_sample(spark, sf_dir) -> DataFrame:
 # --- structured streaming skins (streaming/) -----------------------------------
 
 
+def stream_dedup_corpus(spark, sf_dir) -> DataFrame:
+    """Streaming exact corpus dedup: the duplicate-injected documents table
+    arrives as two micro-batches; the native streaming aggregation's state
+    store maintains (text_hash, min keeper, copy count) incrementally and
+    the drained complete-mode result equals batch dedup_exact bit-for-bit
+    (min/count are commutative — arrival order cannot matter)."""
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        dedup_state,
+        read_documents_stream,
+    )
+    from mongo_polars_reconciliation_spark.streaming.events import run_to_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    docs = build_documents_aug(spark, sf_dir)
+    # batch 0 = originals + near-dups, batch 1 = the exact copies
+    # (+100000 ids): every duplicated hash gets state updates in BOTH
+    # micro-batches, so the cross-batch state merge is actually exercised
+    stream = read_documents_stream(
+        spark,
+        docs,
+        name=f"dedup_{tag}",
+        split_expr=F.pmod(F.floor(F.col("doc_id") / 100000), F.lit(2)),
+    )
+    return run_to_table(
+        dedup_state(stream), "mem_stream_dedup_corpus", output_mode="complete"
+    )
+
+
 def stream_dedup_events(spark, sf_dir) -> DataFrame:
     """Streaming exact dedup under at-least-once delivery: the events table
     arrives TWICE (two micro-batches); dropDuplicatesWithinWatermark state
@@ -1374,6 +1403,7 @@ QUERIES = {
     "text_mix_epochs": text_mix_epochs,
     "text_dup_spans": text_dup_spans,
     "sim_contamination": sim_contamination,
+    "stream_dedup_corpus": stream_dedup_corpus,
     "curation_pipeline": curation_pipeline,
     "dedup_clusters_star": dedup_clusters_star_cc,
     "dedup_minhash_lsh": dedup_minhash_lsh,

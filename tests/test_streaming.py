@@ -172,3 +172,33 @@ def test_has_state_files_absent_and_empty(spark, tmp_path):
     empty = tmp_path / "empty_state"
     empty.mkdir()
     assert not _has_state_files(spark, str(empty))
+
+
+def test_stream_dedup_corpus_state_carries_across_batches(spark):
+    """A text whose copies arrive in DIFFERENT micro-batches must still
+    aggregate to one state row with the global min keeper and total count —
+    the cross-batch state-store merge, not just within-batch grouping."""
+    from pyspark.sql import functions as F
+
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        dedup_state,
+        read_documents_stream,
+    )
+    from mongo_polars_reconciliation_spark.streaming.events import run_to_table
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "only once")],
+        "doc_id long, text string",
+    )
+    # doc 1 and 3 in batch 0; doc 2 (the duplicate) in batch 1
+    stream = read_documents_stream(
+        spark,
+        docs,
+        name="dedup_carry",
+        split_expr=F.when(F.col("doc_id") == 2, F.lit(1)).otherwise(F.lit(0)),
+    )
+    out = run_to_table(
+        dedup_state(stream), "mem_dedup_carry", output_mode="complete"
+    )
+    got = {r["keeper_id"]: r["n_copies"] for r in out.collect()}
+    assert got == {1: 2, 3: 1}
