@@ -60,6 +60,7 @@ SECONDARY = [
     "text_dup_spans",
     "sim_contamination",
     "text_mix_epochs",
+    "text_datacard",
 ]
 
 

@@ -372,7 +372,10 @@ def language_id(
 
 
 def fused_doc_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Single-pass row-local scorer: language argmax + quality + whitespace
     token count in ONE projection — value-identical to
@@ -414,6 +417,7 @@ def fused_doc_scores(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         pred.alias("pred_lang"),
         floor4(best.cast("long") / n_tok).alias("score_r"),
         floor4(quality).alias("quality_r"),
@@ -608,4 +612,50 @@ def ngram_frequencies(
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .where(F.col("n_occurrences") >= min_count)
+    )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-(source, language) corpus reporting — the dataset "data card"
+    shape every corpus release needs: document count, total whitespace
+    tokens, DECIMAL-exact mean quality, and exact nearest-rank p50/p90
+    document lengths, in one frame.
+
+    Plan shape at 100 TB: ONE map-only scoring projection
+    (``fused_doc_scores``) then one shuffle on the (source, lang) key that
+    serves both the rank window and the final aggregate — no global sort,
+    no second scan. Quantiles are nearest-rank in integer arithmetic
+    (rank = ceil(q·n) as (num·n+den−1) DIV den) so every reported number
+    is an actual data value, hash-identical across engines."""
+    scored = fused_doc_scores(
+        df, id_col=id_col, text_col=text_col, keep=(source_col, lang_col)
+    )
+    w = Window.partitionBy(source_col, lang_col).orderBy(
+        F.col("ws_tokens").asc(), F.col(id_col).asc()
+    )
+    grp = Window.partitionBy(source_col, lang_col)
+    ranked = scored.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(grp)
+    )
+    p50 = F.expr("(1 * __n + 1) DIV 2")
+    p90 = F.expr("(9 * __n + 9) DIV 10")
+    return ranked.groupBy(source_col, lang_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        (
+            F.floor(
+                F.sum(F.col("quality_r").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+            )
+            / 10000
+        ).alias("avg_quality_r"),
+        F.max(F.when(F.col("__rn") == p50, F.col("ws_tokens"))).alias("p50_tokens"),
+        F.max(F.when(F.col("__rn") == p90, F.col("ws_tokens"))).alias("p90_tokens"),
     )

@@ -1327,6 +1327,36 @@ FROM h
 """,
     # en 2.5 epochs (base 2, extra iff hv < 5000), es 1.25 (base 1, < 2500),
     # default 0.5 (base 0, < 5000) — mirrors extensions/text.py:mix_epochs
+    "text_datacard": """
+WITH scored AS (
+  SELECT source, lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         FLOOR((
+           0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+           + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * LEAST(1.0,
+               ((length(text) - (len(string_split(text, ' ')) - 1))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0)
+           ) * 10000) / 10000 AS quality_r
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY ws_tokens, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source, lang) AS n
+  FROM scored
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       FLOOR(CAST(SUM(CAST(quality_r AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*) * 10000) / 10000 AS avg_quality_r,
+       MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN ws_tokens END) AS p50_tokens,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN ws_tokens END) AS p90_tokens
+FROM ranked GROUP BY source, lang
+""",
     "text_mix_epochs": """
 WITH h AS (
   SELECT doc_id, lang, {POLY_HASH_DOC} % 10000 AS hv FROM documents

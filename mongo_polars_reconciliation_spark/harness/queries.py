@@ -1182,6 +1182,15 @@ def sim_contamination(spark, sf_dir) -> DataFrame:
     )
 
 
+def text_datacard(spark, sf_dir) -> DataFrame:
+    """Per-(source, lang) corpus data card: doc count, total tokens, exact
+    mean quality, nearest-rank p50/p90 document lengths — one scoring
+    projection + one shuffle on the group key."""
+    from mongo_polars_reconciliation_spark.extensions.text import corpus_datacard
+
+    return corpus_datacard(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def text_sample_stratified(spark, sf_dir) -> DataFrame:
     """Deterministic hash-based stratified downsample of documents by
     language (en 50%, es 25%, everything else 10%) — the reproducible
@@ -1404,6 +1413,7 @@ QUERIES = {
     "text_dup_spans": text_dup_spans,
     "sim_contamination": sim_contamination,
     "stream_dedup_corpus": stream_dedup_corpus,
+    "text_datacard": text_datacard,
     "curation_pipeline": curation_pipeline,
     "dedup_clusters_star": dedup_clusters_star_cc,
     "dedup_minhash_lsh": dedup_minhash_lsh,
