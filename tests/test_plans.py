@@ -300,3 +300,30 @@ def test_lsh_dim_guard(spark):
         lsh_signature_col("embedding", dim=LSH_MIX)
     # in-range dims still work
     assert isinstance(lsh_signature_py([1.0, -1.0]), int)
+
+
+def test_mix_epochs_is_map_only(spark):
+    """Epoch mixing must be a pure projection+explode: zero exchanges —
+    at 100 TB it runs inside the scan stage, inheriting input partitioning."""
+    plan = QUERIES["text_mix_epochs"](spark, SF_DIR)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 0
+
+
+def test_sim_contamination_broadcasts_benchmark(spark):
+    """The benchmark side must broadcast (eval sets are small); the only
+    shuffle is the per-vector max aggregate — no all-pairs exchange."""
+    plan = QUERIES["sim_contamination"](spark, SF_DIR)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("Exchange") <= 2  # broadcast + one hash agg shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_datacard_single_shuffle(spark):
+    """The data card's rank window and final aggregate must share ONE
+    shuffle on the (source, lang) key — a second exchange would rescan the
+    corpus at 100 TB."""
+    plan = QUERIES["text_datacard"](spark, SF_DIR)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1
