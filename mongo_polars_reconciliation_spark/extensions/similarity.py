@@ -391,6 +391,20 @@ def topk_lsh(
     return topk_bruteforce(probed, query_vec, k, id_col, vec_col)
 
 
+def _with_norm(df: DataFrame, vec_col: str, prefix: str) -> DataFrame:
+    """(…, {prefix}v double-array, {prefix}n norm): the norm is computed ONCE
+    per vector instead of once per pair — the dot product is unavoidably
+    per-pair, but hoisting both norms cuts the per-pair fold work 3× with
+    bit-identical results (same IEEE ops on the same inputs, so oracle SQL
+    that recomputes the norm per pair still matches exactly)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(f"{prefix}v", v).withColumn(
+        f"{prefix}n",
+        F.sqrt(_fold_sum(F.zip_with(F.col(f"{prefix}v"), F.col(f"{prefix}v"),
+                                    lambda x, y: x * y))),
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -400,26 +414,29 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
     (IVF-style blocking: only same-cluster vectors are compared — at scale
-    the blocker is an LSH/k-means assignment, here the label column)."""
-    l = emb.select(
-        F.col(block_col), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    the blocker is an LSH/k-means assignment, here the label column).
+    Norms are hoisted per-vector (see ``_with_norm``)."""
+    base = _with_norm(emb.select(block_col, id_col, vec_col), vec_col, "__")
+    l = base.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
     )
-    r = emb.select(
-        F.col(block_col), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    r = base.select(
+        F.col(block_col),
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
     )
+    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
     return (
         l.join(r, block_col)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(
-                cosine(
-                    F.transform(F.col("va"), lambda x: x.cast("double")),
-                    F.transform(F.col("vb"), lambda x: x.cast("double")),
-                ),
-                6,
-            ).alias("cos_r"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_r"),
         )
         .where(F.col("cos_r") >= threshold)
     )
@@ -443,17 +460,24 @@ def semantic_contamination(
     max needs only a map-side-partial hash aggregate on the corpus id —
     no all-pairs shuffle ever materializes. MAX over doubles is
     order-independent, so the result is deterministic; rounding happens
-    once, after the max."""
-    b = benchmark.select(
-        F.col(id_col).alias("__bid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__bv"),
+    once, after the max. Norms are hoisted per-vector (``_with_norm``):
+    only the dot product is per-pair work."""
+    b = _with_norm(benchmark.select(id_col, vec_col), vec_col, "__b").select(
+        F.col(id_col).alias("__bid"), F.col("__bv"), F.col("__bn")
     )
-    pairs = emb.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).join(F.broadcast(b), F.col(id_col) != F.col("__bid"))
+    base = emb.select(id_col, vec_col)
+    # widen ONLY when the corpus arrives in fewer splits than the cluster
+    # has cores (small-file case: |bench| dot products per row ran on 2
+    # tasks of 32) — at 100 TB the scan already has more partitions and
+    # this is a no-op, so no shuffle is added on the scale path
+    target = emb.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    corpus = _with_norm(base, vec_col, "__a")
+    pairs = corpus.join(F.broadcast(b), F.col(id_col) != F.col("__bid"))
+    dot = _fold_sum(F.zip_with(F.col("__av"), F.col("__bv"), lambda x, y: x * y))
     scored = pairs.select(
-        F.col(id_col), cosine(F.col("__v"), F.col("__bv")).alias("__cos")
+        F.col(id_col), (dot / (F.col("__an") * F.col("__bn"))).alias("__cos")
     )
     return (
         scored.groupBy(id_col)
