@@ -61,6 +61,7 @@ SECONDARY = [
     "sim_contamination",
     "text_mix_epochs",
     "text_datacard",
+    "events_anomaly_mad",
 ]
 
 

@@ -378,7 +378,12 @@ def simhash_signatures(
     across the cluster), then the 64 vote sums are 64 aggregate COLUMNS of
     one groupBy(doc) — map-side partial aggregation ships one 64-column
     row per doc per partition, and nothing ever explodes 64× (an explode
-    form measured ~4× slower on the same data)."""
+    form measured ~4× slower on the same data). Two rejected reorderings,
+    both measured slower: hashing AFTER a per-(doc, token) count groupBy
+    (AQE's size-based coalescing shrinks the tiny shuffled rows to one
+    partition and single-threads the per-char hash — 1.7× slower), and a
+    pre-hash widening repartition (the raw token-string shuffle costs
+    more than the extra hash parallelism buys)."""
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("shingle")
     )

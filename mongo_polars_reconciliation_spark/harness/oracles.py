@@ -1327,6 +1327,31 @@ FROM h
 """,
     # en 2.5 epochs (base 2, extra iff hv < 5000), es 1.25 (base 1, < 2500),
     # default 0.5 (base 0, < 5000) — mirrors extensions/text.py:mix_epochs
+    "events_anomaly_mad": """
+WITH v AS (SELECT event_type, value FROM events),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (SELECT event_type, value AS med FROM ranked WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT v.event_type, ABS(v.value - m.med) AS d, m.med
+  FROM v JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT event_type, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (SELECT event_type, d AS mad FROM dranked WHERE rn = (n + 1) // 2)
+SELECT d.event_type, COUNT(*) AS n, MAX(d.med) AS med, MAX(m.mad) AS mad,
+       COUNT(CASE WHEN d.d > 3.0 * m.mad THEN 1 END) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
     "text_datacard": """
 WITH scored AS (
   SELECT source, lang, doc_id,

@@ -1134,6 +1134,16 @@ def events_salted_agg(spark, sf_dir) -> DataFrame:
     )
 
 
+def events_anomaly_mad(spark, sf_dir) -> DataFrame:
+    """Robust per-type anomaly summary: nearest-rank median, MAD, and the
+    count of values deviating more than 3·MAD — the monitoring-grade
+    outlier rule a mean/stddev z-score can't provide under heavy tails.
+    Two keyed rank windows + one aggregate; exact (no interpolation)."""
+    from mongo_polars_reconciliation_spark.operators.summary import mad_outliers
+
+    return mad_outliers(_read_events(spark, sf_dir), "event_type", "value", k=3.0)
+
+
 def events_hist_quantiles(spark, sf_dir) -> DataFrame:
     """Histogram quantile sketch over events.value: 1000 fixed bins, exact
     integer ranks, bin-edge estimates — the O(bins)-state scale path next to
@@ -1414,6 +1424,7 @@ QUERIES = {
     "sim_contamination": sim_contamination,
     "stream_dedup_corpus": stream_dedup_corpus,
     "text_datacard": text_datacard,
+    "events_anomaly_mad": events_anomaly_mad,
     "curation_pipeline": curation_pipeline,
     "dedup_clusters_star": dedup_clusters_star_cc,
     "dedup_minhash_lsh": dedup_minhash_lsh,

@@ -219,3 +219,57 @@ def summary_document(
         "conciliated_amount",
         "remanent_amount",
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-key anomaly summary via Median Absolute Deviation: for
+    each key, the nearest-rank median of ``value_col``, the nearest-rank
+    median of |value − median| (the MAD), and how many rows deviate more
+    than ``k·MAD`` — the standard robust outlier rule (unlike mean/stddev,
+    a handful of extreme values cannot drag the threshold).
+
+    Exactness: nearest-rank medians are actual data values (rank =
+    (n+1) DIV 2 in integer arithmetic), deviations are single IEEE
+    subtractions, and the k·MAD comparison runs identically in the SQL
+    oracle — no interpolation anywhere, so the whole frame hash-compares.
+
+    Scale shape: two rank windows and one aggregate, all partitioned by
+    the key — per-key sorts only, no global sort, three key-shuffles
+    total at any data size."""
+    w_val = Window.partitionBy(key_col).orderBy(F.col(value_col).asc())
+    grp = Window.partitionBy(key_col)
+    ranked = df.select(key_col, value_col).withColumn(
+        "__rn", F.row_number().over(w_val)
+    ).withColumn("__n", F.count(F.lit(1)).over(grp))
+    med = (
+        ranked.where(F.col("__rn") == F.expr("(__n + 1) DIV 2"))
+        .select(F.col(key_col), F.col(value_col).alias("med"))
+    )
+    dev = df.select(key_col, value_col).join(med, key_col).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    w_dev = Window.partitionBy(key_col).orderBy(F.col("__dev").asc())
+    dev_ranked = dev.withColumn("__rn", F.row_number().over(w_dev)).withColumn(
+        "__n", F.count(F.lit(1)).over(grp)
+    )
+    mad = (
+        dev_ranked.where(F.col("__rn") == F.expr("(__n + 1) DIV 2"))
+        .select(F.col(key_col), F.col("__dev").alias("mad"))
+    )
+    return (
+        dev.join(mad, key_col)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(
+                F.when(F.col("__dev") > F.lit(k) * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+    )
