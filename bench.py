@@ -62,6 +62,7 @@ SECONDARY = [
     "text_mix_epochs",
     "text_datacard",
     "events_anomaly_mad",
+    "text_bpe_pairs",
 ]
 
 

@@ -659,3 +659,40 @@ def corpus_datacard(
         F.max(F.when(F.col("__rn") == p50, F.col("ws_tokens"))).alias("p50_tokens"),
         F.max(F.when(F.col("__rn") == p90, F.col("ws_tokens"))).alias("p90_tokens"),
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    min_count: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies within tokens — the
+    statistics a byte-pair-encoding tokenizer's first merge step ranks
+    (the most frequent pair becomes the first merge; re-running over a
+    merged corpus yields the next). Returns every pair at or above
+    ``min_count`` with its occurrence count and the number of distinct
+    documents containing it.
+
+    Scale shape: two nested explodes (map-only, linear in corpus chars)
+    into one hash-groupBy with map-side partial aggregation — the same
+    envelope as word-level ``ngram_frequencies``, just at the subword
+    level. The HAVING filter runs post-agg so the shuffle carries one
+    partial row per (partition, pair)."""
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.length("tok") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(1, length(tok)-1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )

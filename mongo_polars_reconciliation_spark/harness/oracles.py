@@ -1327,6 +1327,19 @@ FROM h
 """,
     # en 2.5 epochs (base 2, extra iff hv < 5000), es 1.25 (base 1, < 2500),
     # default 0.5 (base 0, < 5000) — mirrors extensions/text.py:mix_epochs
+    "text_bpe_pairs": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(tok)-1),
+                i -> substr(tok, i, 2))) AS pair
+  FROM toks WHERE length(tok) >= 2
+)
+SELECT pair, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM pairs GROUP BY pair HAVING COUNT(*) >= 50
+""",
     "events_anomaly_mad": """
 WITH v AS (SELECT event_type, value FROM events),
 ranked AS (

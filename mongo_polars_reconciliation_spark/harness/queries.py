@@ -1192,6 +1192,14 @@ def sim_contamination(spark, sf_dir) -> DataFrame:
     )
 
 
+def text_bpe_pairs(spark, sf_dir) -> DataFrame:
+    """Adjacent char-pair frequencies within tokens (min 50 occurrences) —
+    the first-merge-step statistics of BPE tokenizer vocab induction."""
+    from mongo_polars_reconciliation_spark.extensions.text import bpe_pair_stats
+
+    return bpe_pair_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def text_datacard(spark, sf_dir) -> DataFrame:
     """Per-(source, lang) corpus data card: doc count, total tokens, exact
     mean quality, nearest-rank p50/p90 document lengths — one scoring
@@ -1425,6 +1433,7 @@ QUERIES = {
     "stream_dedup_corpus": stream_dedup_corpus,
     "text_datacard": text_datacard,
     "events_anomaly_mad": events_anomaly_mad,
+    "text_bpe_pairs": text_bpe_pairs,
     "curation_pipeline": curation_pipeline,
     "dedup_clusters_star": dedup_clusters_star_cc,
     "dedup_minhash_lsh": dedup_minhash_lsh,
