@@ -1434,6 +1434,11 @@ QUERIES = {
     "text_datacard": text_datacard,
     "events_anomaly_mad": events_anomaly_mad,
     "text_bpe_pairs": text_bpe_pairs,
+    # results CHANGED this round (mixed sampling hash) — must be re-verified
+    "text_split_assign": text_split_assign,
+    "text_sample_stratified": text_sample_stratified,
+    "events_user_kmv": events_user_kmv,
+    "events_kmv_merge": events_kmv_merge,
     "curation_pipeline": curation_pipeline,
     "dedup_clusters_star": dedup_clusters_star_cc,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1450,7 +1455,6 @@ QUERIES = {
     "events_rollup": events_rollup,
     "events_user_running_value": events_user_running_value,
     "events_asof_last_view": events_asof_last_view,
-    "events_user_kmv": events_user_kmv,
     "events_daily_rollup2": events_hourly_from_daily_rollup,
     "events_top_users_per_type": events_top_users_per_type,
     "events_sessionize": events_sessionize,
@@ -1471,12 +1475,9 @@ QUERIES = {
     "events_hist_quantiles": events_hist_quantiles,
     "recon_persist_roundtrip": recon_persist_roundtrip,
     "text_scrub_terms": text_scrub_terms,
-    "text_sample_stratified": text_sample_stratified,
-    "events_kmv_merge": events_kmv_merge,
     "text_chunk": text_chunk,
     "text_repetition": text_repetition,
     "text_contamination": text_contamination,
-    "text_split_assign": text_split_assign,
     "text_fingerprint": text_fingerprint,
     "text_ngram_freq": text_ngram_freq,
     "mm_decode_features": mm_decode_features,

@@ -24,7 +24,8 @@ def _sorted_rows(df):
      "dedup_minhash_lsh", "sim_topk_lsh", "sim_topk_ivf_fitted",
      "recon_persist_roundtrip", "dedup_clusters_star",
      "text_pack_sequences", "events_salted_agg", "text_tfidf_top_terms",
-     "events_hist_quantiles", "text_dup_spans", "sim_contamination"],
+     "events_hist_quantiles", "text_dup_spans", "sim_contamination",
+     "text_datacard", "events_anomaly_mad"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
