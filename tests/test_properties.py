@@ -236,3 +236,68 @@ def test_cc_star_long_chain(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup_clusters_star(pairs, ids, max_iter=8).collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+# --- mix_epochs / duplicate_spans vs Python models ----------------------------
+
+
+def _py_poly_hash_mixed(s: str, p: int = 2147483647, a: int = 2654435761) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + (ord(ch) % p)) % p
+    return (h * a) % p
+
+
+def test_mix_epochs_matches_python_model(spark):
+    """Every document's copy count must equal the independent Python mirror
+    of floor(w) + (mixed_hash % denom < frac(w)·denom), and the output is
+    exactly 1..n_copies per doc."""
+    from mongo_polars_reconciliation_spark.extensions.text import mix_epochs
+
+    rows = [(i, ["en", "es", "zz"][i % 3]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    weights = {"en": 2.5, "es": 1.25}
+    out = mix_epochs(df, "lang", weights, default_weight=0.5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for i, lang in rows:
+        w = weights.get(lang, 0.5)
+        extra = 1 if _py_poly_hash_mixed(str(i)) % 10000 < round((w - int(w)) * 10000) else 0
+        n = int(w) + extra
+        if n == 0:
+            assert i not in got
+        else:
+            assert sorted(got[i]) == list(range(1, n + 1)), (i, lang, n)
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    """dup-span fractions vs a brute-force Python model over distinct
+    8-token windows (cross-document df >= 2 rule)."""
+    from mongo_polars_reconciliation_spark.extensions.text import duplicate_spans
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        1: base,                           # 3 windows, all shared with 2
+        2: base,                           # exact copy
+        3: "one two three four five six seven eight " + base,  # contains base
+        4: "completely different words here so that nothing matches at all",
+        5: "short doc",                    # < 8 tokens: absent from output
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    wins = {
+        i: {" ".join(t.split()[j:j + 8]) for j in range(len(t.split()) - 7)}
+        for i, t in texts.items() if len(t.split()) >= 8
+    }
+    expect = {}
+    for i, ws in wins.items():
+        dup = sum(
+            1 for w in ws
+            if any(w in ws2 for j, ws2 in wins.items() if j != i)
+        )
+        expect[i] = (len(ws), dup)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in duplicate_spans(df, n=8).collect()
+    }
+    assert got == expect
