@@ -63,6 +63,7 @@ SECONDARY = [
     "text_datacard",
     "events_anomaly_mad",
     "text_bpe_pairs",
+    "sim_knn_join",
 ]
 
 

@@ -488,3 +488,55 @@ def semantic_contamination(
             (F.col("max_cos_r") >= threshold).alias("contaminated"),
         )
     )
+
+
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Batch k-NN graph construction: EVERY vector's top-k neighbors by
+    cosine within its block — the primitive behind SemDeDup-style semantic
+    pruning, embedding-graph clustering, and retrieval-index QA, distinct
+    from single-query ``topk_*`` (which score one vector against the
+    corpus; this scores all-vs-all inside blocks).
+
+    Scale shape: blocked self-join (IVF-style — at 100 TB ``block_col`` is
+    a fitted k-means or LSH assignment, so join cost is bounded by block
+    sizes, never n²), per-vector rank window partitioned by the vector id
+    (per-key sort only). Ranking uses the 6-dp-rounded score with neighbor
+    id tie-break so the graph is reproducible across engines. Norms are
+    hoisted per-vector (``_with_norm``)."""
+    base = _with_norm(emb.select(block_col, id_col, vec_col), vec_col, "__")
+    l = base.select(
+        F.col(block_col),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    r = base.select(
+        F.col(block_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    scored = (
+        l.join(r, block_col)
+        .where(F.col("__ida") != F.col("neighbor_id"))
+        .select(
+            F.col("__ida"),
+            "neighbor_id",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("__ida").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("__ida").alias(id_col), "rank", "neighbor_id", "cos_r")
+    )

@@ -1327,6 +1327,27 @@ FROM h
 """,
     # en 2.5 epochs (base 2, extra iff hv < 5000), es 1.25 (base 1, < 2500),
     # default 0.5 (base 0, < 5000) — mirrors extensions/text.py:mix_epochs
+    "sim_knn_join": """
+WITH ev AS (
+  SELECT vec_id, label,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CAST(embedding[i] AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)), i -> b.v[i]*b.v[i]), (x,y) -> x+y))),
+           6) AS cos_r
+  FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cos_r FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, neighbor_id) AS rn
+  FROM scored
+) t WHERE rn <= 3
+""",
     "text_bpe_pairs": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

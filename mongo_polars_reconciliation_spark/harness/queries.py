@@ -1192,6 +1192,15 @@ def sim_contamination(spark, sf_dir) -> DataFrame:
     )
 
 
+def sim_knn_join(spark, sf_dir) -> DataFrame:
+    """Batch k-NN graph: every vector's top-3 cosine neighbors within its
+    label block — the SemDeDup/graph-clustering primitive (all-vs-all
+    inside blocks, per-vector rank window, never n² across blocks)."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import knn_join
+
+    return knn_join(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=3)
+
+
 def text_bpe_pairs(spark, sf_dir) -> DataFrame:
     """Adjacent char-pair frequencies within tokens (min 50 occurrences) —
     the first-merge-step statistics of BPE tokenizer vocab induction."""
@@ -1434,6 +1443,7 @@ QUERIES = {
     "text_datacard": text_datacard,
     "events_anomaly_mad": events_anomaly_mad,
     "text_bpe_pairs": text_bpe_pairs,
+    "sim_knn_join": sim_knn_join,
     # results CHANGED this round (mixed sampling hash) — must be re-verified
     "text_split_assign": text_split_assign,
     "text_sample_stratified": text_sample_stratified,
