@@ -64,6 +64,7 @@ SECONDARY = [
     "events_anomaly_mad",
     "text_bpe_pairs",
     "sim_knn_join",
+    "sim_semantic_dedup",
 ]
 
 

@@ -540,3 +540,48 @@ def knn_join(
         .where(F.col("rank") <= k)
         .select(F.col("__ida").alias(id_col), "rank", "neighbor_id", "cos_r")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning: a vector is DROPPED iff some
+    lower-id vector in its block has cosine ≥ ``threshold`` — deterministic
+    keep-lowest, the same greedy rule the text-side near-dup drop uses, so
+    exact semantic duplicates keep exactly one representative per block.
+    Returns the survivors.
+
+    Composition of :func:`knn_join`'s blocked-pair machinery with an
+    existence test instead of a rank: one blocked self-join + one
+    left_anti — no windows needed, cost bounded by block sizes."""
+    base = _with_norm(emb.select(block_col, id_col, vec_col), vec_col, "__")
+    l = base.select(
+        F.col(block_col),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    r = base.select(
+        F.col(block_col),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    dropped = (
+        l.join(r, block_col)
+        # only pairs where a LOWER id dominates this vector
+        .where(F.col("__idb") < F.col("__ida"))
+        .select(
+            F.col("__ida").alias(id_col),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("__cos"),
+        )
+        .where(F.col("__cos") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return emb.select(id_col, block_col).join(dropped, id_col, "left_anti")

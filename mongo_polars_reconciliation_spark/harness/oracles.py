@@ -1327,6 +1327,30 @@ FROM h
 """,
     # en 2.5 epochs (base 2, extra iff hv < 5000), es 1.25 (base 1, < 2500),
     # default 0.5 (base 0, < 5000) — mirrors extensions/text.py:mix_epochs
+    "sim_semantic_dedup": """
+WITH emb_aug AS (
+  SELECT vec_id, label,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CAST(embedding[i] AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CASE WHEN i <= 8 THEN 0.0 ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 10 = 1
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id FROM emb_aug a
+  JOIN emb_aug b ON a.label = b.label AND b.vec_id < a.vec_id
+  WHERE ROUND(
+          list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+          / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+           * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)), i -> b.v[i]*b.v[i]), (x,y) -> x+y))),
+          6) >= 0.9
+)
+SELECT vec_id, label FROM emb_aug
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+""",
     "sim_knn_join": """
 WITH ev AS (
   SELECT vec_id, label,

@@ -1192,6 +1192,18 @@ def sim_contamination(spark, sf_dir) -> DataFrame:
     )
 
 
+def sim_semantic_dedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup survivors on the duplicate-injected embeddings: drop every
+    vector semantically dominated (cos ≥ 0.9) by a lower id in its block —
+    the injected near-dup copies must vanish, organic vectors survive."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        semantic_dedup,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_embeddings_aug
+
+    return semantic_dedup(build_embeddings_aug(spark, sf_dir), threshold=0.9)
+
+
 def sim_knn_join(spark, sf_dir) -> DataFrame:
     """Batch k-NN graph: every vector's top-3 cosine neighbors within its
     label block — the SemDeDup/graph-clustering primitive (all-vs-all
@@ -1444,6 +1456,7 @@ QUERIES = {
     "events_anomaly_mad": events_anomaly_mad,
     "text_bpe_pairs": text_bpe_pairs,
     "sim_knn_join": sim_knn_join,
+    "sim_semantic_dedup": sim_semantic_dedup,
     # results CHANGED this round (mixed sampling hash) — must be re-verified
     "text_split_assign": text_split_assign,
     "text_sample_stratified": text_sample_stratified,
