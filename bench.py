@@ -65,6 +65,7 @@ SECONDARY = [
     "text_bpe_pairs",
     "sim_knn_join",
     "sim_semantic_dedup",
+    "curation_pipeline_v2",
 ]
 
 

@@ -87,3 +87,82 @@ def curate_corpus(
             / 10000
         ).alias("avg_quality_r"),
     )
+
+
+def curate_corpus_v2(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.6,
+    contam_threshold: float = 0.2,
+    hash_mode: str = "poly",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The FULL corpus build: exact dedup → MinHash-LSH near-dup drop →
+    repetition gate (Gopher rule: top-token share > 0.2 or duplicate
+    3-gram fraction > 0.3) → benchmark decontamination (drop docs whose
+    5-gram overlap fraction with the eval slice reaches
+    ``contam_threshold`` — eval-set members themselves overlap 100% and
+    are removed from the training corpus, which is the point) → quality
+    gate → per-language stats. Same output shape as :func:`curate_corpus`.
+
+    Every stage is an individually-oracle-checked operator; the joins the
+    gates add are all left_anti on the doc id (one key-shuffle each, tiny
+    build sides — the flagged-doc sets)."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        contamination_probe,
+        repetition_signals,
+    )
+
+    keepers = exact_dedup_groups(docs, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    kept = docs.join(keepers, id_col).localCheckpoint(eager=False)
+
+    pairs = minhash_near_dups(
+        kept,
+        id_col,
+        text_col,
+        threshold=near_dup_threshold,
+        hash_mode=hash_mode,
+        max_bucket_size=max_bucket_size,
+    )
+    kept = kept.join(
+        pairs.select(F.col("id_b").alias(id_col)), id_col, "left_anti"
+    ).localCheckpoint(eager=False)
+
+    rep_flagged = (
+        repetition_signals(kept, id_col=id_col, text_col=text_col)
+        .where(F.col("flag_repetitive"))
+        .select(id_col)
+    )
+    kept = kept.join(rep_flagged, id_col, "left_anti")
+
+    contam_flagged = (
+        contamination_probe(
+            kept, benchmark, n=5, id_col=id_col, text_col=text_col
+        )
+        .where(F.col("contam_frac_r") >= contam_threshold)
+        .select(id_col)
+    )
+    kept = kept.join(contam_flagged, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+
+    scored = fused_doc_scores(kept, id_col=id_col, text_col=text_col).where(
+        F.col("quality_r") >= min_quality
+    )
+    return scored.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        (
+            F.floor(
+                F.sum(F.col("quality_r").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+                * 10000
+            )
+            / 10000
+        ).alias("avg_quality_r"),
+    )

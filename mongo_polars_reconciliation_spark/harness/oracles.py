@@ -1744,3 +1744,57 @@ ORACLES["text_mix_epochs"] = ORACLES["text_mix_epochs"].replace(
 # The star-based CC variant shares the propagation variant's oracle: both
 # compute the identical min-reachable-id fixpoint over the same pair graph.
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+# curation v2 = curation v1 with the Gopher repetition gate and the 5-gram
+# benchmark-decontamination gate inserted between near-dup removal (kept2)
+# and the quality/language tail — assembled from the v1 SQL so the shared
+# stages cannot drift apart.
+_V2_GATES = """rbase AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM kept2),
+rtok AS (SELECT doc_id, unnest(toks) AS tok FROM rbase),
+rtop AS (
+  SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_tok FROM (
+    SELECT doc_id, tok, COUNT(*) AS c FROM rtok GROUP BY doc_id, tok
+  ) t GROUP BY doc_id
+),
+rarr AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           1.0 - CAST(len(list_distinct(g.grams)) AS DOUBLE) / len(g.grams)
+         ELSE 0.0 END AS dup3
+  FROM rbase,
+       LATERAL (SELECT list_transform(generate_series(1, len(toks)-2),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams) g
+),
+rflag AS (
+  SELECT t.doc_id FROM rtop t JOIN rarr a USING (doc_id)
+  WHERE CAST(t.top_c AS DOUBLE) / t.n_tok > 0.2 OR a.dup3 > 0.3
+),
+kept3 AS (SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_id FROM rflag)),
+ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept3),
+cgrams AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingle
+    FROM ctoks) u
+  WHERE shingle IS NOT NULL
+),
+bgrams AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t)-4),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS shingle
+    FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 10 = 7) b
+  ) u WHERE shingle IS NOT NULL
+),
+ctot AS (SELECT doc_id, COUNT(*) AS n_grams FROM cgrams GROUP BY doc_id),
+chit AS (SELECT g.doc_id, COUNT(*) AS hit FROM cgrams g JOIN bgrams USING (shingle) GROUP BY g.doc_id),
+cflag AS (
+  SELECT h.doc_id FROM chit h JOIN ctot t USING (doc_id)
+  WHERE FLOOR(CAST(h.hit AS DOUBLE) / t.n_grams * 10000) / 10000 >= 0.2
+),
+kept4 AS (SELECT * FROM kept3 WHERE doc_id NOT IN (SELECT doc_id FROM cflag)),
+"""
+_v1_head, _v1_tail = ORACLES["curation_pipeline"].split("qual AS (", 1)
+ORACLES["curation_pipeline_v2"] = (
+    _v1_head + _V2_GATES + "qual AS (" + _v1_tail.replace("FROM kept2", "FROM kept4")
+)

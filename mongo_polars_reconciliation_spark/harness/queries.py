@@ -1023,6 +1023,23 @@ def curation_pipeline(spark, sf_dir) -> DataFrame:
     return curate_corpus(build_documents_aug(spark, sf_dir), max_bucket_size=1000)
 
 
+def curation_pipeline_v2(spark, sf_dir) -> DataFrame:
+    """The FULL corpus build: exact dedup → LSH near-dup drop (capped) →
+    Gopher repetition gate → 5-gram benchmark decontamination (eval slice =
+    plain docs with doc_id % 10 == 7; eval members themselves are removed) →
+    quality gate → per-language stats."""
+    from mongo_polars_reconciliation_spark.extensions.curation import (
+        curate_corpus_v2,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    return curate_corpus_v2(
+        build_documents_aug(spark, sf_dir), bench, max_bucket_size=1000
+    )
+
+
 def text_lang_id(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.text import language_id
 
@@ -1463,6 +1480,7 @@ QUERIES = {
     "events_user_kmv": events_user_kmv,
     "events_kmv_merge": events_kmv_merge,
     "curation_pipeline": curation_pipeline,
+    "curation_pipeline_v2": curation_pipeline_v2,
     "dedup_clusters_star": dedup_clusters_star_cc,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "text_lang_id": text_lang_id,
