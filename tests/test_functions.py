@@ -172,3 +172,51 @@ def test_fused_doc_scores_equals_separate_operators(spark):
     got = sorted(tuple(r) for r in fused.collect())
     want = sorted(tuple(r) for r in sep.collect())
     assert got == want
+
+
+def test_new_operator_edge_cases(spark):
+    """Empty and degenerate inputs through the round-5 operators: no crash,
+    typed empty or minimal results."""
+    from pyspark.sql import functions as F
+
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        knn_join,
+        semantic_dedup,
+    )
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        bpe_pair_stats,
+        corpus_datacard,
+        duplicate_spans,
+        mix_epochs,
+    )
+    from mongo_polars_reconciliation_spark.operators.summary import mad_outliers
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string, lang string"
+    )
+    assert mix_epochs(empty_docs, "lang", {"en": 2.0}).count() == 0
+    assert duplicate_spans(empty_docs).count() == 0
+    assert bpe_pair_stats(empty_docs, min_count=1).count() == 0
+    assert corpus_datacard(empty_docs).count() == 0
+
+    # all docs shorter than the window: no rows, not spurious windows
+    short = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y")], "doc_id long, text string"
+    )
+    assert duplicate_spans(short, n=8).count() == 0
+
+    # k larger than any block: every other same-block vector is returned
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    knn = knn_join(emb, k=10)
+    assert {(r["vec_id"], r["neighbor_id"]) for r in knn.collect()} == {(1, 2), (2, 1)}
+    # single-vector block survives semantic dedup untouched
+    surv = {r["vec_id"] for r in semantic_dedup(emb, threshold=0.99).collect()}
+    assert 3 in surv and 1 in surv
+
+    # single-row group: med = value, mad = 0, the row is not an outlier
+    one = spark.createDataFrame([("a", 5.0)], "k string, v double")
+    row = mad_outliers(one, "k", "v").collect()[0]
+    assert (row["n"], row["med"], row["mad"], row["n_outliers"]) == (1, 5.0, 0.0, 0)
