@@ -1385,6 +1385,30 @@ pairs AS (
 SELECT pair, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
 FROM pairs GROUP BY pair HAVING COUNT(*) >= 50
 """,
+    "events_funnel_windowed": """
+WITH t0 AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t1 AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t1
+  FROM events e JOIN t0 USING (user_id)
+  WHERE e.event_type = 'click'
+    AND epoch_ns(e.ts) >= t0.t0 AND epoch_ns(e.ts) <= t0.t0 + 3600000000000
+  GROUP BY e.user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND epoch_ns(e.ts) >= t1.t1 AND epoch_ns(e.ts) <= t1.t1 + 86400000000000
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_view,
+       COUNT(t1.t1) AS n_click_1h,
+       COUNT(t2.t2) AS n_purchase_24h
+FROM t0 LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+""",
     "events_anomaly_mad": """
 WITH v AS (SELECT event_type, value FROM events),
 ranked AS (

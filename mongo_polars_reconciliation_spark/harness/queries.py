@@ -524,6 +524,44 @@ def events_funnel(spark, sf_dir) -> DataFrame:
     )
 
 
+def events_funnel_windowed(spark, sf_dir) -> DataFrame:
+    """Time-bounded conversion funnel: first view → first click within 1h of
+    that view → first purchase within 24h of that click. Unlike the
+    unbounded ordered funnel (events_funnel), each step must land inside a
+    per-step window — the realistic attribution rule. Three conditional-min
+    aggregations over ONE groupBy(user) pass (step thresholds are derived
+    in sequence from the same grouped frame via self-contained aggregates),
+    then one broadcast-sized count row. Two key-shuffles total."""
+    e = _read_events(spark, sf_dir)
+    hour_ns, day_ns = 3_600_000_000_000, 86_400_000_000_000
+    t0 = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    t1 = (
+        clicks.join(t0, "user_id")
+        .where((F.col("ts") >= F.col("t0")) & (F.col("ts") <= F.col("t0") + hour_ns))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    t2 = (
+        purchases.join(t1, "user_id")
+        .where((F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + day_ns))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        t0.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("t1").alias("n_click_1h"),
+            F.count("t2").alias("n_purchase_24h"),
+        )
+    )
+
+
 def events_retention(spark, sf_dir) -> DataFrame:
     """Cohort retention: users are cohorted by their FIRST active day;
     for each (cohort_day, day_offset) count distinct users active again
@@ -1474,6 +1512,7 @@ QUERIES = {
     "text_bpe_pairs": text_bpe_pairs,
     "sim_knn_join": sim_knn_join,
     "sim_semantic_dedup": sim_semantic_dedup,
+    "events_funnel_windowed": events_funnel_windowed,
     # results CHANGED this round (mixed sampling hash) — must be re-verified
     "text_split_assign": text_split_assign,
     "text_sample_stratified": text_sample_stratified,
