@@ -328,3 +328,38 @@ def test_datacard_single_shuffle(spark):
     plan = QUERIES["text_datacard"](spark, SF_DIR)._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# Tiny-side broadcast cross joins that are BNLJ by DESIGN: one-row aggregate
+# combiners, the 5-row language dictionary, the <=bins histogram table, and
+# the non-equi broadcast benchmark join. Anything else showing BNLJ — or any
+# cartesian product / row-Python UDF anywhere — is a scale regression.
+BNLJ_BY_DESIGN = {
+    "recon_summary_doc",
+    "recon_persist_roundtrip",
+    "events_user_kmv",
+    "events_kmv_merge",
+    "text_lang_id",
+    "events_hist_quantiles",
+    "sim_contamination",
+    "curation_pipeline",
+    "curation_pipeline_v2",
+}
+
+
+def test_every_batch_query_plan_is_scale_clean(spark):
+    """Sweep EVERY declared batch query's physical plan for the three
+    unconditional scale killers: cartesian products, row-at-a-time Python
+    UDFs, and unexpected broadcast-nested-loop joins."""
+    problems = []
+    for name, fn in QUERIES.items():
+        if name.startswith("stream_"):
+            continue  # bounded drains execute on construction; covered elsewhere
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            problems.append(f"{name}: row-Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
+            problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not problems, problems
