@@ -1266,6 +1266,36 @@ SELECT doc_id, lang AS pred_lang, FLOOR(score * 10000) / 10000 AS score_r FROM (
   FROM scored
 ) t WHERE rn = 1
 """,
+    "text_lang_confusion": """
+WITH swords(lang, tok) AS (VALUES
+  ('en','the'),('en','a'),('en','of'),('en','and'),('en','is'),('en','to'),('en','in'),
+  ('es','el'),('es','la'),('es','de'),('es','y'),('es','es'),('es','en'),('es','un'),
+  ('fr','le'),('fr','la'),('fr','de'),('fr','et'),('fr','est'),('fr','en'),('fr','un'),
+  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),('de','in'),('de','ein'),
+  ('zh','de'),('zh','shi'),('zh','le'),('zh','zai'),('zh','he'),('zh','you'),('zh','wo')
+),
+langs AS (SELECT DISTINCT lang FROM swords),
+toksl AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tot AS (SELECT doc_id, COUNT(*) AS n_tok FROM toksl GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, s.lang, COUNT(*) AS n_hit
+  FROM toksl t JOIN swords s USING (tok) GROUP BY 1, 2
+),
+scored AS (
+  SELECT tot.doc_id, l.lang, COALESCE(h.n_hit, 0) / tot.n_tok AS score
+  FROM tot CROSS JOIN langs l
+  LEFT JOIN hits h ON h.doc_id = tot.doc_id AND h.lang = l.lang
+),
+pick AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+)
+SELECT d.lang AS gold_lang, p.pred_lang, COUNT(*) AS n
+FROM documents d JOIN pick p USING (doc_id)
+GROUP BY d.lang, p.pred_lang
+""",
     "text_quality": """
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

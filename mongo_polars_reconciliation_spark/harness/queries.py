@@ -1276,6 +1276,19 @@ def text_bpe_pairs(spark, sf_dir) -> DataFrame:
     return bpe_pair_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_lang_confusion(spark, sf_dir) -> DataFrame:
+    """Classifier-evaluation shape: confusion matrix of the heuristic
+    language ID against the table's gold ``lang`` label — (gold, predicted,
+    n) per cell. One map-only scoring projection + one hash-aggregate."""
+    from mongo_polars_reconciliation_spark.extensions.text import fused_doc_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = fused_doc_scores(docs, keep=("lang",))
+    return scored.groupBy(
+        F.col("lang").alias("gold_lang"), "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def text_datacard(spark, sf_dir) -> DataFrame:
     """Per-(source, lang) corpus data card: doc count, total tokens, exact
     mean quality, nearest-rank p50/p90 document lengths — one scoring
@@ -1513,6 +1526,7 @@ QUERIES = {
     "sim_knn_join": sim_knn_join,
     "sim_semantic_dedup": sim_semantic_dedup,
     "events_funnel_windowed": events_funnel_windowed,
+    "text_lang_confusion": text_lang_confusion,
     # results CHANGED this round (mixed sampling hash) — must be re-verified
     "text_split_assign": text_split_assign,
     "text_sample_stratified": text_sample_stratified,
