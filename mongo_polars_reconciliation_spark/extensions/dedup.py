@@ -690,12 +690,18 @@ def ngram_jaccard_pairs(
     sh = sh_base.localCheckpoint(eager=False)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     capped = sh.join(df_counts.where(F.col("df_") <= max_df), "shingle").select(
-        F.col(id_col), "shingle"
+        F.col(id_col), "shingle", "df_"
     )
+    # Jaccard denominators count the FULL capped sets (including unique
+    # shingles)…
     sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # …but a df=1 shingle can never be SHARED, so it contributes nothing to
+    # any intersection — drop the (majority) unique shingles from the
+    # inverted-index self-join. Semantics-free, large input cut.
+    joinable = capped.where(F.col("df_") >= 2).select(F.col(id_col), "shingle")
     inter = (
-        capped.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(capped.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        joinable.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(joinable.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
