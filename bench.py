@@ -98,21 +98,44 @@ def main() -> None:
     b.count()
     fixture_warm = round(time.perf_counter() - t0, 3)
 
-    def run(name: str) -> float:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+    # Per-query repeats: the machine's ambient load adds ±40% noise to any
+    # single timing, so each query runs `reps` times and we report BOTH the
+    # mean (the headline metric, comparable to prior rounds) and the min
+    # (the low-noise number round-over-round comparisons should use).
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
 
-    timings = {name: run(name) for name in HEADLINE}
-    secondary = {name: run(name) for name in SECONDARY}
+    def run(name: str) -> list[float]:
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(round(time.perf_counter() - t0, 3))
+        return ts
+
+    def mean(ts: list[float]) -> float:
+        return round(sum(ts) / len(ts), 3)
+
+    head_runs = {name: run(name) for name in HEADLINE}
+    sec_runs = {name: run(name) for name in SECONDARY}
+    timings = {name: mean(ts) for name, ts in head_runs.items()}
+    secondary = {name: mean(ts) for name, ts in sec_runs.items()}
+    timings_min = {name: min(ts) for name, ts in head_runs.items()}
+    secondary_min = {name: min(ts) for name, ts in sec_runs.items()}
 
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "headline_min_total_sec": round(sum(timings_min.values()), 3),
         "secondary": secondary,
+        "secondary_min": secondary_min,
         "secondary_total_sec": round(sum(secondary.values()), 3),
+        "secondary_min_total_sec": round(sum(secondary_min.values()), 3),
+        "reps": reps,
         "fixture_warm_sec": fixture_warm,
         "sf": float(sf),
     }

@@ -85,9 +85,9 @@ def decode_image(payload_bytes: bytes) -> "object":
 
     STUB (SURVEY.md §2.9): raises so callers fail loudly rather than fake
     imagery; ``extract_features`` is the deterministic-fake path used by
-    tests and the oracle. Probed again 2026-08-13 (round 5): PIL, cv2,
-    torchvision, imageio, soundfile, librosa all absent and the container
-    has no network to install any — the stub stands."""
+    tests and the oracle. Probed again 2026-08-14 (round 6): PIL, cv2,
+    torchvision all absent and the container has no network (DNS fails) to
+    install any — the stub stands."""
     raise NotImplementedError(
         "image decode requires PIL/libjpeg — not available in this environment; "
         "use extract_features() for the deterministic stub pipeline"

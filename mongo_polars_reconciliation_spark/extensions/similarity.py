@@ -448,12 +448,23 @@ def semantic_contamination(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination: for every corpus vector,
-    the maximum cosine to ANY benchmark vector (self-pairs excluded) and a
-    flag at ``threshold`` — the semantic complement of the n-gram
-    ``contamination_probe``, catching paraphrased eval leakage that exact
-    n-gram overlap misses.
+    the maximum cosine to ANY benchmark vector and a flag at ``threshold``
+    — the semantic complement of the n-gram ``contamination_probe``,
+    catching paraphrased eval leakage that exact n-gram overlap misses.
+
+    EVERY corpus row appears in the output: a row with no benchmark
+    partner (e.g. the benchmark's only member is the row itself under
+    ``exclude_self``) reports ``max_cos_r`` NULL and ``contaminated``
+    false, instead of silently vanishing.
+
+    ``exclude_self``: self-pair exclusion is by ID EQUALITY, which assumes
+    the benchmark shares the corpus id space (the in-corpus-eval-slice
+    case, as in the harness query). For an EXTERNAL benchmark whose ids
+    are a different namespace, pass ``exclude_self=False`` — otherwise an
+    accidental id collision would silently skip a genuine comparison.
 
     Scale shape: the benchmark is eval-set-sized, so it broadcasts; each
     corpus row computes |bench| fold dot-products map-side and the per-row
@@ -474,7 +485,10 @@ def semantic_contamination(
     if base.rdd.getNumPartitions() < target:
         base = base.repartition(target)
     corpus = _with_norm(base, vec_col, "__a")
-    pairs = corpus.join(F.broadcast(b), F.col(id_col) != F.col("__bid"))
+    cond = F.col(id_col) != F.col("__bid") if exclude_self else F.lit(True)
+    # LEFT join: a corpus row with zero non-self partners still yields one
+    # row (all-null bench side → null __cos → null max), so no row is lost
+    pairs = corpus.join(F.broadcast(b), cond, "left")
     dot = _fold_sum(F.zip_with(F.col("__av"), F.col("__bv"), lambda x, y: x * y))
     scored = pairs.select(
         F.col(id_col), (dot / (F.col("__an") * F.col("__bn"))).alias("__cos")
@@ -485,7 +499,9 @@ def semantic_contamination(
         .select(
             F.col(id_col),
             "max_cos_r",
-            (F.col("max_cos_r") >= threshold).alias("contaminated"),
+            F.coalesce(
+                F.col("max_cos_r") >= threshold, F.lit(False)
+            ).alias("contaminated"),
         )
     )
 

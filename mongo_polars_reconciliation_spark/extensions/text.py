@@ -246,6 +246,13 @@ def mix_epochs(
         poly_hash_mixed_col,
     )
 
+    # loud-failure posture (like _shingle_ids' hash_mode check): a negative
+    # weight would silently floor to 0 copies with a negative fractional
+    # threshold, and NaN would silently zero out a stratum
+    for k, w in list(weights.items()) + [("default_weight", default_weight)]:
+        if not (w >= 0):  # catches negatives AND NaN (NaN >= 0 is False)
+            raise ValueError(f"mix_epochs: weight for {k!r} must be >= 0, got {w}")
+
     h = F.pmod(poly_hash_mixed_col(id_col), F.lit(denom))
     base = None
     thr = None

@@ -1563,10 +1563,10 @@ scored AS (
          list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*b.bv[i]), (x,y) -> x+y)
          / (sqrt(list_reduce(list_transform(generate_series(1, len(e.v)), i -> e.v[i]*e.v[i]), (x,y) -> x+y))
           * sqrt(list_reduce(list_transform(generate_series(1, len(b.bv)), i -> b.bv[i]*b.bv[i]), (x,y) -> x+y))) AS c
-  FROM emb_aug e JOIN bench b ON e.vec_id <> b.bid
+  FROM emb_aug e LEFT JOIN bench b ON e.vec_id <> b.bid
 )
 SELECT vec_id, ROUND(MAX(c), 6) AS max_cos_r,
-       ROUND(MAX(c), 6) >= 0.9 AS contaminated
+       COALESCE(ROUND(MAX(c), 6) >= 0.9, FALSE) AS contaminated
 FROM scored GROUP BY vec_id
 """,
     "text_chunk": """

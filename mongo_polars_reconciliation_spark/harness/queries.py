@@ -528,10 +528,13 @@ def events_funnel_windowed(spark, sf_dir) -> DataFrame:
     """Time-bounded conversion funnel: first view → first click within 1h of
     that view → first purchase within 24h of that click. Unlike the
     unbounded ordered funnel (events_funnel), each step must land inside a
-    per-step window — the realistic attribution rule. Three conditional-min
-    aggregations over ONE groupBy(user) pass (step thresholds are derived
-    in sequence from the same grouped frame via self-contained aggregates),
-    then one broadcast-sized count row. Two key-shuffles total."""
+    per-step window — the realistic attribution rule. Because each step's
+    threshold depends on the PREVIOUS step's min, the plan is a chain of
+    three per-step groupBy(user) aggregations stitched by user_id joins
+    (not one fused pass): every shuffle is keyed on user_id, the per-step
+    frames shrink monotonically (filtered event subsets), and the final
+    count row is broadcast-sized — so the 100 TB cost is a handful of
+    same-key shuffles over per-user rows, never a global sort or window."""
     e = _read_events(spark, sf_dir)
     hour_ns, day_ns = 3_600_000_000_000, 86_400_000_000_000
     t0 = e.where(F.col("event_type") == "view").groupBy("user_id").agg(

@@ -220,3 +220,44 @@ def test_new_operator_edge_cases(spark):
     one = spark.createDataFrame([("a", 5.0)], "k string, v double")
     row = mad_outliers(one, "k", "v").collect()[0]
     assert (row["n"], row["med"], row["mad"], row["n_outliers"]) == (1, 5.0, 0.0, 0)
+
+
+def test_mix_epochs_rejects_bad_weights(spark):
+    """A -0.5 typo must fail loudly, not silently emit zero copies; NaN the
+    same (loud-failure posture mirroring _shingle_ids' hash_mode check)."""
+    import pytest
+
+    from mongo_polars_reconciliation_spark.extensions.text import mix_epochs
+
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="weight"):
+        mix_epochs(docs, "lang", {"en": -0.5})
+    with pytest.raises(ValueError, match="weight"):
+        mix_epochs(docs, "lang", {"en": float("nan")})
+    with pytest.raises(ValueError, match="weight"):
+        mix_epochs(docs, "lang", {"en": 1.0}, default_weight=-1.0)
+
+
+def test_semantic_contamination_reports_partnerless_rows(spark):
+    """A corpus row whose ONLY benchmark partner is itself (self-pair
+    excluded) must still appear: max_cos_r NULL, contaminated false —
+    never silently absent. With exclude_self=False (external benchmark id
+    namespace) the id collision is compared like any other pair."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        semantic_contamination,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    bench = emb.where("vec_id = 1")
+    rows = {r["vec_id"]: r for r in semantic_contamination(emb, bench).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["max_cos_r"] is None and rows[1]["contaminated"] is False
+    assert rows[2]["max_cos_r"] == 0.0 and rows[2]["contaminated"] is False
+    # external-namespace mode: the shared id is a genuine comparison
+    rows2 = {
+        r["vec_id"]: r
+        for r in semantic_contamination(emb, bench, exclude_self=False).collect()
+    }
+    assert rows2[1]["max_cos_r"] == 1.0 and rows2[1]["contaminated"] is True

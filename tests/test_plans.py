@@ -310,24 +310,33 @@ def test_mix_epochs_is_map_only(spark):
     assert plan.count("Exchange") == 0
 
 
+def _n_data_shuffles(plan: str) -> int:
+    """Data (hash/range) exchanges only — broadcast exchanges move tiny
+    build sides, not the corpus. Upper-bound assertions on this count are
+    robust to Spark/AQE plan-rendering drift, unlike exact counts."""
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
 def test_sim_contamination_broadcasts_benchmark(spark):
     """The benchmark side must broadcast (eval sets are small); the data
     shuffles are at most the small-file widen + the per-vector max
-    aggregate — never an all-pairs exchange or cartesian product."""
+    aggregate — never an all-pairs exchange or cartesian product. Upper
+    bounds, not exact counts: plan rendering drifts across Spark/AQE
+    versions, the scale claim is 'no MORE than this'."""
     plan = QUERIES["sim_contamination"](spark, SF_DIR)._jdf.queryExecution(
     ).executedPlan().toString()
-    assert plan.count("BroadcastExchange") == 1
-    assert plan.count("Exchange") <= 3  # broadcast + widen + hash agg
+    assert plan.count("BroadcastExchange") >= 1
+    assert _n_data_shuffles(plan) <= 2  # widen + hash agg
     assert "CartesianProduct" not in plan
 
 
 def test_datacard_single_shuffle(spark):
     """The data card's rank window and final aggregate must share ONE
-    shuffle on the (source, lang) key — a second exchange would rescan the
-    corpus at 100 TB."""
+    shuffle on the (source, lang) key — a second data exchange would
+    rescan the corpus at 100 TB (upper bound; see _n_data_shuffles)."""
     plan = QUERIES["text_datacard"](spark, SF_DIR)._jdf.queryExecution(
     ).executedPlan().toString()
-    assert plan.count("Exchange") == 1
+    assert _n_data_shuffles(plan) <= 1
 
 
 # Tiny-side broadcast cross joins that are BNLJ by DESIGN: one-row aggregate
