@@ -66,6 +66,9 @@ SECONDARY = [
     "sim_knn_join",
     "sim_semantic_dedup",
     "curation_pipeline_v2",
+    # r6 additions
+    "sim_knn_join_multiprobe",
+    "sim_semantic_dedup_fitted",
 ]
 
 

@@ -558,6 +558,148 @@ def knn_join(
     )
 
 
+def probe_assignments(
+    emb: DataFrame,
+    cents: list[list[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, __v, __n, __blk) rows: each vector assigned to its ``nprobe``
+    NEAREST fitted centroids — the multi-probe generalization of
+    :func:`cluster_assign` (which is exactly ``nprobe=1``). Ranking is
+    (squared distance, cid) ascending via ``array_sort`` over literal-
+    centroid structs, the same argmin-with-cid-tie-break contract, so the
+    first probe of every vector equals its single-block assignment.
+
+    Why: single-block ANN (``knn_join``/``semantic_dedup``) is blind to
+    nearest-neighbor pairs straddling a cluster boundary; a vector sitting
+    near the edge meets its across-the-border neighbors in its SECOND
+    closest cluster. Cost: each vector appears in ``nprobe`` blocks, so
+    downstream blocked self-joins grow ≤ nprobe²× (still bounded by block
+    sizes, never n²). Zero joins, zero shuffles here — the assignment is a
+    pure projection over k×dim centroid literals, map-only at 100 TB."""
+    base = _with_norm(emb.select(id_col, vec_col), vec_col, "__")
+    structs = [
+        F.struct(
+            _sq_dist(F.col("__v"), c).alias("d"),
+            F.lit(i).cast("int").alias("cid"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    probes = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    return base.select(
+        F.col(id_col),
+        F.col("__v"),
+        F.col("__n"),
+        F.explode(F.transform(probes, lambda s: s["cid"])).alias("__blk"),
+    )
+
+
+def knn_join_multiprobe(
+    emb: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    nlist: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`knn_join` over FITTED multi-probe blocks: every vector's
+    top-k cosine neighbors among vectors sharing ANY of its ``nprobe``
+    nearest k-means clusters. Strictly more complete than single-block
+    (probe sets are nested in ``nprobe``, so the candidate pair set only
+    grows — property-pinned in tests), catching boundary-straddling
+    neighbors single-block blocking misses.
+
+    Scale shape: k-means fit (k×dim driver rows only) → map-only probe
+    assignment → blocked self-join bounded by (nprobe × block size) → pair
+    dedup on the scored rows (a pair sharing both probed clusters scores
+    identically, so DISTINCT removes the duplicate) → per-vector rank
+    window."""
+    cents = kmeans_fit(emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    blocked = probe_assignments(
+        emb, cents, nprobe, id_col, vec_col
+    ).localCheckpoint(eager=False)
+    l = blocked.select(
+        F.col("__blk"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    r = blocked.select(
+        F.col("__blk"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    scored = (
+        l.join(r, "__blk")
+        .where(F.col("__ida") != F.col("neighbor_id"))
+        .select(
+            F.col("__ida"),
+            "neighbor_id",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_r"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("__ida").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("__ida").alias(id_col), "rank", "neighbor_id", "cos_r")
+    )
+
+
+def semantic_dedup_fitted(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    nlist: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`semantic_dedup` over FITTED multi-probe blocks: a vector is
+    dropped iff some lower-id vector shares ANY of its ``nprobe`` nearest
+    clusters with cosine ≥ ``threshold``. The real-corpus form (no label
+    column exists at 100 TB) with the boundary-blindness of single-block
+    blocking reduced: near-duplicates split across a cluster edge still
+    meet through their second probe. Returns surviving ids."""
+    cents = kmeans_fit(emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    blocked = probe_assignments(
+        emb, cents, nprobe, id_col, vec_col
+    ).localCheckpoint(eager=False)
+    l = blocked.select(
+        F.col("__blk"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    r = blocked.select(
+        F.col("__blk"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    dropped = (
+        l.join(r, "__blk")
+        .where(F.col("__idb") < F.col("__ida"))
+        .select(
+            F.col("__ida").alias(id_col),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("__cos"),
+        )
+        .where(F.col("__cos") >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+    return emb.select(id_col).join(dropped, id_col, "left_anti")
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.9,

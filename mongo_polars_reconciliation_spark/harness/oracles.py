@@ -100,7 +100,10 @@ _SQDIST = (
 )
 
 
-def _kmeans_assign(src_cents: str, name: str) -> str:
+def _kmeans_assign_topn(src_cents: str, name: str, n: int) -> str:
+    """Each vector's ``n`` nearest centroids — (sqdist, cid) ascending, the
+    same argmin-with-cid-tie-break as similarity.cluster_assign /
+    probe_assignments; n=1 is the plain assignment."""
     return f"""
 {name} AS (
   SELECT vec_id, v, cid FROM (
@@ -108,8 +111,12 @@ def _kmeans_assign(src_cents: str, name: str) -> str:
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY {_SQDIST}, c.cid) AS rn
     FROM ev e CROSS JOIN {src_cents} c) t
-  WHERE rn = 1
+  WHERE rn <= {n}
 )"""
+
+
+def _kmeans_assign(src_cents: str, name: str) -> str:
+    return _kmeans_assign_topn(src_cents, name, 1)
 
 
 def _kmeans_means(src_assign: str, prev: str, mname: str, fname: str, lname: str) -> str:
@@ -1401,6 +1408,48 @@ SELECT vec_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cos_r FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, neighbor_id) AS rn
   FROM scored
 ) t WHERE rn <= 3
+""",
+    "sim_knn_join_multiprobe": """
+WITH ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+""" + KMEANS_CTES + "," + _kmeans_assign_topn("cents_final", "assign_probe", 2) + """,
+scored AS (
+  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)), i -> b.v[i]*b.v[i]), (x,y) -> x+y))),
+           6) AS cos_r
+  FROM assign_probe a JOIN assign_probe b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cos_r FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, neighbor_id) AS rn
+  FROM scored
+) t WHERE rn <= 3
+""",
+    "sim_semantic_dedup_fitted": """
+WITH emb_aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(generate_series(1, len(embedding)),
+                        i -> CASE WHEN i <= 8 THEN 0.0 ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 10 = 1
+),
+ev AS (SELECT vec_id, v FROM emb_aug),
+""" + KMEANS_CTES + "," + _kmeans_assign_topn("cents_final", "assign_probe", 2) + """,
+dropped AS (
+  SELECT DISTINCT a.vec_id FROM assign_probe a
+  JOIN assign_probe b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  WHERE ROUND(
+          list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+          / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+           * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)), i -> b.v[i]*b.v[i]), (x,y) -> x+y))),
+          6) >= 0.9
+)
+SELECT vec_id FROM emb_aug
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 """,
     "text_bpe_pairs": """
 WITH toks AS (

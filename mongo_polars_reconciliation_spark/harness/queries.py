@@ -1271,6 +1271,50 @@ def sim_knn_join(spark, sf_dir) -> DataFrame:
     return knn_join(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=3)
 
 
+def sim_knn_join_multiprobe(spark, sf_dir) -> DataFrame:
+    """Batch k-NN graph over FITTED multi-probe blocks (nprobe=2): every
+    vector's top-3 cosine neighbors among vectors sharing either of its
+    two nearest k-means clusters — the boundary-straddle-resistant form
+    of sim_knn_join (candidate set provably ⊇ the single-probe set)."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        knn_join_multiprobe,
+    )
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        KMEANS_ORACLE_K,
+        KMEANS_ORACLE_N_ITER,
+    )
+
+    return knn_join_multiprobe(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=3,
+        nprobe=2,
+        nlist=KMEANS_ORACLE_K,
+        n_iter=KMEANS_ORACLE_N_ITER,
+    )
+
+
+def sim_semantic_dedup_fitted(spark, sf_dir) -> DataFrame:
+    """SemDeDup survivors over FITTED multi-probe blocks on the duplicate-
+    injected embeddings: drop every vector dominated (cos ≥ 0.9) by a
+    lower id sharing either of its two nearest fitted clusters."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        semantic_dedup_fitted,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_embeddings_aug
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        KMEANS_ORACLE_K,
+        KMEANS_ORACLE_N_ITER,
+    )
+
+    return semantic_dedup_fitted(
+        build_embeddings_aug(spark, sf_dir),
+        threshold=0.9,
+        nprobe=2,
+        nlist=KMEANS_ORACLE_K,
+        n_iter=KMEANS_ORACLE_N_ITER,
+    )
+
+
 def text_bpe_pairs(spark, sf_dir) -> DataFrame:
     """Adjacent char-pair frequencies within tokens (min 50 occurrences) —
     the first-merge-step statistics of BPE tokenizer vocab induction."""
@@ -1527,7 +1571,9 @@ QUERIES = {
     "events_anomaly_mad": events_anomaly_mad,
     "text_bpe_pairs": text_bpe_pairs,
     "sim_knn_join": sim_knn_join,
+    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
     "sim_semantic_dedup": sim_semantic_dedup,
+    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
     "events_funnel_windowed": events_funnel_windowed,
     "text_lang_confusion": text_lang_confusion,
     # results CHANGED this round (mixed sampling hash) — must be re-verified

@@ -301,3 +301,39 @@ def test_duplicate_spans_matches_bruteforce(spark):
         for r in duplicate_spans(df, n=8).collect()
     }
     assert got == expect
+
+
+def test_multiprobe_candidates_superset_of_single_probe(spark):
+    """Multi-probe blocking must only ADD candidates: with k large enough
+    to return every scored pair, the (id, neighbor) set at nprobe=2 is a
+    superset of nprobe=1 (probe sets are nested — top-2 clusters contain
+    the top-1), and the shared pairs carry identical scores. Clustered
+    points with a deliberate boundary-straddler make the inclusion
+    strict."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        knn_join_multiprobe,
+    )
+
+    rows = [
+        (0, [0.2, 0.1]),
+        (1, [0.1, 0.0]),
+        (2, [10.0, 10.0]),
+        (3, [10.1, 10.0]),
+        (4, [5.2, 5.2]),   # straddler: nearest cluster differs from 2nd
+        (5, [4.9, 4.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def pairs(nprobe):
+        out = knn_join_multiprobe(emb, k=100, nprobe=nprobe, nlist=3, n_iter=2)
+        return {
+            (r["vec_id"], r["neighbor_id"]): r["cos_r"] for r in out.collect()
+        }
+
+    p1, p2 = pairs(1), pairs(2)
+    assert set(p1) <= set(p2)
+    assert set(p1) != set(p2)  # the straddler meets its cross-border kin
+    for key in p1:
+        assert p1[key] == p2[key]
+    # symmetry: blocking by shared clusters is symmetric in the pair
+    assert all((b, a) in p2 for (a, b) in p2)
