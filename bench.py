@@ -69,6 +69,7 @@ SECONDARY = [
     # r6 additions
     "sim_knn_join_multiprobe",
     "sim_semantic_dedup_fitted",
+    "text_dup_spans_trim",
 ]
 
 

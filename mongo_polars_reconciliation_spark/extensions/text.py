@@ -321,6 +321,102 @@ def duplicate_spans(
     )
 
 
+def trim_duplicate_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level exact-substring TRIMMING — the removal counterpart of
+    :func:`duplicate_spans` (which only measures): every token covered by
+    at least one cross-document duplicated n-token window is deleted, the
+    rest of the document survives in order (the suffix-array-style "trim
+    the duplicated span, keep the rest" operation of exact-substring dedup
+    à la Lee et al. 2022, without destroying the unique remainder the way
+    whole-document dropping would).
+
+    Rule: window w (n consecutive tokens) is *duplicated* iff it occurs in
+    ≥ 2 DISTINCT documents — the same cross-doc rule ``duplicate_spans``
+    scores, so a doc's ``n_dup_windows > 0`` there iff it loses tokens
+    here. Token j of a doc is *covered* iff some duplicated window starts
+    in [j−n+1, j]. Output per document: original/kept token counts, the
+    kept fraction (floor4), and the md5 of the trimmed text — determinism
+    is positional (tokens keep their original order), so the hash is
+    engine-reproducible. Docs shorter than n tokens have no windows and
+    survive whole; fully-covered docs report ``n_kept`` 0 and the md5 of
+    the empty string.
+
+    Scale shape: positional window explode (map-only) → window
+    doc-frequency groupBy with map-side combine → join back on the window
+    string (the ``duplicate_spans`` envelope) → covered-position explode
+    (only duplicated windows, ×n) → keyed distinct + anti-join on
+    (doc, pos) → one groupBy(doc) whose collect_list is bounded by
+    document length. No all-pairs joins anywhere."""
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    tok = base.select(
+        F.col(id_col), F.posexplode("toks").alias("pos", "tok")
+    )
+    idx = ", ".join(f"toks[i+{j}]" for j in range(n))
+    wins = (
+        base.where(F.size("toks") >= n)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks)-{n}),"
+                    f" i -> concat_ws(' ', {idx}))"
+                )
+            ).alias("i", "w"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dupw = (
+        wins.select(id_col, "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .where(F.col("df_") >= 2)
+        .select("w")
+    )
+    covered = (
+        wins.join(dupw, "w")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    kept = tok.join(covered, [id_col, "pos"], "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).cast("binary")
+        ).alias("trimmed_md5"),
+    )
+    totals = base.select(
+        F.col(id_col), F.size("toks").cast("long").alias("n_tokens")
+    )
+    return totals.join(kept_agg, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        floor4(
+            F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_tokens")
+        ).alias("kept_frac_r"),
+        F.coalesce(
+            F.col("trimmed_md5"), F.md5(F.lit("").cast("binary"))
+        ).alias("trimmed_md5"),
+    )
+
+
 def token_counts(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1589,6 +1589,53 @@ SELECT s.doc_id,
 FROM sh s JOIN dfq d USING (shingle)
 GROUP BY s.doc_id
 """,
+    "text_dup_spans_trim": """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+),
+toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_aug),
+tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+  FROM toks0
+),
+wins AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(t, i + 1, i + 8), ' ') AS w
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
+        FROM toks0 WHERE len(t) >= 8) s
+),
+dupw AS (
+  SELECT w FROM (SELECT DISTINCT doc_id, w FROM wins) d
+  GROUP BY w HAVING COUNT(*) >= 2
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT wi.doc_id, unnest(generate_series(wi.i, wi.i + 7)) AS pos
+    FROM wins wi JOIN dupw USING (w)) c
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+),
+kept_agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS trimmed_md5
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks0)
+SELECT tt.doc_id, tt.n_tokens,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       FLOOR(COALESCE(k.n_kept, 0) / CAST(tt.n_tokens AS DOUBLE) * 10000)
+         / 10000 AS kept_frac_r,
+       COALESCE(k.trimmed_md5, md5('')) AS trimmed_md5
+FROM totals tt LEFT JOIN kept_agg k USING (doc_id)
+""",
     "sim_contamination": """
 WITH emb_aug AS (
   SELECT vec_id,

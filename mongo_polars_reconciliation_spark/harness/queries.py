@@ -1234,6 +1234,20 @@ def text_dup_spans(spark, sf_dir) -> DataFrame:
     return duplicate_spans(build_documents_aug(spark, sf_dir), n=8)
 
 
+def text_dup_spans_trim(spark, sf_dir) -> DataFrame:
+    """Span-level exact-substring trimming on the duplicate-injected
+    corpus: tokens covered by any cross-document duplicated 8-token window
+    are removed, survivors keep their order (md5-verified). Exact copies
+    trim to nothing; partially-overlapping docs keep their unique
+    remainder."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        trim_duplicate_spans,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    return trim_duplicate_spans(build_documents_aug(spark, sf_dir), n=8)
+
+
 def sim_contamination(spark, sf_dir) -> DataFrame:
     """Embedding-space benchmark decontamination: max cosine of every corpus
     vector vs the benchmark slice (vec_id % 10 == 1 originals), flag ≥ 0.9.
@@ -1565,6 +1579,7 @@ QUERIES = {
     "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "text_mix_epochs": text_mix_epochs,
     "text_dup_spans": text_dup_spans,
+    "text_dup_spans_trim": text_dup_spans_trim,
     "sim_contamination": sim_contamination,
     "stream_dedup_corpus": stream_dedup_corpus,
     "text_datacard": text_datacard,

@@ -337,3 +337,62 @@ def test_multiprobe_candidates_superset_of_single_probe(spark):
         assert p1[key] == p2[key]
     # symmetry: blocking by shared clusters is symmetric in the pair
     assert all((b, a) in p2 for (a, b) in p2)
+
+
+def test_trim_duplicate_spans_matches_bruteforce(spark):
+    """Trimmed token sets vs a brute-force Python model: covered = any
+    position inside a window occurring in >= 2 distinct docs; survivors
+    keep original order (md5 of the joined remainder)."""
+    import hashlib
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        trim_duplicate_spans,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        1: base,                                                   # fully covered
+        2: base,                                                   # exact copy
+        3: "one two three four five six seven eight nine " + base,  # tail covered
+        4: "completely different words here so that nothing matches at all",
+        5: "short doc",                                            # < 8 tokens
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    n = 8
+    wins = {
+        i: [" ".join(t.split()[j:j + n]) for j in range(len(t.split()) - n + 1)]
+        for i, t in texts.items()
+    }
+    dup = {
+        w
+        for i, ws in wins.items()
+        for w in ws
+        if any(w in set(ws2) for j, ws2 in wins.items() if j != i)
+    }
+    expect = {}
+    for i, t in texts.items():
+        toks = t.split()
+        covered = set()
+        for j, w in enumerate(wins[i]):
+            if w in dup:
+                covered.update(range(j, j + n))
+        kept = [tk for p, tk in enumerate(toks) if p not in covered]
+        expect[i] = (
+            len(toks),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["trimmed_md5"])
+        for r in trim_duplicate_spans(df, n=n).collect()
+    }
+    assert got == expect
+    # and the measurement/removal contract: a doc loses tokens here iff
+    # duplicate_spans scores it n_dup_windows > 0
+    from mongo_polars_reconciliation_spark.extensions.text import duplicate_spans
+
+    dsp = {
+        r["doc_id"]: r["n_dup_windows"] for r in duplicate_spans(df, n=n).collect()
+    }
+    for i in dsp:
+        assert (dsp[i] > 0) == (got[i][1] < got[i][0]), i
