@@ -340,6 +340,13 @@ def user_running_seq(events: DataFrame) -> DataFrame:
     )
 
 
+# Last executed plan (all stages, incl. physical) per drained query name —
+# captured post-termination so tests/test_plans.py can sweep streaming
+# queries for scale killers exactly like batch plans. Best-effort: capture
+# failure must never fail the drain itself.
+LAST_PLANS: dict[str, str] = {}
+
+
 def run_to_table(
     sdf: DataFrame, name: str, output_mode: str = "update"
 ) -> DataFrame:
@@ -358,4 +365,8 @@ def run_to_table(
         .start()
     )
     query.awaitTermination()
+    try:
+        LAST_PLANS[name] = query._jsq.explainInternal(True)  # noqa: SLF001
+    except Exception:
+        LAST_PLANS.pop(name, None)
     return spark.table(name)

@@ -66,6 +66,15 @@ def incremental_match(
         .start()
     )
     query.awaitTermination()
+    # expose the drained plan for the streaming plan sweep; the per-batch
+    # MATCH plan is the batch engine's (covered by the batch sweep) — this
+    # captures the stream side (file scan → foreachBatch)
+    from mongo_polars_reconciliation_spark.streaming.events import LAST_PLANS
+
+    try:
+        LAST_PLANS["incremental_match"] = query._jsq.explainInternal(True)  # noqa: SLF001
+    except Exception:
+        LAST_PLANS.pop("incremental_match", None)
 
 
 def _has_state_files(spark: SparkSession, state_dir: str) -> bool:

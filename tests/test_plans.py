@@ -363,7 +363,7 @@ def test_every_batch_query_plan_is_scale_clean(spark):
     problems = []
     for name, fn in QUERIES.items():
         if name.startswith("stream_"):
-            continue  # bounded drains execute on construction; covered elsewhere
+            continue  # drained plans swept by the streaming test below
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             problems.append(f"{name}: CartesianProduct")
@@ -371,4 +371,48 @@ def test_every_batch_query_plan_is_scale_clean(spark):
             problems.append(f"{name}: row-Python UDF")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BY_DESIGN:
             problems.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not problems, problems
+
+
+# Memory-sink table (= streaming queryName) each stream_* harness query
+# drains into; "incremental_match" is the foreachBatch drain whose per-batch
+# MATCH plan is the batch engine's (already swept above) — the captured plan
+# covers its stream side.
+STREAM_TABLE_OF = {
+    "stream_dedup_corpus": "mem_stream_dedup_corpus",
+    "stream_dedup": "mem_stream_dedup",
+    "stream_events_hourly": "mem_stream_hourly",
+    "stream_sessionize_agg": "mem_stream_sessions",
+    "stream_user_seq": "mem_stream_userseq",
+    "stream_view_attribution": "mem_stream_attrib",
+    "stream_incremental_match": "incremental_match",
+}
+
+
+def test_every_streaming_query_plan_is_scale_clean(spark):
+    """Same three-killer sweep over every STREAMING query's last executed
+    plan: run_to_table/incremental_match capture the terminated query's
+    full explain (logical→physical), and no drained plan may contain a
+    cartesian product, a row-Python UDF, or a broadcast-nested-loop join.
+    (applyInPandasWithState shows as FlatMapGroupsInPandasWithState — the
+    sanctioned Arrow-batched path, not BatchEvalPython.)"""
+    from mongo_polars_reconciliation_spark.streaming.events import LAST_PLANS
+
+    stream_queries = {n: f for n, f in QUERIES.items() if n.startswith("stream_")}
+    assert set(stream_queries) == set(STREAM_TABLE_OF), (
+        "STREAM_TABLE_OF out of date with declared stream_* queries"
+    )
+    problems = []
+    for name, fn in stream_queries.items():
+        fn(spark, SF_DIR)
+        plan = LAST_PLANS.get(STREAM_TABLE_OF[name])
+        if not plan or "== Physical Plan ==" not in plan:
+            problems.append(f"{name}: no captured plan")
+            continue
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            problems.append(f"{name}: row-Python UDF")
+        if "BroadcastNestedLoopJoin" in plan:
+            problems.append(f"{name}: BroadcastNestedLoopJoin")
     assert not problems, problems
