@@ -337,7 +337,17 @@ def minhash_near_dups(
     step, and a small corpus read from few parquet splits would otherwise
     run it on as few cores (measured: 3 tasks on 32 cores). When the
     input already has more partitions (the 100 TB case) no repartition —
-    and no shuffle — happens at all."""
+    and no shuffle — happens at all.
+
+    Measured-and-rejected (r6): a fully ROW-LOCAL band-key path (per-row
+    shingle array → sid array → 12 array-min hashes → band keys in one
+    projection, zero shuffles before the bucket join — the rewrite that
+    took SimHash 4.5 s → 1.4 s) ran 10–20% SLOWER here in an interleaved
+    A/B at sf0.1: unlike SimHash, the shingle explode must exist anyway
+    for the exact-Jaccard verify, so the row-local form pays the shingle
+    extraction twice and trades ONE saved shuffle for interpreted
+    higher-order-function evaluation of the 12 hash minima, while this
+    path's signature aggregation is whole-stage-codegen'd."""
     sh_base = shingles(df, id_col, text_col, n)
     target = (
         shingle_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -350,7 +360,12 @@ def minhash_near_dups(
     sigs_wide = minhash_signatures_wide(
         _shingle_ids(sh, hash_mode), id_col, num_hashes
     )
-    band_key = _band_keys_wide(sigs_wide, id_col, num_hashes // bands, num_hashes)
+    # checkpoint the (bands-per-doc) band-key rows: the bucket-pair stage
+    # consumes them three times (size filter + both self-join sides), and
+    # each consumption would otherwise recompute the signature aggregation
+    band_key = _band_keys_wide(
+        sigs_wide, id_col, num_hashes // bands, num_hashes
+    ).localCheckpoint(eager=False)
     # candidate pairs are tiny (bucket collisions only) but sit on top of
     # the whole signature pipeline — materialize once
     pairs = _pairs_from_band_keys(
