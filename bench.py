@@ -70,6 +70,7 @@ SECONDARY = [
     "sim_knn_join_multiprobe",
     "sim_semantic_dedup_fitted",
     "text_dup_spans_trim",
+    "text_heavy_hitters_cms",
 ]
 
 

@@ -718,6 +718,99 @@ def ngram_frequencies(
     )
 
 
+def heavy_hitters_cms(
+    df: DataFrame,
+    d: int = 3,
+    w: int = 64,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min-sketch heavy hitters: the corpus's top-``k`` tokens by
+    exact count, each with its CMS estimate — the mergeable bounded-state
+    frequency sketch (Cormode & Muthukrishnan 2005) a 100 TB pipeline uses
+    when the token universe doesn't fit anywhere: the sketch is d×w
+    counters whatever the corpus size, counters are plain sums (mergeable
+    across partitions/days/sources without rescanning — the same
+    partial-aggregation contract as the KMV sketch), and estimates can
+    only OVERcount (min over d rows of pairwise-independent-ish hash
+    buckets), never undercount.
+
+    Determinism: bucket hashes derive from the cross-engine mixed
+    polynomial hash (functions/hashing.py), so the oracle reproduces every
+    counter and estimate bit-for-bit; the exact top-k rides along both as
+    the ranking key and as the ground truth that pins the ≥ invariant.
+
+    Scale shape: one token explode → d bucket rows per occurrence →
+    (j, bucket) hash-aggregate whose map-side combine caps shuffled rows
+    at d·w per partition; the exact top-k is a (token) hash-aggregate +
+    TakeOrderedAndProject; estimates join the k×d probe rows (broadcast)
+    against the d·w counter rows. Nothing driver-side beyond k rows."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        POLY_P31,
+        poly_hash_mixed_col,
+    )
+    from mongo_polars_reconciliation_spark.functions.windows import (
+        single_partition_key,
+    )
+
+    tok = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    hv = poly_hash_mixed_col("tok", POLY_P31)
+
+    def bucket(j: int):
+        return F.pmod(
+            F.pmod(hv * F.lit(2 * j + 3) + F.lit(5 * j + 7), F.lit(POLY_P31)),
+            F.lit(w),
+        )
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("j"), bucket(j).alias("b")
+                )
+                for j in range(d)
+            ]
+        )
+    ).alias("jb")
+    counters = (
+        tok.select(rows)
+        .select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    topk = exact.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(k)
+    probes = topk.select(
+        "tok",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"), bucket(j).alias("b")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("jb"),
+    ).select("tok", "n_exact", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+    est = (
+        F.broadcast(probes)
+        .join(counters, ["j", "b"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("cnt").alias("n_cms"))
+    )
+    # non-foldable constant key: the rank window only ever sees the k
+    # limited rows (see functions/windows.py)
+    rank_w = Window.partitionBy(single_partition_key()).orderBy(
+        F.col("n_exact").desc(), F.col("tok").asc()
+    )
+    return est.withColumn(
+        "rank", F.row_number().over(rank_w).cast("long")
+    ).select("rank", "tok", "n_exact", "n_cms")
+
+
 def corpus_datacard(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1863,6 +1863,32 @@ FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '1999-12-31'
 GROUP BY l_returnflag, l_linestatus
 """,
+    "text_heavy_hitters_cms": """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hv AS (SELECT tok, {POLY_HASH_TOK} AS hv FROM tok),
+buckets AS (
+  SELECT j.j, ((h.hv * (2*j.j+3) + (5*j.j+7)) % 2147483647) % 64 AS b
+  FROM hv h CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+),
+counters AS (SELECT j, b, COUNT(*) AS cnt FROM buckets GROUP BY j, b),
+exact AS (SELECT tok, COUNT(*) AS n_exact FROM tok GROUP BY tok),
+topk AS (SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
+probes AS (
+  SELECT t.tok, t.n_exact, j.j,
+         ((({POLY_HASH_TTOK}) * (2*j.j+3) + (5*j.j+7)) % 2147483647) % 64 AS b
+  FROM topk t CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+),
+est AS (
+  SELECT p.tok, p.n_exact, MIN(c.cnt) AS n_cms
+  FROM probes p JOIN counters c ON c.j = p.j AND c.b = p.b
+  GROUP BY p.tok, p.n_exact
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_exact DESC, tok) AS BIGINT) AS rank,
+       tok, n_exact, n_cms
+FROM est
+""",
 }
 
 
@@ -1889,6 +1915,11 @@ ORACLES["text_sample_stratified"] = ORACLES["text_sample_stratified"].replace(
 )
 ORACLES["text_mix_epochs"] = ORACLES["text_mix_epochs"].replace(
     "{POLY_HASH_DOC}", poly_hash_mixed_sql("doc_id")
+)
+ORACLES["text_heavy_hitters_cms"] = (
+    ORACLES["text_heavy_hitters_cms"]
+    .replace("{POLY_HASH_TOK}", poly_hash_mixed_sql("tok"))
+    .replace("{POLY_HASH_TTOK}", poly_hash_mixed_sql("t.tok"))
 )
 
 # The star-based CC variant shares the propagation variant's oracle: both

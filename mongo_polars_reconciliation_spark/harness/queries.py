@@ -1337,6 +1337,16 @@ def text_bpe_pairs(spark, sf_dir) -> DataFrame:
     return bpe_pair_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_heavy_hitters_cms(spark, sf_dir) -> DataFrame:
+    """Count-min-sketch heavy hitters over document tokens (d=3, w=64):
+    top-20 exact tokens with their CMS estimates — the mergeable
+    bounded-state frequency sketch; estimates can only overcount (the
+    oracle pins every counter, a property test pins n_cms >= n_exact)."""
+    from mongo_polars_reconciliation_spark.extensions.text import heavy_hitters_cms
+
+    return heavy_hitters_cms(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def text_lang_confusion(spark, sf_dir) -> DataFrame:
     """Classifier-evaluation shape: confusion matrix of the heuristic
     language ID against the table's gold ``lang`` label — (gold, predicted,
@@ -1591,6 +1601,7 @@ QUERIES = {
     "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
     "events_funnel_windowed": events_funnel_windowed,
     "text_lang_confusion": text_lang_confusion,
+    "text_heavy_hitters_cms": text_heavy_hitters_cms,
     # results CHANGED this round (mixed sampling hash) — must be re-verified
     "text_split_assign": text_split_assign,
     "text_sample_stratified": text_sample_stratified,

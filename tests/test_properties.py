@@ -396,3 +396,44 @@ def test_trim_duplicate_spans_matches_bruteforce(spark):
     }
     for i in dsp:
         assert (dsp[i] > 0) == (got[i][1] < got[i][0]), i
+
+
+def test_cms_heavy_hitters_matches_python_model(spark):
+    """CMS estimates vs an independent Python sketch (same mixed hash, same
+    bucket derivation): exact equality per counter, plus the sketch's
+    defining invariant — estimates NEVER undercount — and exactness for
+    tokens with collision-free buckets in some row."""
+    from collections import Counter
+
+    from mongo_polars_reconciliation_spark.extensions.text import heavy_hitters_cms
+
+    docs = [
+        (1, "a a a b b c d e f g"),
+        (2, "a b b b c c d h i j"),
+        (3, "k l m n o p q r s t"),
+        (4, "a a b c k k k l l m"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d, w, k, p = 3, 8, 10, 2147483647  # tiny w forces collisions
+    toks = [t for _, s in docs for t in s.split(" ")]
+    exact = Counter(toks)
+
+    def bucket(tok, j):
+        return ((_py_poly_hash_mixed(tok) * (2 * j + 3) + (5 * j + 7)) % p) % w
+
+    counters = [Counter() for _ in range(d)]
+    for t in toks:
+        for j in range(d):
+            counters[j][bucket(t, j)] += 1
+
+    topk = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    expect = {
+        tok: (n, min(counters[j][bucket(tok, j)] for j in range(d)))
+        for tok, n in topk
+    }
+    got = {
+        r["tok"]: (r["n_exact"], r["n_cms"])
+        for r in heavy_hitters_cms(df, d=d, w=w, k=k).collect()
+    }
+    assert got == expect
+    assert all(cms >= n for n, cms in got.values())  # never undercounts
