@@ -1550,17 +1550,64 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 
 
 # Dict order = the driver's check order (it walks insertion order and may
-# stop when its per-round budget runs out). Queries that have not yet earned
-# a driver-verified CORRECTNESS row go FIRST so a budget cut can only ever
-# hit queries that already have green rows from prior rounds.
+# stop when its per-round budget runs out, ~50 entries). Round-6 rotation
+# (VERDICT r5 'Next round' #1): first the 13 entries that are new or whose
+# implementation changed this round, then the 34 whose last green driver
+# row is r04 (dedup_ngram_jaccard and dedup_embedding_cosine lead — their
+# r5 code change postdated r5's ordering commit), then the r5-green tail.
+# RULE: this ordering commit is the round's LAST semantics-touching commit.
 QUERIES = {
-    # Ordering is the driver-verification budget (it checks ~50 of the ~74
-    # entries per round, front-first). r5 priority: first the 23 entries the
-    # r04 run never reached (green in r03 + local parity, but the bar is a
-    # driver row), then the queries whose implementation changed this round
-    # (curation fusion, LSH cap plumbing, star-CC convergence cadence), then
-    # the long-green tail.
-    # -- not driver-checked in r04 (green r03 + local pytest) --
+    # -- NEW or implementation-changed in r6 (results value-identical where
+    #    changed, but the code is new — fresh driver rows required) --
+    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
+    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
+    "text_dup_spans_trim": text_dup_spans_trim,
+    "text_heavy_hitters_cms": text_heavy_hitters_cms,
+    "sim_contamination": sim_contamination,
+    "dedup_simhash": dedup_simhash,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
+    "curation_pipeline": curation_pipeline,
+    "curation_pipeline_v2": curation_pipeline_v2,
+    "dedup_clusters": dedup_clusters_cc,
+    "dedup_clusters_star": dedup_clusters_star_cc,
+    "text_mix_epochs": text_mix_epochs,
+    # -- last driver row is r04; r5-modified code first (r5 verdict ask) --
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "events_hourly": events_hourly,
+    "events_retention": events_retention,
+    "events_daily_type_pivot": events_daily_type_pivot,
+    "events_rollup": events_rollup,
+    "events_user_running_value": events_user_running_value,
+    "events_asof_last_view": events_asof_last_view,
+    "events_daily_rollup2": events_hourly_from_daily_rollup,
+    "events_top_users_per_type": events_top_users_per_type,
+    "events_sessionize": events_sessionize,
+    "q1_pricing_summary": q1_pricing_summary,
+    "dedup_exact": dedup_exact,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_topk_ivf": sim_topk_ivf,
+    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
+    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
+    "sim_topk_lsh": sim_topk_lsh,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_pack_sequences": text_pack_sequences,
+    "events_salted_agg": events_salted_agg,
+    "events_hist_quantiles": events_hist_quantiles,
+    "recon_persist_roundtrip": recon_persist_roundtrip,
+    "text_scrub_terms": text_scrub_terms,
+    "text_chunk": text_chunk,
+    "text_repetition": text_repetition,
+    "text_contamination": text_contamination,
+    "text_fingerprint": text_fingerprint,
+    "text_ngram_freq": text_ngram_freq,
+    "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
+    "stream_dedup": stream_dedup_events,
+    "stream_user_seq": stream_user_seq,
+    "stream_incremental_match": stream_incremental_match,
+    # -- driver-verified green in r05, implementation unchanged in r6 --
     "recon_match_exact": recon_match_exact,
     "recon_duplicate_losers": recon_duplicate_losers,
     "recon_residual_internal": recon_residual_internal,
@@ -1585,73 +1632,23 @@ QUERIES = {
     "recon_union_remanent_dedup": recon_union_remanent_dedup,
     "events_funnel": events_funnel,
     "events_props_extract": events_props_extract,
-    # -- new or implementation-changed this round --
-    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
-    "text_mix_epochs": text_mix_epochs,
     "text_dup_spans": text_dup_spans,
-    "text_dup_spans_trim": text_dup_spans_trim,
-    "sim_contamination": sim_contamination,
     "stream_dedup_corpus": stream_dedup_corpus,
     "text_datacard": text_datacard,
     "events_anomaly_mad": events_anomaly_mad,
     "text_bpe_pairs": text_bpe_pairs,
     "sim_knn_join": sim_knn_join,
-    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
     "sim_semantic_dedup": sim_semantic_dedup,
-    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
     "events_funnel_windowed": events_funnel_windowed,
     "text_lang_confusion": text_lang_confusion,
-    "text_heavy_hitters_cms": text_heavy_hitters_cms,
-    # results CHANGED this round (mixed sampling hash) — must be re-verified
     "text_split_assign": text_split_assign,
     "text_sample_stratified": text_sample_stratified,
     "events_user_kmv": events_user_kmv,
     "events_kmv_merge": events_kmv_merge,
-    "curation_pipeline": curation_pipeline,
-    "curation_pipeline_v2": curation_pipeline_v2,
-    "dedup_clusters_star": dedup_clusters_star_cc,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
     "text_lang_id": text_lang_id,
     "text_quality": text_quality,
     "text_token_count": text_token_count,
-    # -- driver-verified green in r04 --
     "stream_view_attribution": stream_view_attribution,
     "stream_events_hourly": stream_events_hourly,
     "stream_sessionize_agg": stream_sessionize_agg,
-    "events_hourly": events_hourly,
-    "events_retention": events_retention,
-    "events_daily_type_pivot": events_daily_type_pivot,
-    "events_rollup": events_rollup,
-    "events_user_running_value": events_user_running_value,
-    "events_asof_last_view": events_asof_last_view,
-    "events_daily_rollup2": events_hourly_from_daily_rollup,
-    "events_top_users_per_type": events_top_users_per_type,
-    "events_sessionize": events_sessionize,
-    "q1_pricing_summary": q1_pricing_summary,
-    "dedup_exact": dedup_exact,
-    "dedup_simhash": dedup_simhash,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_clusters": dedup_clusters_cc,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
-    "sim_topk_bruteforce": sim_topk_bruteforce,
-    "sim_topk_ivf": sim_topk_ivf,
-    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
-    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
-    "sim_topk_lsh": sim_topk_lsh,
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "text_pack_sequences": text_pack_sequences,
-    "events_salted_agg": events_salted_agg,
-    "events_hist_quantiles": events_hist_quantiles,
-    "recon_persist_roundtrip": recon_persist_roundtrip,
-    "text_scrub_terms": text_scrub_terms,
-    "text_chunk": text_chunk,
-    "text_repetition": text_repetition,
-    "text_contamination": text_contamination,
-    "text_fingerprint": text_fingerprint,
-    "text_ngram_freq": text_ngram_freq,
-    "mm_decode_features": mm_decode_features,
-    "mm_frame_sample": mm_frame_sample,
-    "stream_dedup": stream_dedup_events,
-    "stream_user_seq": stream_user_seq,
-    "stream_incremental_match": stream_incremental_match,
 }
