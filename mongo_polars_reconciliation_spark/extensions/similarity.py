@@ -131,8 +131,16 @@ def kmeans_fit(
 
     A production alternative is ``pyspark.ml.clustering.KMeans`` with a
     fixed seed — this fold-exact form exists so the DuckDB oracle can
-    replay the fit bit-for-bit (kmeans++ sampling cannot be mirrored)."""
-    vecs = emb.select(F.col(id_col).alias("_kid"), _as_double(vec_col).alias("v"))
+    replay the fit bit-for-bit (kmeans++ sampling cannot be mirrored).
+
+    The (id, double-vector) projection is lineage-checkpointed once: the
+    loop's 2·n_iter+1 actions would otherwise each re-read the parquet
+    scan and re-run the cast projection, and the checkpoint also keeps
+    the per-iteration plans leaf-shallow (the AQE re-analysis cost
+    measured on the cascade)."""
+    vecs = emb.select(
+        F.col(id_col).alias("_kid"), _as_double(vec_col).alias("v")
+    ).localCheckpoint(eager=False)
     init = vecs.orderBy("_kid").limit(k).collect()
     if not init:
         raise ValueError("kmeans_fit: input has no rows")

@@ -1294,16 +1294,16 @@ def sim_knn_join_multiprobe(spark, sf_dir) -> DataFrame:
         knn_join_multiprobe,
     )
     from mongo_polars_reconciliation_spark.harness.oracles import (
-        KMEANS_ORACLE_K,
-        KMEANS_ORACLE_N_ITER,
+        MULTIPROBE_ORACLE_N_ITER,
+        MULTIPROBE_ORACLE_NLIST,
     )
 
     return knn_join_multiprobe(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         k=3,
         nprobe=2,
-        nlist=KMEANS_ORACLE_K,
-        n_iter=KMEANS_ORACLE_N_ITER,
+        nlist=MULTIPROBE_ORACLE_NLIST,
+        n_iter=MULTIPROBE_ORACLE_N_ITER,
     )
 
 
@@ -1316,16 +1316,16 @@ def sim_semantic_dedup_fitted(spark, sf_dir) -> DataFrame:
     )
     from mongo_polars_reconciliation_spark.harness.fixtures import build_embeddings_aug
     from mongo_polars_reconciliation_spark.harness.oracles import (
-        KMEANS_ORACLE_K,
-        KMEANS_ORACLE_N_ITER,
+        MULTIPROBE_ORACLE_N_ITER,
+        MULTIPROBE_ORACLE_NLIST,
     )
 
     return semantic_dedup_fitted(
         build_embeddings_aug(spark, sf_dir),
         threshold=0.9,
         nprobe=2,
-        nlist=KMEANS_ORACLE_K,
-        n_iter=KMEANS_ORACLE_N_ITER,
+        nlist=MULTIPROBE_ORACLE_NLIST,
+        n_iter=MULTIPROBE_ORACLE_N_ITER,
     )
 
 
