@@ -437,3 +437,62 @@ def test_cms_heavy_hitters_matches_python_model(spark):
     }
     assert got == expect
     assert all(cms >= n for n, cms in got.values())  # never undercounts
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "d", "ee"]), min_size=1, max_size=10),
+        min_size=1, max_size=6,
+    )
+)
+def test_cms_never_undercounts_random(spark, docs):
+    """Randomized CMS invariant: for every reported heavy hitter the
+    estimate is >= the exact count, and exact counts match a Python
+    Counter. w=4 forces heavy collisions."""
+    from collections import Counter
+
+    from mongo_polars_reconciliation_spark.extensions.text import heavy_hitters_cms
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    exact = Counter(t for s in texts for t in s.split(" "))
+    rows = heavy_hitters_cms(df, d=2, w=4, k=50).collect()
+    assert {r["tok"]: r["n_exact"] for r in rows} == dict(
+        sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    )
+    for r in rows:
+        assert r["n_cms"] >= r["n_exact"], r
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),
+            st.integers(min_value=-5, max_value=5),
+        ).filter(lambda v: v != (0, 0)),
+        min_size=2, max_size=8,
+    )
+)
+def test_multiprobe_superset_random(spark, vecs):
+    """Randomized multiprobe nesting: for ANY corpus, the scored candidate
+    pair set at nprobe=2 contains the nprobe=1 set with identical shared
+    scores (k large enough to return every scored pair)."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        knn_join_multiprobe,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(x), float(y)]) for i, (x, y) in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def pairs(nprobe):
+        out = knn_join_multiprobe(emb, k=100, nprobe=nprobe, nlist=3, n_iter=1)
+        return {(r["vec_id"], r["neighbor_id"]): r["cos_r"] for r in out.collect()}
+
+    p1, p2 = pairs(1), pairs(2)
+    assert set(p1) <= set(p2)
+    for key in p1:
+        assert p1[key] == p2[key]
