@@ -25,7 +25,10 @@ def _sorted_rows(df):
      "recon_persist_roundtrip", "dedup_clusters_star",
      "text_pack_sequences", "events_salted_agg", "text_tfidf_top_terms",
      "events_hist_quantiles", "text_dup_spans", "sim_contamination",
-     "text_datacard", "events_anomaly_mad"],
+     "text_datacard", "events_anomaly_mad",
+     # r6 operators
+     "sim_knn_join_multiprobe", "sim_semantic_dedup_fitted",
+     "text_dup_spans_trim", "text_heavy_hitters_cms"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
