@@ -222,6 +222,38 @@ def test_new_operator_edge_cases(spark):
     assert (row["n"], row["med"], row["mad"], row["n_outliers"]) == (1, 5.0, 0.0, 0)
 
 
+def test_r6_operator_edge_cases(spark):
+    """Empty and degenerate inputs through the round-6 operators: typed
+    empty results, and short docs survive trimming whole (no windows →
+    nothing covered)."""
+    import hashlib
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        heavy_hitters_cms,
+        trim_duplicate_spans,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert trim_duplicate_spans(empty).count() == 0
+    assert heavy_hitters_cms(empty).count() == 0
+
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    row = trim_duplicate_spans(short, n=8).collect()[0]
+    assert (row["n_tokens"], row["n_kept"], row["kept_frac_r"]) == (2, 2, 1.0)
+    assert row["trimmed_md5"] == hashlib.md5(b"a b").hexdigest()
+
+    # exact copies trim to NOTHING (md5 of empty string), originals too —
+    # the cross-doc rule is symmetric
+    copies = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8"), (2, "w1 w2 w3 w4 w5 w6 w7 w8")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in trim_duplicate_spans(copies, n=8).collect()}
+    for i in (1, 2):
+        assert got[i]["n_kept"] == 0
+        assert got[i]["trimmed_md5"] == hashlib.md5(b"").hexdigest()
+
+
 def test_mix_epochs_rejects_bad_weights(spark):
     """A -0.5 typo must fail loudly, not silently emit zero copies; NaN the
     same (loud-failure posture mirroring _shingle_ids' hash_mode check)."""
