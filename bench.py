@@ -71,6 +71,7 @@ SECONDARY = [
     "sim_semantic_dedup_fitted",
     "text_dup_spans_trim",
     "text_heavy_hitters_cms",
+    "recon_orc_roundtrip",
 ]
 
 

@@ -570,6 +570,12 @@ WHERE o_orderpriority = '1-URGENT'
         BASE_CTES,
         select="SELECT row_num, codigo, importe, fecha FROM b_tbl",
     ),
+    "recon_orc_roundtrip": q(
+        BASE_CTES,
+        select="""
+SELECT _id, transaction_code, amount, trx_date
+FROM a_tbl WHERE transaction_type = 'SALE'""",
+    ),
     "recon_mongo_json_scan": q(
         BASE_CTES,
         select="""

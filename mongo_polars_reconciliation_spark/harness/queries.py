@@ -409,6 +409,25 @@ def recon_mongo_json_scan(spark, sf_dir) -> DataFrame:
     return doc.where(F.col("transaction_type") == "SALE")
 
 
+def recon_orc_roundtrip(spark, sf_dir) -> DataFrame:
+    """Data-lake format breadth end-to-end on a REAL ORC file: write the
+    internal fixture as ORC (built into Spark — columnar like parquet but
+    the other mainstream lake format), read it back, keep SALEs — the same
+    write→read contract the CSV and mongoexport-JSON round-trips pin, so a
+    pipeline landing ORC can feed the identical reconciliation path. ORC
+    preserves doubles/strings exactly; the oracle checks the disk round
+    trip, not the in-memory frame."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/.stream_tmp/{tag}/orc_roundtrip"
+    a = build_internal(spark, sf_dir)
+    a.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .where(F.col("transaction_type") == "SALE")
+        .select("_id", "transaction_code", "amount", "trx_date")
+    )
+
+
 def recon_state_merge_keep_existing(spark, sf_dir) -> DataFrame:
     a = build_internal(spark, sf_dir)
     target = a.where(F.col("k") % 4 == 0).select("_id", F.lit("OLD").alias("status"))
@@ -1563,10 +1582,12 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # nlist/n_iter constants + kmeans_fit checkpoint (queries at positions
 # 1-2 and the three *_fitted sharers, all ≤ position 30); (2) the
 # multiprobe k-NN score-once-per-unordered-pair rewrite (position 1
-# only). Everything beyond position 47 is untouched round-6 code-wise.
+# only); (3) the ORC round-trip added at position 1 (new query, no prior
+# row). Everything beyond position 48 is untouched round-6 code-wise.
 QUERIES = {
     # -- NEW or implementation-changed in r6 (results value-identical where
     #    changed, but the code is new — fresh driver rows required) --
+    "recon_orc_roundtrip": recon_orc_roundtrip,
     "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
     "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
     "text_dup_spans_trim": text_dup_spans_trim,
