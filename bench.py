@@ -2,7 +2,10 @@
 """Benchmark headline queries; prints ONE JSON line.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_REPS (default 2; clamped to >=1) — per-query repeat count;
+     both mean and min are reported (compare MINs across rounds, the mean
+     carries this machine's ambient-load noise).
 Each query is executed fully via the noop sink (no driver collect cost).
 """
 
@@ -108,7 +111,8 @@ def main() -> None:
     # single timing, so each query runs `reps` times and we report BOTH the
     # mean (the headline metric, comparable to prior rounds) and the min
     # (the low-noise number round-over-round comparisons should use).
-    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    # Clamp: 0/negative would divide-by-zero in mean() / ValueError in min().
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
 
     def run(name: str) -> list[float]:
         ts = []

@@ -811,6 +811,76 @@ def heavy_hitters_cms(
     ).select("rank", "tok", "n_exact", "n_cms")
 
 
+def cms_merge_check(
+    df: DataFrame,
+    group_col: str = "source",
+    d: int = 3,
+    w: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pin of the count-min sketch's mergeability claim: build one partial
+    sketch per ``group_col`` value (source/day/partition), merge them by
+    SUMMING counters, and emit every (j, b) counter of the merged sketch
+    next to the global full-scan counter. Because CMS counters are plain
+    sums of per-occurrence increments, ``sum over groups == global`` holds
+    bit-for-bit — the partial-aggregation contract that lets a 100 TB
+    corpus be sketched per source/day and combined without rescanning
+    (same pin shape as ``events_kmv_merge`` for the KMV sketch).
+
+    Scale shape: per-group counters are a (g, j, b) hash-aggregate whose
+    map-side combine caps shuffled rows at groups·d·w per partition; the
+    merge is a second d·w-row aggregate; the comparison join touches at
+    most d·w rows. Output ≤ d·w rows, nothing driver-side."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        POLY_P31,
+        poly_hash_mixed_col,
+    )
+
+    tok = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    hv = poly_hash_mixed_col("tok", POLY_P31)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("j"),
+                    F.pmod(
+                        F.pmod(
+                            hv * F.lit(2 * j + 3) + F.lit(5 * j + 7),
+                            F.lit(POLY_P31),
+                        ),
+                        F.lit(w),
+                    ).alias("b"),
+                )
+                for j in range(d)
+            ]
+        )
+    ).alias("jb")
+    # consumed by both the per-group and the global aggregate — checkpoint
+    # so the explode+hash runs once (spark-perf lesson: multiply-consumed
+    # frames)
+    jb = (
+        tok.select("g", rows)
+        .select("g", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    per_group = jb.groupBy("g", "j", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = per_group.groupBy("j", "b").agg(F.sum("cnt").alias("cnt_merged"))
+    global_c = jb.groupBy("j", "b").agg(
+        F.count(F.lit(1)).alias("cnt_global")
+    )
+    # key sets are identical by construction (both aggregate the same jb
+    # rows), so an inner join compares every counter
+    return merged.join(global_c, ["j", "b"]).select(
+        F.col("j").cast("long").alias("j"),
+        F.col("b").cast("long").alias("b"),
+        F.col("cnt_merged").cast("long").alias("cnt_merged"),
+        F.col("cnt_global").cast("long").alias("cnt_global"),
+    )
+
+
 def corpus_datacard(
     df: DataFrame,
     id_col: str = "doc_id",

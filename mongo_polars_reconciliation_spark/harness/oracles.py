@@ -1909,6 +1909,23 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_exact DESC, tok) AS BIGINT) AS rank,
        tok, n_exact, n_cms
 FROM est
 """,
+    "text_cms_merge": """
+WITH tok AS (
+  SELECT source AS g, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hv AS (SELECT g, tok, {POLY_HASH_TOK} AS hv FROM tok),
+buckets AS (
+  SELECT g, j.j, ((h.hv * (2*j.j+3) + (5*j.j+7)) % 2147483647) % 64 AS b
+  FROM hv h CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+),
+per_group AS (SELECT g, j, b, COUNT(*) AS cnt FROM buckets GROUP BY g, j, b),
+merged AS (SELECT j, b, SUM(cnt) AS cnt_merged FROM per_group GROUP BY j, b),
+full_scan AS (SELECT j, b, COUNT(*) AS cnt_global FROM buckets GROUP BY j, b)
+SELECT CAST(m.j AS BIGINT) AS j, CAST(m.b AS BIGINT) AS b,
+       CAST(m.cnt_merged AS BIGINT) AS cnt_merged,
+       CAST(g2.cnt_global AS BIGINT) AS cnt_global
+FROM merged m JOIN full_scan g2 ON g2.j = m.j AND g2.b = m.b
+""",
 }
 
 
@@ -1940,6 +1957,9 @@ ORACLES["text_heavy_hitters_cms"] = (
     ORACLES["text_heavy_hitters_cms"]
     .replace("{POLY_HASH_TOK}", poly_hash_mixed_sql("tok"))
     .replace("{POLY_HASH_TTOK}", poly_hash_mixed_sql("t.tok"))
+)
+ORACLES["text_cms_merge"] = ORACLES["text_cms_merge"].replace(
+    "{POLY_HASH_TOK}", poly_hash_mixed_sql("tok")
 )
 
 # The star-based CC variant shares the propagation variant's oracle: both

@@ -1366,6 +1366,17 @@ def text_heavy_hitters_cms(spark, sf_dir) -> DataFrame:
     return heavy_hitters_cms(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_cms_merge(spark, sf_dir) -> DataFrame:
+    """Mergeability pin for the CMS sketch (mirror of events_kmv_merge):
+    per-source partial sketches summed counter-by-counter next to the
+    global full-scan sketch — every (j, b) pair of the d×w=3×64 state,
+    with the oracle pinning that cnt_merged == cnt_global bit-for-bit
+    (a property test asserts the equality column-wise too)."""
+    from mongo_polars_reconciliation_spark.extensions.text import cms_merge_check
+
+    return cms_merge_check(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def text_lang_confusion(spark, sf_dir) -> DataFrame:
     """Classifier-evaluation shape: confusion matrix of the heuristic
     language ID against the table's gold ``lang`` label — (gold, predicted,
@@ -1587,6 +1598,7 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 QUERIES = {
     # -- NEW or implementation-changed in r6 (results value-identical where
     #    changed, but the code is new — fresh driver rows required) --
+    "text_cms_merge": text_cms_merge,
     "recon_orc_roundtrip": recon_orc_roundtrip,
     "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
     "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,

@@ -467,6 +467,37 @@ def test_cms_never_undercounts_random(spark, docs):
 
 @settings(max_examples=5, deadline=None)
 @given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", "d", "ee"]),
+                min_size=1,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_cms_merge_equals_global_random(spark, docs):
+    """Randomized CMS mergeability: per-source partial sketches summed
+    counter-by-counter equal the global full-scan sketch exactly, on every
+    (j, b) cell, for arbitrary source assignments."""
+    from mongo_polars_reconciliation_spark.extensions.text import cms_merge_check
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks), src) for i, (src, toks) in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    rows = cms_merge_check(df, d=2, w=4).collect()
+    assert rows, "sketch produced no counters"
+    for r in rows:
+        assert r["cnt_merged"] == r["cnt_global"], r
+
+
+@settings(max_examples=5, deadline=None)
+@given(
     vecs=st.lists(
         st.tuples(
             st.integers(min_value=-5, max_value=5),
