@@ -172,13 +172,45 @@ def kmeans_fit(
     return cents
 
 
+def auto_nlist(
+    emb: DataFrame, target_block_rows: int = 1024
+) -> int:
+    """Scale ``nlist`` with the corpus: ``ceil(n / target_block_rows)``.
+
+    Why this must scale (VERDICT r6, the one fitted-blocking parameter
+    that could kill the plan at 100×): a blocked self-join over nlist
+    blocks of ~n/nlist rows costs ∝ nlist·(n/nlist)² = n²/nlist pairs.
+    With nlist FIXED, doubling the corpus quadruples the pair count —
+    quadratic blow-up. With nlist = n/target, the cost is ∝ n·target:
+    linear in corpus size with a tunable constant, which is exactly the
+    IVF recipe (nlist ∝ √n..n/target depending on the probe budget; the
+    flat-target form keeps per-block pair work constant).
+
+    Cost of the decision itself: one ``count()`` — a metadata-cheap
+    action on columnar sources, negligible next to the Lloyd fit that
+    follows. The harness queries keep pinned integer nlist constants so
+    the DuckDB oracles can replay the fit bit-for-bit; ``"auto"`` is the
+    production path."""
+    n = emb.count()
+    return max(1, -(-n // target_block_rows))
+
+
+def _resolve_nlist(
+    nlist, emb: DataFrame, target_block_rows: int
+) -> int:
+    if nlist == "auto":
+        return auto_nlist(emb, target_block_rows)
+    return nlist
+
+
 def topk_ivf_fitted(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    nlist: int = 4,
+    nlist: "int | str" = 4,
     n_iter: int = 2,
     nprobe: int = 2,
+    target_block_rows: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -187,6 +219,7 @@ def topk_ivf_fitted(
     the vectors assigned to the best ``nprobe`` clusters. The centroid
     ranking happens driver-side (nlist×dim literals); the big scan keeps
     one projection + filter, no join."""
+    nlist = _resolve_nlist(nlist, emb, target_block_rows)
     cents = kmeans_fit(emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
 
     def cos_to_query(c: list[float]) -> float:
@@ -220,8 +253,9 @@ def topk_ivf_fitted(
 def embedding_near_dups_fitted(
     emb: DataFrame,
     threshold: float = 0.9,
-    nlist: int = 4,
+    nlist: "int | str" = 4,
     n_iter: int = 2,
+    target_block_rows: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -230,6 +264,7 @@ def embedding_near_dups_fitted(
     (no labels exist at 100 TB; near-identical vectors land in the same
     cluster, so the within-block all-pairs join stays bounded by cluster
     sizes)."""
+    nlist = _resolve_nlist(nlist, emb, target_block_rows)
     cents = kmeans_fit(emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     blocked = emb.withColumn("__blk", cluster_assign(_as_double(vec_col), cents))
     return embedding_near_dups(
@@ -608,8 +643,9 @@ def knn_join_multiprobe(
     emb: DataFrame,
     k: int = 5,
     nprobe: int = 2,
-    nlist: int = 4,
+    nlist: "int | str" = 4,
     n_iter: int = 2,
+    target_block_rows: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -630,6 +666,7 @@ def knn_join_multiprobe(
     explode of the narrow scored row — halving the fold work relative to
     scoring both directions (measured ~25% faster end-to-end at sf0.1)
     with bit-identical values."""
+    nlist = _resolve_nlist(nlist, emb, target_block_rows)
     cents = kmeans_fit(emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     blocked = probe_assignments(
         emb, cents, nprobe, id_col, vec_col
@@ -688,8 +725,9 @@ def semantic_dedup_fitted(
     emb: DataFrame,
     threshold: float = 0.9,
     nprobe: int = 2,
-    nlist: int = 4,
+    nlist: "int | str" = 4,
     n_iter: int = 2,
+    target_block_rows: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -699,6 +737,7 @@ def semantic_dedup_fitted(
     column exists at 100 TB) with the boundary-blindness of single-block
     blocking reduced: near-duplicates split across a cluster edge still
     meet through their second probe. Returns surviving ids."""
+    nlist = _resolve_nlist(nlist, emb, target_block_rows)
     cents = kmeans_fit(emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     blocked = probe_assignments(
         emb, cents, nprobe, id_col, vec_col
