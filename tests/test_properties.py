@@ -339,6 +339,76 @@ def test_multiprobe_candidates_superset_of_single_probe(spark):
     assert all((b, a) in p2 for (a, b) in p2)
 
 
+@settings(max_examples=5, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False, width=64,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=8,
+    )
+)
+def test_arrow_kernels_bit_identical_to_expression_path(spark, vecs):
+    """The Arrow pair-dot and centroid-assignment kernels must produce the
+    EXACT doubles of the Catalyst expression path (same IEEE op order) —
+    unrounded equality on random vectors, both the dot scores and the
+    multi-probe block assignments."""
+    import mongo_polars_reconciliation_spark.extensions.similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = (
+        emb.alias("a")
+        .crossJoin(emb.alias("b"))
+        .select(
+            F.col("a.embedding").alias("va"), F.col("b.embedding").alias("vb")
+        )
+    )
+    cents = [vecs[0], vecs[-1]]
+
+    def snapshot():
+        dots = [
+            r[0]
+            for r in pairs.select(
+                sim._pair_dot(F.col("va"), F.col("vb"))
+            ).collect()
+        ]
+        blocks = sorted(
+            map(
+                tuple,
+                sim.probe_assignments(emb, cents, nprobe=2).select(
+                    "vec_id", "__blk"
+                ).collect(),
+            )
+        )
+        assign = [
+            r[0]
+            for r in emb.select(
+                sim.cluster_assign(F.col("embedding"), cents)
+            ).collect()
+        ]
+        return dots, blocks, assign
+
+    saved_pd, saved_as = sim.PAIR_DOT_ARROW, sim.ASSIGN_ARROW
+    try:
+        sim.PAIR_DOT_ARROW = sim.ASSIGN_ARROW = True
+        arrow = snapshot()
+        sim.PAIR_DOT_ARROW = sim.ASSIGN_ARROW = False
+        expr = snapshot()
+    finally:
+        sim.PAIR_DOT_ARROW, sim.ASSIGN_ARROW = saved_pd, saved_as
+    # exact, unrounded — repr distinguishes every double bit pattern
+    assert list(map(repr, arrow[0])) == list(map(repr, expr[0]))
+    assert arrow[1] == expr[1]
+    assert arrow[2] == expr[2]
+
+
 def test_auto_nlist_preserves_nesting_and_scales(spark):
     """nlist="auto" (VERDICT r6 #3): the resolved value is
     ceil(n/target_block_rows), the fitted pipeline accepts it, and the
