@@ -755,3 +755,40 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jacc_r") >= threshold)
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Inter-source exact-duplicate overlap matrix — the data-card signal
+    for corpus composition: for every unordered pair of sources, the
+    number of distinct content digests present in BOTH (e.g. how much of
+    a new crawl is already covered by an existing dump — the first
+    question before paying to dedup/train on it). Off-diagonal pairs
+    only; per-source duplicate stats are ``corpus_datacard``'s job.
+
+    Scale shape: (digest, source) distinct — one hash-aggregate on the
+    md5 digest (the text never shuffles) → self-join keyed on digest,
+    whose fanout per digest is (#sources containing it)², bounded by the
+    source-count, never by corpus size → one (source_a, source_b)
+    count aggregate. Mergeable across corpus partitions (distinct-union
+    then recount), no all-pairs document join anywhere."""
+    ds = (
+        df.select(
+            F.md5(F.col(text_col).cast("binary")).alias("__dg"),
+            F.col(source_col).alias("__src"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = ds.select("__dg", F.col("__src").alias("source_a"))
+    b = ds.select("__dg", F.col("__src").alias("source_b"))
+    return (
+        a.join(b, "__dg")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -759,8 +759,15 @@ def heavy_hitters_cms(
     counters whatever the corpus size, counters are plain sums (mergeable
     across partitions/days/sources without rescanning — the same
     partial-aggregation contract as the KMV sketch), and estimates can
-    only OVERcount (min over d rows of pairwise-independent-ish hash
-    buckets), never undercount.
+    only OVERcount (min over d rows), never undercount.
+
+    Bucket family: the standard double-hashing rows ``g_j = (h1 + j·h2)
+    mod p mod w`` (Kirsch & Mitzenmacher 2006) with two genuinely
+    different base hashes — h1 over the token, h2 over the REVERSED
+    token (r6 nit: the previous rows were affine transforms of ONE hash,
+    so two tokens colliding in h collided in every row). If h2(x) = 0
+    the d rows coincide for that token — estimates still never
+    undercount, the sketch just loses row-independence for that key.
 
     Determinism: bucket hashes derive from the cross-engine mixed
     polynomial hash (functions/hashing.py), so the oracle reproduces every
@@ -781,11 +788,12 @@ def heavy_hitters_cms(
     )
 
     tok = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    hv = poly_hash_mixed_col("tok", POLY_P31)
+    h1 = poly_hash_mixed_col("tok", POLY_P31)
+    h2 = poly_hash_mixed_col("reverse(tok)", POLY_P31)
 
     def bucket(j: int):
         return F.pmod(
-            F.pmod(hv * F.lit(2 * j + 3) + F.lit(5 * j + 7), F.lit(POLY_P31)),
+            F.pmod(h1 + F.lit(j) * h2, F.lit(POLY_P31)),
             F.lit(w),
         )
 
@@ -837,6 +845,109 @@ def heavy_hitters_cms(
     ).select("rank", "tok", "n_exact", "n_cms")
 
 
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-seen n-gram novelty rate — the incremental-value signal of a
+    corpus ordered by id (crawl snapshot order, shard order): for each
+    document, how many of its distinct n-gram shingles appear in NO
+    lower-id document, and the fraction. A doc full of already-seen
+    n-grams adds little to a training mix even if it is not a near-dup
+    of any single other doc (boilerplate recombination) — the curation
+    signal exact/minhash dedup cannot express.
+
+    Semantics: gram g is NOVEL in doc d iff min(doc_id over docs
+    containing g) == d — each distinct gram is credited to exactly one
+    document, so sum(n_novel) == count(distinct grams). Docs shorter
+    than ``n`` tokens have no shingles and do not appear (the
+    ``duplicate_spans`` contract).
+
+    Scale shape: shingle explode (map-only) → min-id per gram with
+    map-side combine → join back → per-doc aggregate — the inverted-
+    index envelope of ``duplicate_spans``, same 128-bit hashed join key
+    (raw shingle strings never shuffle), no pair joins anywhere."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import shingles
+
+    sh = (
+        shingles(df, id_col, text_col, n)
+        .select(
+            F.col(id_col),
+            F.xxhash64("shingle").alias("h1"),
+            F.xxhash64(F.col("shingle"), F.lit(0x5EED)).alias("h2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    first = sh.groupBy("h1", "h2").agg(F.min(id_col).alias("first_id"))
+    return (
+        sh.join(first, ["h1", "h2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("first_id") == F.col(id_col), 1)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_novel",
+            floor4(F.col("n_novel") / F.col("n_grams")).alias(
+                "novelty_frac_r"
+            ),
+        )
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak exact duplicates across
+    splits: documents are grouped by content digest, every group hashes
+    ONE representative id (the group's min) into the 80/10/10 buckets,
+    so all copies of a text land in the same split. Plain per-doc
+    hash splitting (``text_split_assign``) puts an exact copy of a
+    training document into the eval split with probability ~20% per
+    duplicated pair — the classic train/test contamination bug this
+    operator removes. Grouping by exact digest here; the same shape
+    takes any cluster id (minhash/semantic) as the group key for
+    near-dup-safe splits.
+
+    Scale shape: one (digest → min id) hash-aggregate with map-side
+    combine + one keyed join back on the digest — the md5 digest (not
+    the text) is the only shuffled key. Assignment itself is the same
+    deterministic mixed-hash bucket arithmetic as ``text_split_assign``:
+    no rand(), stable across runs/engines/cluster shapes."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        poly_hash_mixed_col,
+    )
+
+    digest = F.md5(F.col(text_col).cast("binary")).alias("__dg")
+    reps = (
+        df.select(F.col(id_col), digest)
+        .groupBy("__dg")
+        .agg(F.min(id_col).alias("rep_id"))
+    )
+    h = F.pmod(poly_hash_mixed_col("rep_id"), F.lit(100))
+    return (
+        df.select(F.col(id_col), digest)
+        .join(reps, "__dg")
+        .select(
+            F.col(id_col),
+            "rep_id",
+            h.alias("bucket"),
+            F.when(h < 80, "train")
+            .when(h < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
 def cms_merge_check(
     df: DataFrame,
     group_col: str = "source",
@@ -866,17 +977,15 @@ def cms_merge_check(
         F.col(group_col).alias("g"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    hv = poly_hash_mixed_col("tok", POLY_P31)
+    h1 = poly_hash_mixed_col("tok", POLY_P31)
+    h2 = poly_hash_mixed_col("reverse(tok)", POLY_P31)
     rows = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(j).cast("int").alias("j"),
                     F.pmod(
-                        F.pmod(
-                            hv * F.lit(2 * j + 3) + F.lit(5 * j + 7),
-                            F.lit(POLY_P31),
-                        ),
+                        F.pmod(h1 + F.lit(j) * h2, F.lit(POLY_P31)),
                         F.lit(w),
                     ).alias("b"),
                 )

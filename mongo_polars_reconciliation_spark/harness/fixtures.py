@@ -174,6 +174,23 @@ def build_documents_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
+def build_documents_xsource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents plus CROSS-source exact copies: doc_id % 10 == 7 docs are
+    mirrored (doc_id + 100000) under the synthetic source ``mirror`` —
+    ``build_documents_aug`` keeps the original source on its copies, so
+    an inter-source overlap matrix over it would be empty (the natural
+    data has no duplicate texts at all)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mirror = d.where(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("mirror").alias("source"),
+        "n_chars",
+    )
+    return d.unionByName(mirror)
+
+
 def build_embeddings_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings plus injected near-duplicates: for vec_id % 10 == 1, a copy
     (vec_id + 100000, same label) with the first 8 dims zeroed — cosine vs the

@@ -1887,9 +1887,9 @@ GROUP BY l_returnflag, l_linestatus
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS tok FROM documents
 ),
-hv AS (SELECT tok, {POLY_HASH_TOK} AS hv FROM tok),
+hv AS (SELECT tok, {POLY_HASH_TOK} AS h1, {POLY_HASH_RTOK} AS h2 FROM tok),
 buckets AS (
-  SELECT j.j, ((h.hv * (2*j.j+3) + (5*j.j+7)) % 2147483647) % 64 AS b
+  SELECT j.j, ((h.h1 + j.j * h.h2) % 2147483647) % 64 AS b
   FROM hv h CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
 ),
 counters AS (SELECT j, b, COUNT(*) AS cnt FROM buckets GROUP BY j, b),
@@ -1897,7 +1897,7 @@ exact AS (SELECT tok, COUNT(*) AS n_exact FROM tok GROUP BY tok),
 topk AS (SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
 probes AS (
   SELECT t.tok, t.n_exact, j.j,
-         ((({POLY_HASH_TTOK}) * (2*j.j+3) + (5*j.j+7)) % 2147483647) % 64 AS b
+         ((({POLY_HASH_TTOK}) + j.j * ({POLY_HASH_TRTOK})) % 2147483647) % 64 AS b
   FROM topk t CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
 ),
 est AS (
@@ -1909,13 +1909,71 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_exact DESC, tok) AS BIGINT) AS rank,
        tok, n_exact, n_cms
 FROM est
 """,
+    "text_ngram_novelty": """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs_aug),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks) u
+  WHERE shingle IS NOT NULL
+),
+firsts AS (SELECT shingle, MIN(doc_id) AS first_id FROM sh GROUP BY 1)
+SELECT s.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(CASE WHEN f.first_id = s.doc_id THEN 1 END) AS n_novel,
+       FLOOR(COUNT(CASE WHEN f.first_id = s.doc_id THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE) * 10000) / 10000 AS novelty_frac_r
+FROM sh s JOIN firsts f USING (shingle)
+GROUP BY s.doc_id
+""",
+    "text_split_leakage_safe": """
+WITH docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+),
+reps AS (SELECT text, MIN(doc_id) AS rep_id FROM docs_aug GROUP BY text),
+assigned AS (
+  SELECT d.doc_id, r.rep_id, ({POLY_HASH_REP}) % 100 AS bucket
+  FROM docs_aug d JOIN reps r USING (text)
+)
+SELECT doc_id, rep_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM assigned
+""",
+    "dedup_source_overlap": """
+WITH docs_x AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, 'mirror' FROM documents WHERE doc_id % 10 = 7
+),
+ds AS (SELECT DISTINCT text, source FROM docs_x)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM ds a JOIN ds b ON a.text = b.text AND a.source < b.source
+GROUP BY a.source, b.source
+""",
     "text_cms_merge": """
 WITH tok AS (
   SELECT source AS g, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
-hv AS (SELECT g, tok, {POLY_HASH_TOK} AS hv FROM tok),
+hv AS (SELECT g, tok, {POLY_HASH_TOK} AS h1, {POLY_HASH_RTOK} AS h2 FROM tok),
 buckets AS (
-  SELECT g, j.j, ((h.hv * (2*j.j+3) + (5*j.j+7)) % 2147483647) % 64 AS b
+  SELECT g, j.j, ((h.h1 + j.j * h.h2) % 2147483647) % 64 AS b
   FROM hv h CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
 ),
 per_group AS (SELECT g, j, b, COUNT(*) AS cnt FROM buckets GROUP BY g, j, b),
@@ -1956,10 +2014,17 @@ ORACLES["text_mix_epochs"] = ORACLES["text_mix_epochs"].replace(
 ORACLES["text_heavy_hitters_cms"] = (
     ORACLES["text_heavy_hitters_cms"]
     .replace("{POLY_HASH_TOK}", poly_hash_mixed_sql("tok"))
+    .replace("{POLY_HASH_RTOK}", poly_hash_mixed_sql("reverse(tok)"))
     .replace("{POLY_HASH_TTOK}", poly_hash_mixed_sql("t.tok"))
+    .replace("{POLY_HASH_TRTOK}", poly_hash_mixed_sql("reverse(t.tok)"))
 )
-ORACLES["text_cms_merge"] = ORACLES["text_cms_merge"].replace(
-    "{POLY_HASH_TOK}", poly_hash_mixed_sql("tok")
+ORACLES["text_split_leakage_safe"] = ORACLES["text_split_leakage_safe"].replace(
+    "{POLY_HASH_REP}", poly_hash_mixed_sql("r.rep_id")
+)
+ORACLES["text_cms_merge"] = (
+    ORACLES["text_cms_merge"]
+    .replace("{POLY_HASH_TOK}", poly_hash_mixed_sql("tok"))
+    .replace("{POLY_HASH_RTOK}", poly_hash_mixed_sql("reverse(tok)"))
 )
 
 # The star-based CC variant shares the propagation variant's oracle: both

@@ -1366,6 +1366,41 @@ def text_heavy_hitters_cms(spark, sf_dir) -> DataFrame:
     return heavy_hitters_cms(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_ngram_novelty(spark, sf_dir) -> DataFrame:
+    """First-seen 3-gram novelty per document on the duplicate-injected
+    corpus: exact copies score ~0 novel grams (everything was seen at the
+    original's lower id), near-dup copies score ~0, originals carry the
+    novelty — the incremental-value curation signal dedup can't express."""
+    from mongo_polars_reconciliation_spark.extensions.text import ngram_novelty
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    return ngram_novelty(build_documents_aug(spark, sf_dir), n=3)
+
+
+def text_split_leakage_safe(spark, sf_dir) -> DataFrame:
+    """Leakage-safe 80/10/10 split on the duplicate-injected corpus: each
+    exact-duplicate group hashes ONE representative id, so copies of a
+    text can never straddle train/eval — the contamination bug the plain
+    per-doc hash split (text_split_assign) has with probability ~20% per
+    duplicated pair."""
+    from mongo_polars_reconciliation_spark.extensions.text import leakage_safe_split
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    return leakage_safe_split(build_documents_aug(spark, sf_dir))
+
+
+def dedup_source_overlap(spark, sf_dir) -> DataFrame:
+    """Inter-source exact-duplicate overlap matrix on the cross-source
+    mirrored corpus: every (srcN, mirror-source) pair's shared distinct
+    digest count — the corpus-composition data-card signal."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import source_overlap
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_documents_xsource,
+    )
+
+    return source_overlap(build_documents_xsource(spark, sf_dir))
+
+
 def text_cms_merge(spark, sf_dir) -> DataFrame:
     """Mergeability pin for the CMS sketch (mirror of events_kmv_merge):
     per-source partial sketches summed counter-by-counter next to the
@@ -1599,6 +1634,9 @@ QUERIES = {
     # -- NEW or implementation-changed in r6 (results value-identical where
     #    changed, but the code is new — fresh driver rows required) --
     "text_cms_merge": text_cms_merge,
+    "text_ngram_novelty": text_ngram_novelty,
+    "text_split_leakage_safe": text_split_leakage_safe,
+    "dedup_source_overlap": dedup_source_overlap,
     "recon_orc_roundtrip": recon_orc_roundtrip,
     "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
     "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,

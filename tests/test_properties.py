@@ -543,7 +543,10 @@ def test_cms_heavy_hitters_matches_python_model(spark):
     exact = Counter(toks)
 
     def bucket(tok, j):
-        return ((_py_poly_hash_mixed(tok) * (2 * j + 3) + (5 * j + 7)) % p) % w
+        # Kirsch-Mitzenmacher rows: h1 over the token, h2 over its reverse
+        return (
+            (_py_poly_hash_mixed(tok) + j * _py_poly_hash_mixed(tok[::-1])) % p
+        ) % w
 
     counters = [Counter() for _ in range(d)]
     for t in toks:
