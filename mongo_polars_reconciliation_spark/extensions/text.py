@@ -948,6 +948,93 @@ def leakage_safe_split(
     )
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the bounded-state form of
+    :func:`contamination_probe`: benchmark n-grams are folded into an
+    ``m_bits``-position Bloom filter (``k_hashes`` positions per gram via
+    Kirsch-Mitzenmacher double hashing, the same family as the CMS
+    sketch), and a training document's gram is FLAGGED iff all k of its
+    positions are set. One-sided error by construction: every truly
+    contaminated gram is flagged (no false negatives — the property a
+    decontamination gate must have), a clean gram is flagged with
+    probability ≈ (1-e^{-kN/m})^k. The filter is ≤ m_bits of state
+    however large the benchmark suite is, mergeable across benchmark
+    shards by union/bit-OR — what a 100 TB pipeline broadcasts where the
+    exact gram set would not fit.
+
+    Spark realization: the "bitmap" is the distinct-position table
+    (≤ m_bits rows) on the BROADCAST side of a hash join — identical
+    membership semantics to a bit array (bit set ⇔ position present),
+    kept relational so the DuckDB oracle replays every flag bit-for-bit,
+    false positives included (same hashes ⇒ same collisions). Probe
+    grams carry only their (h1, h2) hash pair — the gram string never
+    shuffles. Returns flagged docs only (``contamination_probe``'s
+    contract): (doc, n_grams, n_flagged, flagged_frac_r)."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import shingles
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        POLY_P31,
+        poly_hash_mixed_col,
+    )
+
+    def hashed_grams(df: DataFrame, idc: str) -> DataFrame:
+        return shingles(df, idc, text_col, n).select(
+            F.col(idc),
+            poly_hash_mixed_col("shingle", POLY_P31).alias("h1"),
+            poly_hash_mixed_col("reverse(shingle)", POLY_P31).alias("h2"),
+        )
+
+    def positions() -> Column:
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        F.pmod(
+                            F.col("h1") + F.lit(j) * F.col("h2"),
+                            F.lit(m_bits),
+                        ).alias("p"),
+                    )
+                    for j in range(k_hashes)
+                ]
+            )
+        )
+
+    bench_pos = (
+        hashed_grams(benchmark, bench_id_col)
+        .select(positions().alias("jp"))
+        .select(F.col("jp.p").alias("p"))
+        .distinct()
+    )
+    sh = hashed_grams(docs, id_col).localCheckpoint(eager=False)
+    gpos = sh.select(
+        F.col(id_col), "h1", "h2", positions().alias("jp")
+    ).select(id_col, "h1", "h2", F.col("jp.j").alias("j"), F.col("jp.p").alias("p"))
+    flagged = (
+        gpos.join(F.broadcast(bench_pos), "p")
+        .groupBy(id_col, "h1", "h2")
+        .agg(F.count_distinct("j").alias("nj"))
+        .where(F.col("nj") == k_hashes)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    totals = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return totals.join(flagged, id_col).select(
+        F.col(id_col),
+        "n_grams",
+        "n_flagged",
+        floor4(F.col("n_flagged") / F.col("n_grams")).alias("flagged_frac_r"),
+    )
+
+
 def cms_merge_check(
     df: DataFrame,
     group_col: str = "source",

@@ -1909,6 +1909,42 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_exact DESC, tok) AS BIGINT) AS rank,
        tok, n_exact, n_cms
 FROM est
 """,
+    "text_bloom_decontaminate": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-4),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   || ' ' || t[i+4])) AS shingle
+    FROM toks) u
+  WHERE shingle IS NOT NULL
+),
+hs AS (
+  SELECT doc_id, shingle, {POLY_HASH_SH} AS h1, {POLY_HASH_RSH} AS h2 FROM sh
+),
+bench_pos AS (
+  SELECT DISTINCT (h1 + j.j * h2) % 4096 AS p
+  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+  WHERE doc_id % 10 = 7
+),
+gpos AS (
+  SELECT doc_id, h1, h2, j.j, (h1 + j.j * h2) % 4096 AS p
+  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+),
+flagged AS (
+  SELECT doc_id, h1, h2
+  FROM gpos g JOIN bench_pos b USING (p)
+  GROUP BY doc_id, h1, h2
+  HAVING COUNT(DISTINCT j) = 3
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+fc AS (SELECT doc_id, COUNT(*) AS n_flagged FROM flagged GROUP BY 1)
+SELECT t.doc_id, t.n_grams, f.n_flagged,
+       FLOOR(f.n_flagged / CAST(t.n_grams AS DOUBLE) * 10000) / 10000
+         AS flagged_frac_r
+FROM totals t JOIN fc f USING (doc_id)
+""",
     "text_ngram_novelty": """
 WITH docs_aug AS (
   SELECT doc_id, text FROM documents
@@ -2017,6 +2053,11 @@ ORACLES["text_heavy_hitters_cms"] = (
     .replace("{POLY_HASH_RTOK}", poly_hash_mixed_sql("reverse(tok)"))
     .replace("{POLY_HASH_TTOK}", poly_hash_mixed_sql("t.tok"))
     .replace("{POLY_HASH_TRTOK}", poly_hash_mixed_sql("reverse(t.tok)"))
+)
+ORACLES["text_bloom_decontaminate"] = (
+    ORACLES["text_bloom_decontaminate"]
+    .replace("{POLY_HASH_SH}", poly_hash_mixed_sql("shingle"))
+    .replace("{POLY_HASH_RSH}", poly_hash_mixed_sql("reverse(shingle)"))
 )
 ORACLES["text_split_leakage_safe"] = ORACLES["text_split_leakage_safe"].replace(
     "{POLY_HASH_REP}", poly_hash_mixed_sql("r.rep_id")

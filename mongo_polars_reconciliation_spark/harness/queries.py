@@ -1366,6 +1366,18 @@ def text_heavy_hitters_cms(spark, sf_dir) -> DataFrame:
     return heavy_hitters_cms(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_bloom_decontaminate(spark, sf_dir) -> DataFrame:
+    """Bloom-filter decontamination (m=4096 bits, k=3 double hashes) of
+    the corpus against the id%10==7 benchmark slice — the bounded-state,
+    mergeable form of text_contamination with deterministic (oracle-
+    replayed) false positives and zero false negatives."""
+    from mongo_polars_reconciliation_spark.extensions.text import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 10 == 7)
+    return bloom_decontaminate(docs, bench, n=5)
+
+
 def text_ngram_novelty(spark, sf_dir) -> DataFrame:
     """First-seen 3-gram novelty per document on the duplicate-injected
     corpus: exact copies score ~0 novel grams (everything was seen at the
@@ -1634,6 +1646,7 @@ QUERIES = {
     # -- NEW or implementation-changed in r6 (results value-identical where
     #    changed, but the code is new — fresh driver rows required) --
     "text_cms_merge": text_cms_merge,
+    "text_bloom_decontaminate": text_bloom_decontaminate,
     "text_ngram_novelty": text_ngram_novelty,
     "text_split_leakage_safe": text_split_leakage_safe,
     "dedup_source_overlap": dedup_source_overlap,

@@ -409,6 +409,39 @@ def test_arrow_kernels_bit_identical_to_expression_path(spark, vecs):
     assert arrow[2] == expr[2]
 
 
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom decontamination's one-sided error: every gram the EXACT
+    contamination probe counts is also flagged by the filter, per doc
+    (n_flagged >= hit_ngrams, and every exactly-contaminated doc appears).
+    A tiny m forces false positives, which must only ever ADD flags."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        bloom_decontaminate,
+        contamination_probe,
+    )
+
+    docs = [
+        (1, "a b c d e f g h"),
+        (2, "a b c x y z q r"),
+        (3, "m n o p q r s t"),
+        (4, "zz yy xx ww vv uu tt ss"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.where(F.col("doc_id") == 1)
+    exact = {
+        r["doc_id"]: r["hit_ngrams"]
+        for r in contamination_probe(df, bench, n=3).collect()
+    }
+    flagged = {
+        r["doc_id"]: r["n_flagged"]
+        for r in bloom_decontaminate(
+            df, bench, n=3, m_bits=16, k_hashes=2
+        ).collect()
+    }
+    assert set(exact) <= set(flagged)
+    for d, hits in exact.items():
+        assert flagged[d] >= hits, (d, flagged[d], hits)
+
+
 def test_auto_nlist_preserves_nesting_and_scales(spark):
     """nlist="auto" (VERDICT r6 #3): the resolved value is
     ceil(n/target_block_rows), the fitted pipeline accepts it, and the
