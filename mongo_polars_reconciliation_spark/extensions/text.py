@@ -807,13 +807,25 @@ def heavy_hitters_cms(
             ]
         )
     ).alias("jb")
-    counters = (
-        tok.select(rows)
-        .select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
-        .groupBy("j", "b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # Aggregate occurrences to the (vocab-sized) distinct-token frame
+    # FIRST, then hash each distinct token once and weight its counter
+    # contribution by the occurrence count — same integer sums bit-for-
+    # bit, but the two interpreted hash folds run |vocab| times instead
+    # of |corpus tokens| times (measured r7 at sf0.1: 3.43→1.09 s warm
+    # min, after the double-hash family had doubled per-occurrence fold
+    # work). The (j, b) aggregate's input also shrinks from
+    # d·occurrences to d·vocab rows.
+    exact = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .localCheckpoint(eager=False)
     )
-    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    counters = (
+        exact.select("n_exact", rows)
+        .select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"), "n_exact")
+        .groupBy("j", "b")
+        .agg(F.sum("n_exact").alias("cnt"))
+    )
     topk = exact.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(k)
     probes = topk.select(
         "tok",
@@ -1080,19 +1092,20 @@ def cms_merge_check(
             ]
         )
     ).alias("jb")
-    # consumed by both the per-group and the global aggregate — checkpoint
-    # so the explode+hash runs once (spark-perf lesson: multiply-consumed
-    # frames)
+    # Aggregate to per-(group, distinct-token) counts FIRST (vocab-first,
+    # as in heavy_hitters_cms), hash each distinct token once, weight by
+    # the count — identical integer sums; consumed by both the per-group
+    # and the global aggregate, hence the checkpoint.
     jb = (
-        tok.select("g", rows)
-        .select("g", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        tok.groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .select("g", "occ", rows)
+        .select("g", "occ", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
         .localCheckpoint(eager=False)
     )
-    per_group = jb.groupBy("g", "j", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    per_group = jb.groupBy("g", "j", "b").agg(F.sum("occ").alias("cnt"))
     merged = per_group.groupBy("j", "b").agg(F.sum("cnt").alias("cnt_merged"))
-    global_c = jb.groupBy("j", "b").agg(
-        F.count(F.lit(1)).alias("cnt_global")
-    )
+    global_c = jb.groupBy("j", "b").agg(F.sum("occ").alias("cnt_global"))
     # key sets are identical by construction (both aggregate the same jb
     # rows), so an inner join compares every counter
     return merged.join(global_c, ["j", "b"]).select(
