@@ -717,28 +717,44 @@ def ngram_jaccard_pairs(
     both sides of the inverted-index join) and widened — never narrowed —
     to ``shingle_partitions`` (default: the cluster's parallelism) when a
     few-split corpus would otherwise run the per-character shingle work
-    on a handful of cores."""
-    sh_base = shingles(df, id_col, text_col, n)
+    on a handful of cores. The shingle identity that shuffles (df
+    groupBy, cap join, inverted-index self-join) is the 128-bit two-lane
+    xxhash64 composite, not the raw n-token string — the
+    ``duplicate_spans`` shuffle-byte treatment; a collision could only
+    merge two shingles' df counts (collision odds ~N²/2¹²⁹). Interleaved
+    A/B at sf0.1 measured neutral wall-clock (3.29 vs 3.31 s min —
+    stage latency dominates at test scale); the change is for shuffle
+    BYTES, which shrink several-fold on long shingles at 100 TB."""
+    sh_base = shingles(df, id_col, text_col, n).select(
+        F.col(id_col),
+        F.xxhash64("shingle").alias("h1"),
+        F.xxhash64(F.col("shingle"), F.lit(0x5EED)).alias("h2"),
+    )
     target = (
         shingle_partitions or df.sparkSession.sparkContext.defaultParallelism
     )
     if sh_base.rdd.getNumPartitions() < target:
         sh_base = sh_base.repartition(target, F.col(id_col))
     sh = sh_base.localCheckpoint(eager=False)
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    capped = sh.join(df_counts.where(F.col("df_") <= max_df), "shingle").select(
-        F.col(id_col), "shingle", "df_"
-    )
+    df_counts = sh.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df_"))
+    capped = sh.join(
+        df_counts.where(F.col("df_") <= max_df), ["h1", "h2"]
+    ).select(F.col(id_col), "h1", "h2", "df_")
     # Jaccard denominators count the FULL capped sets (including unique
     # shingles)…
     sizes = capped.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # …but a df=1 shingle can never be SHARED, so it contributes nothing to
     # any intersection — drop the (majority) unique shingles from the
     # inverted-index self-join. Semantics-free, large input cut.
-    joinable = capped.where(F.col("df_") >= 2).select(F.col(id_col), "shingle")
+    joinable = capped.where(F.col("df_") >= 2).select(
+        F.col(id_col), "h1", "h2"
+    )
     inter = (
-        joinable.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(joinable.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        joinable.select(F.col(id_col).alias("id_a"), "h1", "h2")
+        .join(
+            joinable.select(F.col(id_col).alias("id_b"), "h1", "h2"),
+            ["h1", "h2"],
+        )
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
