@@ -28,7 +28,11 @@ def _sorted_rows(df):
      "text_datacard", "events_anomaly_mad",
      # r6 operators
      "sim_knn_join_multiprobe", "sim_semantic_dedup_fitted",
-     "text_dup_spans_trim", "text_heavy_hitters_cms"],
+     "text_dup_spans_trim", "text_heavy_hitters_cms",
+     # r7 operators
+     "text_cms_merge", "text_bloom_decontaminate", "text_ngram_novelty",
+     "text_split_leakage_safe", "dedup_source_overlap",
+     "dedup_ngram_jaccard"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -356,6 +356,18 @@ BNLJ_BY_DESIGN = {
 }
 
 
+def test_bloom_filter_side_is_broadcast(spark):
+    """bloom_decontaminate's position table (≤ m_bits rows) must sit on
+    the broadcast side of a hash join — the relational realization of
+    "broadcast the bitmap"; a shuffle join here would defeat the whole
+    bounded-state design."""
+    plan = QUERIES["text_bloom_decontaminate"](
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_every_batch_query_plan_is_scale_clean(spark):
     """Sweep EVERY declared batch query's physical plan for the three
     unconditional scale killers: cartesian products, row-at-a-time Python
