@@ -1909,6 +1909,41 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_exact DESC, tok) AS BIGINT) AS rank,
        tok, n_exact, n_cms
 FROM est
 """,
+    "events_hist_merge": """
+WITH vals AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+stats AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM vals),
+binned AS (
+  SELECT t.g,
+         CASE WHEN s.hi = s.lo THEN 0
+         ELSE LEAST(CAST(FLOOR((t.v - s.lo) / ((s.hi - s.lo) / 1000.0))
+                    AS BIGINT), 999) END AS bin
+  FROM vals t, stats s
+),
+per_group AS (SELECT g, bin, COUNT(*) AS cnt FROM binned GROUP BY g, bin),
+merged AS (SELECT bin, SUM(cnt) AS cnt_merged FROM per_group GROUP BY bin),
+full_scan AS (SELECT bin, COUNT(*) AS cnt_global FROM binned GROUP BY bin)
+SELECT CAST(m.bin AS BIGINT) AS bin,
+       CAST(m.cnt_merged AS BIGINT) AS cnt_merged,
+       CAST(f.cnt_global AS BIGINT) AS cnt_global
+FROM merged m JOIN full_scan f USING (bin)
+""",
+    "stream_cms_counters": """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hv AS (SELECT tok, {POLY_HASH_TOK} AS h1, {POLY_HASH_RTOK} AS h2 FROM tok),
+buckets AS (
+  SELECT j.j, ((h.h1 + j.j * h.h2) % 2147483647) % 64 AS b
+  FROM hv h CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
+),
+counters AS (SELECT j, b, COUNT(*) AS cnt FROM buckets GROUP BY j, b)
+SELECT CAST(j AS INTEGER) AS j, CAST(b AS BIGINT) AS b,
+       CAST(cnt AS BIGINT) AS cnt
+FROM counters
+""",
     "text_bloom_decontaminate": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
@@ -2053,6 +2088,11 @@ ORACLES["text_heavy_hitters_cms"] = (
     .replace("{POLY_HASH_RTOK}", poly_hash_mixed_sql("reverse(tok)"))
     .replace("{POLY_HASH_TTOK}", poly_hash_mixed_sql("t.tok"))
     .replace("{POLY_HASH_TRTOK}", poly_hash_mixed_sql("reverse(t.tok)"))
+)
+ORACLES["stream_cms_counters"] = (
+    ORACLES["stream_cms_counters"]
+    .replace("{POLY_HASH_TOK}", poly_hash_mixed_sql("tok"))
+    .replace("{POLY_HASH_RTOK}", poly_hash_mixed_sql("reverse(tok)"))
 )
 ORACLES["text_bloom_decontaminate"] = (
     ORACLES["text_bloom_decontaminate"]

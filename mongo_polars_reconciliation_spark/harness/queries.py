@@ -1510,6 +1510,41 @@ def stream_dedup_corpus(spark, sf_dir) -> DataFrame:
     )
 
 
+def stream_cms_counters(spark, sf_dir) -> DataFrame:
+    """Streaming count-min sketch: documents arrive as two micro-batches
+    (split by doc id parity so every batch touches most counters) and the
+    native streaming aggregation maintains the d×w=3×64 counter rows
+    incrementally; the drained complete-mode state equals the batch
+    sketch's counters bit-for-bit (sums commute with micro-batching —
+    the streaming face of the text_cms_merge mergeability pin)."""
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        cms_counter_state,
+        read_documents_stream,
+    )
+    from mongo_polars_reconciliation_spark.streaming.events import run_to_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = read_documents_stream(spark, docs, name=f"cms_{tag}")
+    return run_to_table(
+        cms_counter_state(stream), "mem_stream_cms", output_mode="complete"
+    )
+
+
+def events_hist_merge(spark, sf_dir) -> DataFrame:
+    """Mergeable-sketch pattern, histogram edition: per-event-type partial
+    histograms of events.value over SHARED global bin edges, merged by
+    elementwise count sum next to the direct full-scan bin counts — the
+    third sketch-merge pin (KMV, CMS, histogram), all bit-exact."""
+    from mongo_polars_reconciliation_spark.operators.summary import (
+        histogram_merge_check,
+    )
+
+    return histogram_merge_check(
+        _read_events(spark, sf_dir), "value", "event_type"
+    )
+
+
 def stream_dedup_events(spark, sf_dir) -> DataFrame:
     """Streaming exact dedup under at-least-once delivery: the events table
     arrives TWICE (two micro-batches); dropDuplicatesWithinWatermark state
@@ -1646,6 +1681,8 @@ QUERIES = {
     # -- NEW or implementation-changed in r6 (results value-identical where
     #    changed, but the code is new — fresh driver rows required) --
     "text_cms_merge": text_cms_merge,
+    "events_hist_merge": events_hist_merge,
+    "stream_cms_counters": stream_cms_counters,
     "text_bloom_decontaminate": text_bloom_decontaminate,
     "text_ngram_novelty": text_ngram_novelty,
     "text_split_leakage_safe": text_split_leakage_safe,

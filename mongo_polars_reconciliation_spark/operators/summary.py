@@ -177,6 +177,64 @@ def histogram_quantiles(
     )
 
 
+def histogram_merge_check(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    bins: int = 1000,
+) -> DataFrame:
+    """Mergeability pin for the fixed-bin histogram sketch (the third of
+    the sketch-merge trio next to ``events_kmv_merge`` and
+    ``text_cms_merge``): per-group partial histograms over SHARED bin
+    edges merge by elementwise count sum, bit-equal to the full-scan
+    histogram — the property that lets a 100 TB table be histogrammed
+    per partition/day/source and combined without rescanning. Shared
+    edges are the precondition (per-group min/max would make bins
+    incompatible); here they come from one global min/max pass, in
+    production from a fixed known range or a prior pass.
+
+    Scale shape: one global (min, max) aggregate broadcast onto the
+    scan → per-(group, bin) hash-aggregate with map-side combine
+    (≤ groups·bins rows) → bins-row merge aggregate vs the direct
+    global bins-row aggregate, compared over an inner join on the bin
+    (key sets identical by construction). Output ≤ bins rows."""
+    vals = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    stats = vals.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    binned = (
+        vals.crossJoin(F.broadcast(stats))
+        .select(
+            "__g",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("__v") - F.col("__lo")) / width),
+                    F.lit(bins - 1),
+                )
+            )
+            .cast("long")
+            .alias("bin"),
+        )
+        # consumed by both the per-group and the global aggregate
+        .localCheckpoint(eager=False)
+    )
+    per_group = binned.groupBy("__g", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    merged = per_group.groupBy("bin").agg(F.sum("cnt").alias("cnt_merged"))
+    global_c = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt_global")
+    )
+    return merged.join(global_c, "bin").select(
+        "bin",
+        F.col("cnt_merged").cast("long").alias("cnt_merged"),
+        F.col("cnt_global").cast("long").alias("cnt_global"),
+    )
+
+
 def summary_document(
     matched: DataFrame,
     unmatched: DataFrame,

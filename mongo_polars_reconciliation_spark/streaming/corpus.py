@@ -72,3 +72,55 @@ def dedup_state(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def cms_counter_state(
+    stream: DataFrame,
+    d: int = 3,
+    w: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming count-min-sketch maintenance: the (j, b) counter rows of
+    ``extensions/text.py:heavy_hitters_cms`` as a NATIVE streaming
+    aggregation. Counter increments are plain sums — commutative across
+    micro-batches — so the drained complete-mode state is bit-identical
+    to the batch sketch whatever the arrival order: the streaming face
+    of the mergeability contract ``text_cms_merge`` pins for batch
+    partials. State is exactly d×w counter rows however many documents
+    stream through — the bounded-state property that makes CMS the
+    frequency sketch a perpetual ingest pipeline can afford.
+
+    Note: this is the per-occurrence form (one aggregation), not the
+    batch path's vocab-first two-phase rewrite — chained streaming
+    aggregations are unsupported, and the sums are identical either
+    way."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        POLY_P31,
+        poly_hash_mixed_col,
+    )
+
+    tok = stream.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h1 = poly_hash_mixed_col("tok", POLY_P31)
+    h2 = poly_hash_mixed_col("reverse(tok)", POLY_P31)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("int").alias("j"),
+                    F.pmod(
+                        F.pmod(h1 + F.lit(j) * h2, F.lit(POLY_P31)),
+                        F.lit(w),
+                    ).alias("b"),
+                )
+                for j in range(d)
+            ]
+        )
+    ).alias("jb")
+    return (
+        tok.select(rows)
+        .select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
