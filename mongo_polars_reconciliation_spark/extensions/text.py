@@ -1047,6 +1047,35 @@ def bloom_decontaminate(
     )
 
 
+def cluster_safe_split(
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """NEAR-dup-safe train/val/test assignment — the cluster-key
+    generalization :func:`leakage_safe_split` documents: given any
+    (doc, cluster) labeling (connected components over minhash pairs,
+    semantic dedup groups, …), every cluster hashes ONCE into the
+    80/10/10 buckets, so near-duplicate documents — not just exact
+    copies — can never straddle train/eval. Map-only over the cluster
+    table (the hash is pure column arithmetic); the clustering itself
+    carries whatever cost its operator documents."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        poly_hash_mixed_col,
+    )
+
+    h = F.pmod(poly_hash_mixed_col(cluster_col), F.lit(100))
+    return clusters.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        h.alias("bucket"),
+        F.when(h < 80, "train")
+        .when(h < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def cms_merge_check(
     df: DataFrame,
     group_col: str = "source",

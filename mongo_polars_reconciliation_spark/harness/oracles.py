@@ -2112,6 +2112,30 @@ ORACLES["text_cms_merge"] = (
 # compute the identical min-reachable-id fixpoint over the same pair graph.
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
 
+# Near-dup-safe split = the CC fixpoint above + one hash per cluster id.
+ORACLES["text_split_cluster_safe"] = (
+    "WITH RECURSIVE "
+    + MINHASH_PAIR_CTES
+    + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM docs_aug
+  UNION
+  SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.node
+),
+cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
+SELECT doc_id, cluster_id, ({PH}) % 100 AS bucket,
+       CASE WHEN ({PH}) % 100 < 80 THEN 'train'
+            WHEN ({PH}) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM cl
+"""
+).replace("{PH}", poly_hash_mixed_sql("cluster_id"))
+
 # curation v2 = curation v1 with the Gopher repetition gate and the 5-gram
 # benchmark-decontamination gate inserted between near-dup removal (kept2)
 # and the quality/language tail — assembled from the v1 SQL so the shared

@@ -1401,6 +1401,24 @@ def text_split_leakage_safe(spark, sf_dir) -> DataFrame:
     return leakage_safe_split(build_documents_aug(spark, sf_dir))
 
 
+def text_split_cluster_safe(spark, sf_dir) -> DataFrame:
+    """NEAR-dup-safe 80/10/10 split: minhash near-dup pairs → connected
+    components → one hash per cluster id, so near-duplicates (not just
+    exact copies) never straddle train/eval — the cluster-key
+    generalization of text_split_leakage_safe, composed from the
+    operators the pipeline already verifies."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        dedup_clusters,
+        minhash_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.extensions.text import cluster_safe_split
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    docs = build_documents_aug(spark, sf_dir)
+    pairs = minhash_near_dups(docs, hash_mode="poly")
+    return cluster_safe_split(dedup_clusters(pairs, docs.select("doc_id")))
+
+
 def dedup_source_overlap(spark, sf_dir) -> DataFrame:
     """Inter-source exact-duplicate overlap matrix on the cross-source
     mirrored corpus: every (srcN, mirror-source) pair's shared distinct
@@ -1686,6 +1704,7 @@ QUERIES = {
     "text_bloom_decontaminate": text_bloom_decontaminate,
     "text_ngram_novelty": text_ngram_novelty,
     "text_split_leakage_safe": text_split_leakage_safe,
+    "text_split_cluster_safe": text_split_cluster_safe,
     "dedup_source_overlap": dedup_source_overlap,
     "recon_orc_roundtrip": recon_orc_roundtrip,
     "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
