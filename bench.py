@@ -75,6 +75,15 @@ SECONDARY = [
     "text_dup_spans_trim",
     "text_heavy_hitters_cms",
     "recon_orc_roundtrip",
+    # r7 additions
+    "text_cms_merge",
+    "events_hist_merge",
+    "stream_cms_counters",
+    "text_bloom_decontaminate",
+    "text_ngram_novelty",
+    "text_split_leakage_safe",
+    "text_split_cluster_safe",
+    "dedup_source_overlap",
 ]
 
 

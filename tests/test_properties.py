@@ -409,6 +409,97 @@ def test_arrow_kernels_bit_identical_to_expression_path(spark, vecs):
     assert arrow[2] == expr[2]
 
 
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.floats(
+                min_value=-1e3, max_value=1e3,
+                allow_nan=False, allow_infinity=False, width=32,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_histogram_merge_equals_global_random(spark, rows):
+    """Randomized histogram mergeability: per-group partials over shared
+    global edges sum to the full-scan bin counts exactly, on every bin,
+    for arbitrary group assignments and values (incl. all-equal values,
+    the hi==lo degenerate bin)."""
+    from mongo_polars_reconciliation_spark.operators.summary import (
+        histogram_merge_check,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "grp string, val double"
+    )
+    got = histogram_merge_check(df, "val", "grp", bins=8).collect()
+    assert got, "no bins produced"
+    assert sum(r["cnt_global"] for r in got) == len(rows)
+    for r in got:
+        assert r["cnt_merged"] == r["cnt_global"], r
+
+
+def test_ngram_novelty_credits_each_gram_once(spark):
+    """Novelty bookkeeping: every distinct gram is credited to exactly one
+    document (its min id), so sum(n_novel) == |distinct grams| and an
+    exact copy of an earlier doc scores zero novel grams."""
+    from mongo_polars_reconciliation_spark.extensions.text import ngram_novelty
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "c d e f g"),
+        (3, "a b c d e"),   # exact copy of doc 1 → 0 novel
+        (4, "x y z w v"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    distinct_grams = set()
+    for _, text in docs:
+        t = text.split(" ")
+        distinct_grams |= {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+    assert sum(r["n_novel"] for r in got.values()) == len(distinct_grams)
+    assert got[3]["n_novel"] == 0
+    assert got[1]["n_novel"] == got[1]["n_grams"]  # first doc: all novel
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """The defining invariant: all docs sharing a text share a split, and
+    the per-doc hash split DOES straddle on the same corpus (the bug this
+    operator removes) — checked on a corpus sized so straddling occurs."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        leakage_safe_split,
+    )
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        poly_hash_mixed_col,
+    )
+
+    # 200 texts, each duplicated under two ids far apart
+    rows = [(i, f"text number {i % 200}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df).collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r["rep_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_text.values())
+    # the naive per-doc split straddles at least one duplicate group
+    h = F.pmod(poly_hash_mixed_col("doc_id"), F.lit(100))
+    naive = df.select(
+        (F.col("doc_id") % 200).alias("grp"),
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    ).collect()
+    naive_groups = {}
+    for r in naive:
+        naive_groups.setdefault(r["grp"], set()).add(r["split"])
+    assert any(len(s) > 1 for s in naive_groups.values())
+
+
 def test_bloom_decontaminate_no_false_negatives(spark):
     """Bloom decontamination's one-sided error: every gram the EXACT
     contamination probe counts is also flagged by the filter, per doc
