@@ -998,7 +998,16 @@ def bloom_decontaminate(
     )
 
     def hashed_grams(df: DataFrame, idc: str) -> DataFrame:
-        return shingles(df, idc, text_col, n).select(
+        # widen-if-narrow: the gram hash is two interpreted char folds per
+        # shingle and the whole chain is map-only — on a few-split corpus
+        # it would run on as many cores as there are parquet splits
+        # (measured r7: ONE, 9.2 s total) unless widened first. A no-op
+        # at real scale, mandatory at test scale.
+        sh = shingles(df, idc, text_col, n)
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if sh.rdd.getNumPartitions() < target:
+            sh = sh.repartition(target, F.col(idc))
+        return sh.select(
             F.col(idc),
             poly_hash_mixed_col("shingle", POLY_P31).alias("h1"),
             poly_hash_mixed_col("reverse(shingle)", POLY_P31).alias("h2"),

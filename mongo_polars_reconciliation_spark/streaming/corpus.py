@@ -99,7 +99,13 @@ def cms_counter_state(
         poly_hash_mixed_col,
     )
 
-    tok = stream.select(
+    # widen-if-narrow, streaming edition: the token explode + interpreted
+    # hash folds are map-side work that would otherwise run on one task
+    # per source file within each micro-batch; repartitioning the (cheap,
+    # pre-explode) document rows spreads the fold across the cluster. The
+    # exchange lands before the stateful aggregate's own shuffle.
+    target = stream.sparkSession.sparkContext.defaultParallelism
+    tok = stream.repartition(target).select(
         F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     h1 = poly_hash_mixed_col("tok", POLY_P31)
