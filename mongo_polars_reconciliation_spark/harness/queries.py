@@ -1693,6 +1693,11 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # or, equivalently (the actual invariant), any post-ordering change may
 # touch only queries inside the driver's ~50-position budget, so their
 # fresh rows still verify final code.
+# Round-7 post-ordering changes, all within budget: (1) bench SECONDARY
+# list + new property tests (no query code touched); (2) widen-if-narrow
+# repartitions in text_bloom_decontaminate (position 4) and
+# stream_cms_counters (position 3) — value-identical, re-parity-checked.
+# Everything beyond position 50 is untouched round-7 code-wise.
 QUERIES = {
     # -- NEW or implementation-changed in r7: fresh driver rows required
     #    (text_heavy_hitters_cms also changed RESULTS — double-hash family) --
