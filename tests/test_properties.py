@@ -500,6 +500,71 @@ def test_leakage_safe_split_never_straddles(spark):
     assert any(len(s) > 1 for s in naive_groups.values())
 
 
+def test_cluster_safe_split_keeps_near_dups_together(spark):
+    """Near-dup-safe split invariant: two documents in the same connected
+    component (here: near-identical texts that minhash pairs up) always
+    receive the same split, and every cluster member shares the cluster's
+    bucket."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        dedup_clusters,
+        minhash_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        cluster_safe_split,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base + " lambda"),          # near-dup of 1
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "completely different words about completely other things yes"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = minhash_near_dups(df, hash_mode="poly")
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["split"], r["bucket"])
+        for r in cluster_safe_split(
+            dedup_clusters(pairs, df.select("doc_id"))
+        ).collect()
+    }
+    assert out[1] == out[2]  # same cluster -> same bucket and split
+    by_cluster = {}
+    for cid, split, bucket in out.values():
+        by_cluster.setdefault(cid, set()).add((split, bucket))
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+
+def test_source_overlap_merges_across_partitions(spark):
+    """source_overlap mergeability: computing the matrix over the union of
+    two corpus partitions equals recounting from scratch — distinct-union
+    then recount, the partial-aggregation shape the docstring claims."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import source_overlap
+
+    rows = [
+        (1, "shared text one", "a"),
+        (2, "shared text one", "b"),
+        (3, "shared text two", "a"),
+        (4, "shared text two", "c"),
+        (5, "only in a", "a"),
+        (6, "shared text one", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    whole = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap(df).collect()
+    }
+    part = df.where(F.col("doc_id") <= 3).unionByName(
+        df.where(F.col("doc_id") > 3)
+    )
+    merged = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in source_overlap(part).collect()
+    }
+    assert whole == merged == {("a", "b"): 1, ("a", "c"): 2, ("b", "c"): 1}
+
+
 def test_bloom_decontaminate_no_false_negatives(spark):
     """Bloom decontamination's one-sided error: every gram the EXACT
     contamination probe counts is also flagged by the filter, per doc
