@@ -38,7 +38,9 @@ HEADLINE = [
 # Heavy extension queries tracked round-over-round WITHOUT joining the
 # headline metric (keeps the headline total comparable across rounds while
 # making regressions in the tail visible). Timed identically; reported
-# under "secondary".
+# under "secondary". NOTE: this list GROWS as operators land (8 r7
+# additions) — compare secondary numbers per-query across rounds, never
+# as a sum; only the headline membership is frozen.
 SECONDARY = [
     "dedup_simhash",
     "dedup_clusters",
