@@ -31,6 +31,7 @@ from mongo_polars_reconciliation_spark.plans.pipeline import (
     Reconciliation,
     TolerancePass,
 )
+from mongo_polars_reconciliation_spark.scratch import scratch_path
 from mongo_polars_reconciliation_spark.sources.state import (
     merge_keep_existing,
     remanent_lookup,
@@ -282,7 +283,7 @@ def recon_persist_roundtrip(spark, sf_dir) -> DataFrame:
         F.col("ext_fecha").alias("fecha"),
     )
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    root = f"/root/repo/.stream_tmp/{tag}/persist_roundtrip"
+    root = scratch_path(tag, "persist_roundtrip")
     paths = persist_results(
         {
             "a_to_b_mt": (mt, "trx_date"),
@@ -360,7 +361,7 @@ def recon_csv_sink_roundtrip(spark, sf_dir) -> DataFrame:
     bucket = residual_internal(a, b, cfg).select("_id", "transaction_code", "amount")
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     paths = save_buckets_csv(
-        {"a_to_b_nmt": bucket}, f"/root/repo/.stream_tmp/{tag}/csv_sink", iteration=2
+        {"a_to_b_nmt": bucket}, scratch_path(tag, "csv_sink"), iteration=2
     )
     raw = read_csv_all_string(spark, paths["a_to_b_nmt"])
     return raw.select(
@@ -380,7 +381,7 @@ def recon_mongo_json_scan(spark, sf_dir) -> DataFrame:
     )
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"/root/repo/.stream_tmp/{tag}/mongo_json"
+    path = scratch_path(tag, "mongo_json")
     a = build_internal(spark, sf_dir)
     a.select(
         F.struct(F.col("_id").alias("$oid")).alias("_id"),
@@ -418,7 +419,7 @@ def recon_orc_roundtrip(spark, sf_dir) -> DataFrame:
     preserves doubles/strings exactly; the oracle checks the disk round
     trip, not the in-memory frame."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"/root/repo/.stream_tmp/{tag}/orc_roundtrip"
+    path = scratch_path(tag, "orc_roundtrip")
     a = build_internal(spark, sf_dir)
     a.write.mode("overwrite").orc(path)
     return (
@@ -487,7 +488,7 @@ def recon_csv_roundtrip(spark, sf_dir) -> DataFrame:
 
     cfg = recon_cfg()
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"/root/repo/.stream_tmp/{tag}/external_csv"
+    path = scratch_path(tag, "external_csv")
     build_external_raw(spark, sf_dir).write.mode("overwrite").option(
         "header", True
     ).csv(path)
@@ -1664,7 +1665,7 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     # query-private subdir: other queries park their backing files under the
     # shared {tag} root, and those frames are lazily re-collected later
-    root = f"/root/repo/.stream_tmp/{tag}/incr"
+    root = scratch_path(tag, "incr")
     shutil.rmtree(root, ignore_errors=True)
     feed, state, ckpt = f"{root}/feed", f"{root}/state", f"{root}/ckpt"
     rn = F.col(ROW_NUM)

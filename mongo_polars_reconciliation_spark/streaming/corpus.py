@@ -38,10 +38,12 @@ def read_documents_stream(
     ``split_expr`` (a Column in 0..n_files-1; default id modulus) decides
     which batch a row rides in — callers exercising cross-batch state
     should split so duplicates of one text land in DIFFERENT batches.
-    The feed dir is query-private under /root/repo/.stream_tmp."""
+    The feed dir is query-private under the process scratch root."""
+    from mongo_polars_reconciliation_spark.scratch import scratch_path
+
     if split_expr is None:
         split_expr = F.pmod(F.col(id_col), F.lit(n_files))
-    feed = f"/root/repo/.stream_tmp/corpus/{name}/feed"
+    feed = scratch_path("corpus", name, "feed")
     shutil.rmtree(feed, ignore_errors=True)
     os.makedirs(feed)
     for i in range(n_files):

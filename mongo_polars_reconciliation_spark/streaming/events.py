@@ -81,10 +81,12 @@ def read_events_stream(
         ensure_epoch_nanos,
     )
 
+    from mongo_polars_reconciliation_spark.scratch import scratch_path
+
     src_path = f"{sf_dir}/events.parquet"
     stored = _stored_events_schema(spark, src_path)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    feed = f"/root/repo/.stream_tmp/{tag}/{name}/feed"
+    feed = scratch_path(tag, name, "feed")
     shutil.rmtree(feed, ignore_errors=True)
     os.makedirs(feed)
     os.symlink(src_path, f"{feed}/000_events.parquet")
@@ -134,10 +136,12 @@ def read_events_stream_duplicated(
         ensure_epoch_nanos,
     )
 
+    from mongo_polars_reconciliation_spark.scratch import scratch_path
+
     src_path = f"{sf_dir}/events.parquet"
     stored = _stored_events_schema(spark, src_path)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    feed = f"/root/repo/.stream_tmp/{tag}/{name}/feed"
+    feed = scratch_path(tag, name, "feed")
     shutil.rmtree(feed, ignore_errors=True)
     os.makedirs(feed)
     for i in range(copies):

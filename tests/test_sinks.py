@@ -6,6 +6,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from mongo_polars_reconciliation_spark.harness.queries import _ab
+from mongo_polars_reconciliation_spark.scratch import scratch_path
 from mongo_polars_reconciliation_spark.operators.match import match_records
 from mongo_polars_reconciliation_spark.operators.residuals import (
     residual_external,
@@ -17,7 +18,7 @@ from mongo_polars_reconciliation_spark.sources.sinks import (
 )
 
 SF_DIR = "/root/testdata/sf0.001"
-OUT = "/root/repo/.stream_tmp/test_sinks"
+OUT = scratch_path("test_sinks")
 
 
 def test_save_buckets_csv_single_file_roundtrip(spark):

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from mongo_polars_reconciliation_spark.functions.timenorm import ensure_epoch_nanos
 from mongo_polars_reconciliation_spark.harness.queries import QUERIES, _ab
+from mongo_polars_reconciliation_spark.scratch import scratch_path
 from mongo_polars_reconciliation_spark.streaming.events import (
     EVENTS_SCHEMA,
     read_events_stream,
@@ -45,7 +46,7 @@ def test_user_seq_state_carries_across_batches(spark):
     # feed files: the stream below declares EVENTS_SCHEMA (ts bigint), and
     # feed files must physically match the declared schema
     ev = ensure_epoch_nanos(spark.read.parquet(f"{SF_DIR}/events.parquet"))
-    root = "/root/repo/.stream_tmp/test_userseq_2batch"
+    root = scratch_path("test_userseq_2batch")
     shutil.rmtree(root, ignore_errors=True)
     # split by time so batch order == event order per user
     mid = ev.approxQuantile("ts", [0.5], 0.0)[0]
@@ -95,7 +96,7 @@ def test_user_seq_orders_across_arrow_chunk_boundaries(spark):
     old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
     try:
-        root = "/root/repo/.stream_tmp/test_userseq_chunks"
+        root = scratch_path("test_userseq_chunks")
         shutil.rmtree(root, ignore_errors=True)
         n = 50
         pdf = pd.DataFrame(
