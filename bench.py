@@ -161,6 +161,16 @@ def main() -> None:
         "sf": float(sf),
     }
     print(json.dumps(out))
+    # Full-fidelity copy for round-over-round drift checks: the driver's
+    # BENCH_r{N}.json records only a 2000-char stdout tail, which loses the
+    # front of the JSON once the query list grew past ~35 entries. The
+    # committed bench_last.json + tools/bench_drift.py replace the manual
+    # (and twice-late, see dedup_clusters_star) per-query comparison.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
+        "w",
+    ) as fh:
+        json.dump(out, fh, indent=1)
     spark.stop()
 
 

@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Round-over-round bench drift tripwire (advisory, never gating).
+
+Compares per-query MIN timings between two bench records and prints every
+query whose min moved by more than the ambient-noise band (×1.6 up = the
+±40% band's upper edge compounded a little; same threshold downward is
+reported as a win, informationally). The dedup_clusters_star drift took two
+rounds to surface because this comparison was manual — this script makes it
+one command. Exit code is ALWAYS 0: on a shared machine with ±40% ambient
+noise a hard gate would flap.
+
+Usage:
+    python tools/bench_drift.py [OLD] [NEW]
+
+OLD / NEW may each be either
+  * a raw bench output file (``bench_last.json`` — written by bench.py since
+    round 8, full fidelity), or
+  * a driver ``BENCH_r{N}.json`` (which records only a 2000-char stdout
+    *tail*; the ``queries_min``/``secondary_min`` dicts that survive in the
+    tail are recovered by regex, the lost front is reported as such).
+
+Defaults: OLD = newest BENCH_r*.json in the repo root, NEW = bench_last.json.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+THRESHOLD = 1.6  # upper edge of the observed ±40% ambient band
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pairs_from_fragment(fragment: str) -> dict[str, float]:
+    """Recover ``"name": 1.23`` pairs from a (possibly truncated) JSON
+    fragment. Only used on driver tails that no longer parse as JSON."""
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([a-z0-9_]+)"\s*:\s*([0-9.]+)', fragment)
+    }
+
+
+def _min_sections(raw: str) -> dict[str, float]:
+    """Per-query mins from a full bench JSON string or a truncated tail."""
+    try:
+        doc = json.loads(raw)
+    except json.JSONDecodeError:
+        doc = None
+    if isinstance(doc, dict):
+        if doc.get("parsed"):  # driver wrapper with intact parse
+            doc = doc["parsed"]
+        if "queries_min" in doc or "secondary_min" in doc:
+            return {**doc.get("queries_min", {}), **doc.get("secondary_min", {})}
+        if "tail" in doc:  # driver wrapper, truncated stdout
+            raw = doc["tail"]
+        elif "queries" in doc:  # pre-r6 bench output: means only
+            return dict(doc.get("queries", {}))
+    # Truncated tail: take only text after the LAST "_min" section marker(s)
+    # so we never mix a query's mean (earlier dict) with another's min.
+    out: dict[str, float] = {}
+    for marker in ('"queries_min"', '"secondary_min"'):
+        at = raw.find(marker)
+        if at >= 0:
+            section = raw[at + len(marker):]
+            end = section.find("}")
+            out.update(_pairs_from_fragment(section[: end if end >= 0 else None]))
+    return out
+
+
+def load_mins(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        return _min_sections(fh.read())
+
+
+def main() -> None:
+    benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
+    old = sys.argv[1] if len(sys.argv) > 1 else (benches[-1] if benches else None)
+    new = sys.argv[2] if len(sys.argv) > 2 else os.path.join(ROOT, "bench_last.json")
+    if not old or not os.path.exists(old) or not os.path.exists(new):
+        print(f"bench_drift: need two bench files (old={old}, new={new})")
+        return
+    a, b = load_mins(old), load_mins(new)
+    common = sorted(set(a) & set(b))
+    up = [(q, b[q] / a[q]) for q in common if a[q] > 0 and b[q] / a[q] > THRESHOLD]
+    down = [(q, b[q] / a[q]) for q in common if b[q] > 0 and a[q] / b[q] > THRESHOLD]
+    print(f"bench_drift: {old} -> {new}: {len(common)} comparable query mins"
+          f" ({len(a) - len(common)} only-old, {len(b) - len(common)} only-new)")
+    for q, r in sorted(up, key=lambda t: -t[1]):
+        print(f"  SLOWER x{r:4.2f}  {q}  ({a[q]:.3f}s -> {b[q]:.3f}s)")
+    for q, r in sorted(down, key=lambda t: t[1]):
+        print(f"  faster x{r:4.2f}  {q}  ({a[q]:.3f}s -> {b[q]:.3f}s)")
+    if not up:
+        print(f"  no query min regressed past x{THRESHOLD}")
+
+
+if __name__ == "__main__":
+    main()
