@@ -763,9 +763,11 @@ def heavy_hitters_cms(
 
     Bucket family: the standard double-hashing rows ``g_j = (h1 + j·h2)
     mod p mod w`` (Kirsch & Mitzenmacher 2006) with two genuinely
-    different base hashes — h1 over the token, h2 over the REVERSED
-    token (r6 nit: the previous rows were affine transforms of ONE hash,
-    so two tokens colliding in h collided in every row). If h2(x) = 0
+    different base hashes — the same polynomial fold under two DIFFERENT
+    prime moduli (functions/hashing.py:POLY_P31B has the why, and why the
+    two prior h2 designs — reversed token (r7: h1 == h2 for palindromes,
+    incl. every 1-char token) and salt-prefixed token (same-length
+    collisions propagate) — were rejected). If h2(x) = 0 (prob 1/p2)
     the d rows coincide for that token — estimates still never
     undercount, the sketch just loses row-independence for that key.
 
@@ -781,6 +783,7 @@ def heavy_hitters_cms(
     against the d·w counter rows. Nothing driver-side beyond k rows."""
     from mongo_polars_reconciliation_spark.functions.hashing import (
         POLY_P31,
+        POLY_P31B,
         poly_hash_mixed_col,
     )
     from mongo_polars_reconciliation_spark.functions.windows import (
@@ -789,7 +792,7 @@ def heavy_hitters_cms(
 
     tok = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     h1 = poly_hash_mixed_col("tok", POLY_P31)
-    h2 = poly_hash_mixed_col("reverse(tok)", POLY_P31)
+    h2 = poly_hash_mixed_col("tok", POLY_P31B)
 
     def bucket(j: int):
         return F.pmod(
@@ -994,6 +997,7 @@ def bloom_decontaminate(
     from mongo_polars_reconciliation_spark.extensions.dedup import shingles
     from mongo_polars_reconciliation_spark.functions.hashing import (
         POLY_P31,
+        POLY_P31B,
         poly_hash_mixed_col,
     )
 
@@ -1010,7 +1014,7 @@ def bloom_decontaminate(
         return sh.select(
             F.col(idc),
             poly_hash_mixed_col("shingle", POLY_P31).alias("h1"),
-            poly_hash_mixed_col("reverse(shingle)", POLY_P31).alias("h2"),
+            poly_hash_mixed_col("shingle", POLY_P31B).alias("h2"),
         )
 
     def positions() -> Column:
@@ -1107,6 +1111,7 @@ def cms_merge_check(
     most d·w rows. Output ≤ d·w rows, nothing driver-side."""
     from mongo_polars_reconciliation_spark.functions.hashing import (
         POLY_P31,
+        POLY_P31B,
         poly_hash_mixed_col,
     )
 
@@ -1115,7 +1120,7 @@ def cms_merge_check(
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
     h1 = poly_hash_mixed_col("tok", POLY_P31)
-    h2 = poly_hash_mixed_col("reverse(tok)", POLY_P31)
+    h2 = poly_hash_mixed_col("tok", POLY_P31B)
     rows = F.explode(
         F.array(
             *[

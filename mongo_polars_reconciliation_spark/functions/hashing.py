@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 
 POLY_P31 = 2147483647  # Mersenne prime 2^31-1 — the default modulus
 
+# Second prime modulus, used as the h2 base of double-hashed sketch families
+# (CMS rows, Bloom positions). The per-step reduction makes the mod-p and
+# mod-p2 folds genuinely different functions of the token, so an h1
+# collision does not propagate to h2 — unlike the two rejected h2 designs:
+# hash of the REVERSED token (r7: degenerates to h1 == h2 for palindromes,
+# which includes every 1-char token) and hash of a salt-PREFIXED token
+# (h(salt+x) − h(x) depends only on len(x), so same-length tokens colliding
+# in h1 collide in h2 — and whitespace tokens are heavily same-length).
+POLY_P31B = 2147483629  # largest prime below 2^31-1
+
 
 def poly_hash_col(expr: str, p: int = POLY_P31) -> Column:
     """Spark column: polynomial hash of the (string) SQL expression

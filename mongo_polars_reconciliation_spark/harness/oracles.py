@@ -1887,7 +1887,7 @@ GROUP BY l_returnflag, l_linestatus
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS tok FROM documents
 ),
-hv AS (SELECT tok, {POLY_HASH_TOK} AS h1, {POLY_HASH_RTOK} AS h2 FROM tok),
+hv AS (SELECT tok, {POLY_HASH_TOK} AS h1, {POLY_HASH_TOK2} AS h2 FROM tok),
 buckets AS (
   SELECT j.j, ((h.h1 + j.j * h.h2) % 2147483647) % 64 AS b
   FROM hv h CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
@@ -1897,7 +1897,7 @@ exact AS (SELECT tok, COUNT(*) AS n_exact FROM tok GROUP BY tok),
 topk AS (SELECT tok, n_exact FROM exact ORDER BY n_exact DESC, tok LIMIT 20),
 probes AS (
   SELECT t.tok, t.n_exact, j.j,
-         ((({POLY_HASH_TTOK}) + j.j * ({POLY_HASH_TRTOK})) % 2147483647) % 64 AS b
+         ((({POLY_HASH_TTOK}) + j.j * ({POLY_HASH_TTOK2})) % 2147483647) % 64 AS b
   FROM topk t CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
 ),
 est AS (
@@ -1934,7 +1934,7 @@ FROM merged m JOIN full_scan f USING (bin)
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS tok FROM documents
 ),
-hv AS (SELECT tok, {POLY_HASH_TOK} AS h1, {POLY_HASH_RTOK} AS h2 FROM tok),
+hv AS (SELECT tok, {POLY_HASH_TOK} AS h1, {POLY_HASH_TOK2} AS h2 FROM tok),
 buckets AS (
   SELECT j.j, ((h.h1 + j.j * h.h2) % 2147483647) % 64 AS b
   FROM hv h CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
@@ -1956,7 +1956,7 @@ sh AS (
   WHERE shingle IS NOT NULL
 ),
 hs AS (
-  SELECT doc_id, shingle, {POLY_HASH_SH} AS h1, {POLY_HASH_RSH} AS h2 FROM sh
+  SELECT doc_id, shingle, {POLY_HASH_SH} AS h1, {POLY_HASH_SH2} AS h2 FROM sh
 ),
 bench_pos AS (
   SELECT DISTINCT (h1 + j.j * h2) % 4096 AS p
@@ -2042,7 +2042,7 @@ GROUP BY a.source, b.source
 WITH tok AS (
   SELECT source AS g, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
-hv AS (SELECT g, tok, {POLY_HASH_TOK} AS h1, {POLY_HASH_RTOK} AS h2 FROM tok),
+hv AS (SELECT g, tok, {POLY_HASH_TOK} AS h1, {POLY_HASH_TOK2} AS h2 FROM tok),
 buckets AS (
   SELECT g, j.j, ((h.h1 + j.j * h.h2) % 2147483647) % 64 AS b
   FROM hv h CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
@@ -2064,6 +2064,7 @@ FROM merged m JOIN full_scan g2 ON g2.j = m.j AND g2.b = m.b
 # multiplicative scramble) because raw poly-hash values of short numeric ids
 # occupy narrow bands — see poly_hash_mixed_col.
 from mongo_polars_reconciliation_spark.functions.hashing import (  # noqa: E402
+    POLY_P31B,
     poly_hash_mixed_sql,
 )
 
@@ -2085,19 +2086,19 @@ ORACLES["text_mix_epochs"] = ORACLES["text_mix_epochs"].replace(
 ORACLES["text_heavy_hitters_cms"] = (
     ORACLES["text_heavy_hitters_cms"]
     .replace("{POLY_HASH_TOK}", poly_hash_mixed_sql("tok"))
-    .replace("{POLY_HASH_RTOK}", poly_hash_mixed_sql("reverse(tok)"))
+    .replace("{POLY_HASH_TOK2}", poly_hash_mixed_sql("tok", POLY_P31B))
     .replace("{POLY_HASH_TTOK}", poly_hash_mixed_sql("t.tok"))
-    .replace("{POLY_HASH_TRTOK}", poly_hash_mixed_sql("reverse(t.tok)"))
+    .replace("{POLY_HASH_TTOK2}", poly_hash_mixed_sql("t.tok", POLY_P31B))
 )
 ORACLES["stream_cms_counters"] = (
     ORACLES["stream_cms_counters"]
     .replace("{POLY_HASH_TOK}", poly_hash_mixed_sql("tok"))
-    .replace("{POLY_HASH_RTOK}", poly_hash_mixed_sql("reverse(tok)"))
+    .replace("{POLY_HASH_TOK2}", poly_hash_mixed_sql("tok", POLY_P31B))
 )
 ORACLES["text_bloom_decontaminate"] = (
     ORACLES["text_bloom_decontaminate"]
     .replace("{POLY_HASH_SH}", poly_hash_mixed_sql("shingle"))
-    .replace("{POLY_HASH_RSH}", poly_hash_mixed_sql("reverse(shingle)"))
+    .replace("{POLY_HASH_SH2}", poly_hash_mixed_sql("shingle", POLY_P31B))
 )
 ORACLES["text_split_leakage_safe"] = ORACLES["text_split_leakage_safe"].replace(
     "{POLY_HASH_REP}", poly_hash_mixed_sql("r.rep_id")
@@ -2105,7 +2106,7 @@ ORACLES["text_split_leakage_safe"] = ORACLES["text_split_leakage_safe"].replace(
 ORACLES["text_cms_merge"] = (
     ORACLES["text_cms_merge"]
     .replace("{POLY_HASH_TOK}", poly_hash_mixed_sql("tok"))
-    .replace("{POLY_HASH_RTOK}", poly_hash_mixed_sql("reverse(tok)"))
+    .replace("{POLY_HASH_TOK2}", poly_hash_mixed_sql("tok", POLY_P31B))
 )
 
 # The star-based CC variant shares the propagation variant's oracle: both

@@ -98,6 +98,7 @@ def cms_counter_state(
     way."""
     from mongo_polars_reconciliation_spark.functions.hashing import (
         POLY_P31,
+        POLY_P31B,
         poly_hash_mixed_col,
     )
 
@@ -111,7 +112,7 @@ def cms_counter_state(
         F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     h1 = poly_hash_mixed_col("tok", POLY_P31)
-    h2 = poly_hash_mixed_col("reverse(tok)", POLY_P31)
+    h2 = poly_hash_mixed_col("tok", POLY_P31B)
     rows = F.explode(
         F.array(
             *[

@@ -732,9 +732,11 @@ def test_cms_heavy_hitters_matches_python_model(spark):
     exact = Counter(toks)
 
     def bucket(tok, j):
-        # Kirsch-Mitzenmacher rows: h1 over the token, h2 over its reverse
+        # Kirsch-Mitzenmacher rows: h1 mod p, h2 the same fold mod a second
+        # prime (functions/hashing.py:POLY_P31B — r8 fix: the reversed-token
+        # h2 collapsed to h1 for palindromic/1-char tokens)
         return (
-            (_py_poly_hash_mixed(tok) + j * _py_poly_hash_mixed(tok[::-1])) % p
+            (_py_poly_hash_mixed(tok) + j * _py_poly_hash_mixed(tok, p=2147483629)) % p
         ) % w
 
     counters = [Counter() for _ in range(d)]
