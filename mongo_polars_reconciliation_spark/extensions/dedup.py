@@ -791,10 +791,17 @@ def source_overlap(
     whose fanout per digest is (#sources containing it)², bounded by the
     source-count, never by corpus size → one (source_a, source_b)
     count aggregate. Mergeable across corpus partitions (distinct-union
-    then recount), no all-pairs document join anywhere."""
+    then recount), no all-pairs document join anywhere.
+
+    NULL text digests as the empty string (r8 fix, same as
+    leakage_safe_split): a NULL digest never matches the overlap
+    self-join, so null-text rows silently dropped out of the matrix;
+    they now count as empty-text content."""
     ds = (
         df.select(
-            F.md5(F.col(text_col).cast("binary")).alias("__dg"),
+            F.md5(
+                F.coalesce(F.col(text_col), F.lit("")).cast("binary")
+            ).alias("__dg"),
             F.col(source_col).alias("__src"),
         )
         .distinct()

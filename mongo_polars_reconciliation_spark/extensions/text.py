@@ -936,12 +936,20 @@ def leakage_safe_split(
     combine + one keyed join back on the digest — the md5 digest (not
     the text) is the only shuffled key. Assignment itself is the same
     deterministic mixed-hash bucket arithmetic as ``text_split_assign``:
-    no rand(), stable across runs/engines/cluster shapes."""
+    no rand(), stable across runs/engines/cluster shapes.
+
+    NULL text digests as the empty string (r8 fix): md5(NULL) is NULL and
+    a NULL key never matches the join back, so a null-text doc previously
+    received NO assignment and silently vanished — the one outcome a
+    split assigner must never produce. Null-text docs now land in the
+    empty-text group (deterministic, same split for all of them)."""
     from mongo_polars_reconciliation_spark.functions.hashing import (
         poly_hash_mixed_col,
     )
 
-    digest = F.md5(F.col(text_col).cast("binary")).alias("__dg")
+    digest = F.md5(
+        F.coalesce(F.col(text_col), F.lit("")).cast("binary")
+    ).alias("__dg")
     reps = (
         df.select(F.col(id_col), digest)
         .groupBy("__dg")

@@ -2016,10 +2016,11 @@ WITH docs_aug AS (
   SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
   FROM documents WHERE doc_id % 10 = 3
 ),
-reps AS (SELECT text, MIN(doc_id) AS rep_id FROM docs_aug GROUP BY text),
+reps AS (SELECT COALESCE(text, '') AS key, MIN(doc_id) AS rep_id
+         FROM docs_aug GROUP BY COALESCE(text, '')),
 assigned AS (
   SELECT d.doc_id, r.rep_id, ({POLY_HASH_REP}) % 100 AS bucket
-  FROM docs_aug d JOIN reps r USING (text)
+  FROM docs_aug d JOIN reps r ON COALESCE(d.text, '') = r.key
 )
 SELECT doc_id, rep_id, bucket,
        CASE WHEN bucket < 80 THEN 'train'
@@ -2033,9 +2034,9 @@ WITH docs_x AS (
   UNION ALL
   SELECT doc_id + 100000, text, 'mirror' FROM documents WHERE doc_id % 10 = 7
 ),
-ds AS (SELECT DISTINCT text, source FROM docs_x)
+ds AS (SELECT DISTINCT COALESCE(text, '') AS key, source FROM docs_x)
 SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
-FROM ds a JOIN ds b ON a.text = b.text AND a.source < b.source
+FROM ds a JOIN ds b ON a.key = b.key AND a.source < b.source
 GROUP BY a.source, b.source
 """,
     "text_cms_merge": """

@@ -293,3 +293,27 @@ def test_semantic_contamination_reports_partnerless_rows(spark):
         for r in semantic_contamination(emb, bench, exclude_self=False).collect()
     }
     assert rows2[1]["max_cos_r"] == 1.0 and rows2[1]["contaminated"] is True
+
+
+def test_null_text_docs_get_split_and_overlap_rows(spark):
+    """r8 regression (advice item): md5(NULL) is NULL, and NULL join keys
+    never match — so null-text docs used to vanish from leakage_safe_split
+    (no assignment at all) and from the source-overlap matrix. Both now
+    digest NULL as '' — every doc gets exactly one split row, null-text and
+    empty-text docs share a group, and overlap counts see the content."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import source_overlap
+    from mongo_polars_reconciliation_spark.extensions.text import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "a"), (2, None, "a"), (3, "", "b"), (4, None, "b")],
+        "doc_id long, text string, source string",
+    )
+    split = {r["doc_id"]: r for r in leakage_safe_split(docs).collect()}
+    assert set(split) == {1, 2, 3, 4}  # nobody vanishes
+    # null-text and empty-text docs form ONE digest group: shared rep/split
+    assert {split[i]["rep_id"] for i in (2, 3, 4)} == {2}
+    assert len({split[i]["split"] for i in (2, 3, 4)}) == 1
+
+    ov = {(r["source_a"], r["source_b"]): r["n_shared"]
+          for r in source_overlap(docs).collect()}
+    assert ov == {("a", "b"): 1}  # the ''-digest content appears in both
