@@ -6,6 +6,8 @@ so every operator stays on the whole-stage-codegen path at 100 TB.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1099,67 +1101,88 @@ def cluster_safe_split(
 
 def cms_merge_check(
     df: DataFrame,
-    group_col: str = "source",
+    n_splits: int = 3,
     d: int = 3,
     w: int = 64,
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Pin of the count-min sketch's mergeability claim: build one partial
-    sketch per ``group_col`` value (source/day/partition), merge them by
-    SUMMING counters, and emit every (j, b) counter of the merged sketch
-    next to the global full-scan counter. Because CMS counters are plain
-    sums of per-occurrence increments, ``sum over groups == global`` holds
-    bit-for-bit — the partial-aggregation contract that lets a 100 TB
-    corpus be sketched per source/day and combined without rescanning
-    (same pin shape as ``events_kmv_merge`` for the KMV sketch).
+    sketch per corpus split, merge them by SUMMING counters, and emit every
+    (j, b) counter of the merged sketch next to the global full-scan
+    counter. Because CMS counters are plain sums of per-occurrence
+    increments, ``sum over splits == global`` holds bit-for-bit — the
+    partial-aggregation contract that lets a 100 TB corpus be sketched per
+    source/day and combined without rescanning (same pin shape as
+    ``events_kmv_merge`` for the KMV sketch).
 
-    Scale shape: per-group counters are a (g, j, b) hash-aggregate whose
-    map-side combine caps shuffled rows at groups·d·w per partition; the
-    merge is a second d·w-row aggregate; the comparison join touches at
-    most d·w rows. Output ≤ d·w rows, nothing driver-side."""
-    from mongo_polars_reconciliation_spark.functions.hashing import (
-        POLY_P31,
-        POLY_P31B,
-        poly_hash_mixed_col,
-    )
+    The two sides are INDEPENDENTLY constructed (r8, advice item): each
+    partial sketch comes from its own filtered scan of the source
+    (``xxhash64(id) mod n_splits`` — a total, never-null partition of the
+    rows), and the global side re-derives vocabulary and counters from an
+    unfiltered scan. The previous form aggregated ONE checkpointed bucket
+    frame twice, so merged == global was an algebraic identity (SUM
+    associativity) that could not fail whatever the sketch did; now a
+    rewrite whose partials stop being mergeable (e.g. any split-dependent
+    hashing or width) diverges. The comparison is a FULL OUTER join, so a
+    bucket present on only one side surfaces as a NULL (hash-mismatch at
+    the driver) instead of being silently dropped by an inner join.
 
-    tok = df.select(
-        F.col(group_col).alias("g"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    )
-    h1 = poly_hash_mixed_col("tok", POLY_P31)
-    h2 = poly_hash_mixed_col("tok", POLY_P31B)
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).cast("int").alias("j"),
-                    F.pmod(
-                        F.pmod(h1 + F.lit(j) * h2, F.lit(POLY_P31)),
-                        F.lit(w),
-                    ).alias("b"),
-                )
-                for j in range(d)
-            ]
+    Scale shape: each partial is a vocab aggregate + d·w-row counter
+    aggregate with map-side combine; the merge is a second d·w-row
+    aggregate; the comparison join touches at most d·w rows. Output ≤ d·w
+    rows, nothing driver-side. n_splits more scans than the tautological
+    form — this operator is the mergeability AUDIT, not the sketch
+    builder (``heavy_hitters_cms`` scans once)."""
+
+    def counters(frame: DataFrame, out: str) -> DataFrame:
+        from mongo_polars_reconciliation_spark.functions.hashing import (
+            POLY_P31,
+            POLY_P31B,
+            poly_hash_mixed_col,
         )
-    ).alias("jb")
-    # Aggregate to per-(group, distinct-token) counts FIRST (vocab-first,
-    # as in heavy_hitters_cms), hash each distinct token once, weight by
-    # the count — identical integer sums; consumed by both the per-group
-    # and the global aggregate, hence the checkpoint.
-    jb = (
-        tok.groupBy("g", "tok")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .select("g", "occ", rows)
-        .select("g", "occ", F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
-        .localCheckpoint(eager=False)
+
+        tok = frame.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        )
+        h1 = poly_hash_mixed_col("tok", POLY_P31)
+        h2 = poly_hash_mixed_col("tok", POLY_P31B)
+        rows = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        F.pmod(
+                            F.pmod(h1 + F.lit(j) * h2, F.lit(POLY_P31)),
+                            F.lit(w),
+                        ).alias("b"),
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("jb")
+        # vocab-first (as in heavy_hitters_cms): hash each distinct token
+        # once, weight the counter contribution by its occurrence count
+        return (
+            tok.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("occ"))
+            .select("occ", rows)
+            .select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"), "occ")
+            .groupBy("j", "b")
+            .agg(F.sum("occ").alias(out))
+        )
+
+    split = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_splits))
+    partials = [
+        counters(df.where(split == i), "cnt") for i in range(n_splits)
+    ]
+    merged = (
+        reduce(DataFrame.unionByName, partials)
+        .groupBy("j", "b")
+        .agg(F.sum("cnt").alias("cnt_merged"))
     )
-    per_group = jb.groupBy("g", "j", "b").agg(F.sum("occ").alias("cnt"))
-    merged = per_group.groupBy("j", "b").agg(F.sum("cnt").alias("cnt_merged"))
-    global_c = jb.groupBy("j", "b").agg(F.sum("occ").alias("cnt_global"))
-    # key sets are identical by construction (both aggregate the same jb
-    # rows), so an inner join compares every counter
-    return merged.join(global_c, ["j", "b"]).select(
+    global_c = counters(df, "cnt_global")
+    return merged.join(global_c, ["j", "b"], "full_outer").select(
         F.col("j").cast("long").alias("j"),
         F.col("b").cast("long").alias("b"),
         F.col("cnt_merged").cast("long").alias("cnt_merged"),

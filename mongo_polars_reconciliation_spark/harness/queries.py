@@ -1434,10 +1434,12 @@ def dedup_source_overlap(spark, sf_dir) -> DataFrame:
 
 def text_cms_merge(spark, sf_dir) -> DataFrame:
     """Mergeability pin for the CMS sketch (mirror of events_kmv_merge):
-    per-source partial sketches summed counter-by-counter next to the
-    global full-scan sketch — every (j, b) pair of the d×w=3×64 state,
-    with the oracle pinning that cnt_merged == cnt_global bit-for-bit
-    (a property test asserts the equality column-wise too)."""
+    per-split partial sketches — each from its OWN filtered scan (r8:
+    independently-constructed sides, so the pin can actually fail) —
+    summed counter-by-counter next to the independently re-derived global
+    full-scan sketch: every (j, b) pair of the d×w=3×64 state, with the
+    oracle pinning cnt_merged == cnt_global bit-for-bit (a property test
+    asserts the equality column-wise too)."""
     from mongo_polars_reconciliation_spark.extensions.text import cms_merge_check
 
     return cms_merge_check(spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -1551,10 +1553,12 @@ def stream_cms_counters(spark, sf_dir) -> DataFrame:
 
 
 def events_hist_merge(spark, sf_dir) -> DataFrame:
-    """Mergeable-sketch pattern, histogram edition: per-event-type partial
-    histograms of events.value over SHARED global bin edges, merged by
-    elementwise count sum next to the direct full-scan bin counts — the
-    third sketch-merge pin (KMV, CMS, histogram), all bit-exact."""
+    """Mergeable-sketch pattern, histogram edition: per-split partial
+    histograms of events.value (split on hashed event_type — each partial
+    bins its own filtered scan, r8 independent-sides rework) over SHARED
+    global bin edges, merged by elementwise count sum next to the
+    independently re-binned full-scan counts — the third sketch-merge pin
+    (KMV, CMS, histogram), all bit-exact."""
     from mongo_polars_reconciliation_spark.operators.summary import (
         histogram_merge_check,
     )

@@ -180,55 +180,72 @@ def histogram_quantiles(
 def histogram_merge_check(
     df: DataFrame,
     value_col: str,
-    group_col: str,
+    split_col: str,
     bins: int = 1000,
+    n_splits: int = 3,
 ) -> DataFrame:
     """Mergeability pin for the fixed-bin histogram sketch (the third of
     the sketch-merge trio next to ``events_kmv_merge`` and
-    ``text_cms_merge``): per-group partial histograms over SHARED bin
-    edges merge by elementwise count sum, bit-equal to the full-scan
-    histogram — the property that lets a 100 TB table be histogrammed
-    per partition/day/source and combined without rescanning. Shared
-    edges are the precondition (per-group min/max would make bins
+    ``text_cms_merge``): partial histograms over SHARED bin edges merge
+    by elementwise count sum, bit-equal to the full-scan histogram — the
+    property that lets a 100 TB table be histogrammed per
+    partition/day/source and combined without rescanning. Shared edges
+    are the precondition (per-partial min/max would make bins
     incompatible); here they come from one global min/max pass, in
     production from a fixed known range or a prior pass.
 
-    Scale shape: one global (min, max) aggregate broadcast onto the
-    scan → per-(group, bin) hash-aggregate with map-side combine
-    (≤ groups·bins rows) → bins-row merge aggregate vs the direct
-    global bins-row aggregate, compared over an inner join on the bin
-    (key sets identical by construction). Output ≤ bins rows."""
+    The two sides are INDEPENDENTLY constructed (r8, advice item; same
+    rework as ``cms_merge_check``): each partial histogram bins its own
+    filtered scan (``xxhash64(split_col) mod n_splits`` — total,
+    never-null row partition), the global side re-bins an unfiltered
+    scan, and only the (lo, hi) edge pass is shared — sharing the edges
+    is the mergeability PRECONDITION being pinned, not a shortcut. The
+    previous form binned once and aggregated the same checkpointed frame
+    twice, making merged == global an unfalsifiable SUM identity. FULL
+    OUTER comparison join: a bin present on one side only surfaces as a
+    NULL, not a silently dropped row.
+
+    Scale shape: one global (min, max) aggregate broadcast onto every
+    scan → per-partial bin hash-aggregate with map-side combine (≤ bins
+    rows each) → bins-row merge aggregate vs the direct global bins-row
+    aggregate. Output ≤ bins rows. n_splits+1 scans — this operator is
+    the mergeability audit, not the histogram builder."""
     vals = df.where(F.col(value_col).isNotNull()).select(
-        F.col(group_col).alias("__g"),
+        F.col(split_col).alias("__s"),
         F.col(value_col).cast("double").alias("__v"),
-    )
+    ).localCheckpoint(eager=False)
     stats = vals.agg(F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
-    binned = (
-        vals.crossJoin(F.broadcast(stats))
-        .select(
-            "__g",
-            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.floor((F.col("__v") - F.col("__lo")) / width),
-                    F.lit(bins - 1),
+
+    def binned(frame: DataFrame, out: str) -> DataFrame:
+        return (
+            frame.crossJoin(F.broadcast(stats))
+            .select(
+                F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+                .otherwise(
+                    F.least(
+                        F.floor((F.col("__v") - F.col("__lo")) / width),
+                        F.lit(bins - 1),
+                    )
                 )
+                .cast("long")
+                .alias("bin"),
             )
-            .cast("long")
-            .alias("bin"),
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(out))
         )
-        # consumed by both the per-group and the global aggregate
-        .localCheckpoint(eager=False)
+
+    split = F.pmod(F.xxhash64(F.col("__s")), F.lit(n_splits))
+    partials = [
+        binned(vals.where(split == i), "cnt") for i in range(n_splits)
+    ]
+    merged = (
+        reduce(DataFrame.unionByName, partials)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt_merged"))
     )
-    per_group = binned.groupBy("__g", "bin").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    merged = per_group.groupBy("bin").agg(F.sum("cnt").alias("cnt_merged"))
-    global_c = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("cnt_global")
-    )
-    return merged.join(global_c, "bin").select(
+    global_c = binned(vals, "cnt_global")
+    return merged.join(global_c, "bin", "full_outer").select(
         "bin",
         F.col("cnt_merged").cast("long").alias("cnt_merged"),
         F.col("cnt_global").cast("long").alias("cnt_global"),
