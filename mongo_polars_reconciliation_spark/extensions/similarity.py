@@ -178,6 +178,12 @@ def _sq_dist(vcol: Column, cent: list[float]) -> Column:
 # actual pair join). The kernel collapses it to one node; same doubles.
 ASSIGN_ARROW = True
 
+# Centroids per distance block inside the assignment kernel: transient
+# kernel memory is batch_rows × _ASSIGN_CHUNK doubles (~80 MB at the
+# 10k-row Arrow default) however large nlist grows. Module-level so the
+# chunk-merge path is testable with tiny chunks.
+_ASSIGN_CHUNK = 1024
+
 
 def _nearest_cids_udf(cents: list[list[float]], nprobe: int):
     """Build a pandas_udf mapping array<double> → the ``nprobe`` nearest
@@ -192,6 +198,10 @@ def _nearest_cids_udf(cents: list[list[float]], nprobe: int):
     DuckDB oracles replay the same arithmetic, so both implementations
     are interchangeable bit-for-bit (parity-tested)."""
     C = [[float(x) for x in c] for c in cents]
+    # captured at build time (driver) so tests that shrink the chunk see
+    # it inside worker processes — a module global read inside fn would
+    # re-resolve against the worker's own import
+    chunk = _ASSIGN_CHUNK
 
     def fn(v):
         import numpy as np
@@ -201,15 +211,36 @@ def _nearest_cids_udf(cents: list[list[float]], nprobe: int):
             return pd.Series([], dtype=object)
         a = np.stack(v.to_numpy())
         m, dim = a.shape
-        D = np.empty((m, len(C)), dtype=np.float64)
-        for i, c in enumerate(C):
-            d = np.zeros(m, dtype=np.float64)
+        carr = np.asarray(C, dtype=np.float64)
+        rows = np.arange(m)[:, None]
+        best_d = best_c = None
+        # Vectorized across CENTROIDS per dimension (r8, advice item): the
+        # old per-centroid Python loop was O(nlist·dim) numpy calls per
+        # batch — fine at nlist=32, the bottleneck once auto_nlist grows
+        # into the thousands. ``D = D + t*t`` on an (m, chunk) matrix does
+        # the identical per-element IEEE accumulation (same j order, same
+        # 0.0 seed), so bit-parity with _sq_dist's left fold is preserved.
+        # Chunking bounds transient memory at m×chunk doubles; the chunk
+        # merge keeps the (distance, cid) tie-break exactly because chunks
+        # are processed in ascending-cid order and every candidate list is
+        # already (d, cid)-sorted, so a STABLE argsort over concatenated
+        # distances resolves ties to the lower cid.
+        for lo in range(0, len(C), chunk):
+            cc = carr[lo : lo + chunk]
+            D = np.zeros((m, cc.shape[0]), dtype=np.float64)
             for j in range(dim):
-                t = a[:, j] - c[j]
-                d = d + t * t
-            D[:, i] = d
-        order = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([row.tolist() for row in order.astype("int32")])
+                t = a[:, j][:, None] - cc[:, j][None, :]
+                D = D + t * t
+            idx = np.argsort(D, axis=1, kind="stable")[:, :nprobe]
+            cand_d, cand_c = D[rows, idx], idx + lo
+            if best_d is None:
+                best_d, best_c = cand_d, cand_c
+            else:
+                all_d = np.concatenate([best_d, cand_d], axis=1)
+                all_c = np.concatenate([best_c, cand_c], axis=1)
+                sel = np.argsort(all_d, axis=1, kind="stable")[:, :nprobe]
+                best_d, best_c = all_d[rows, sel], all_c[rows, sel]
+        return pd.Series([row.tolist() for row in best_c.astype("int32")])
 
     from pyspark.sql.types import ArrayType, IntegerType
 
@@ -294,26 +325,44 @@ def kmeans_fit(
 
 
 def auto_nlist(
-    emb: DataFrame, target_block_rows: int = 1024
+    emb: DataFrame, target_block_rows: int = 1024, cap: int = 65536
 ) -> int:
-    """Scale ``nlist`` with the corpus: ``ceil(n / target_block_rows)``.
+    """Scale ``nlist`` with the corpus: ``ceil(√n)``, floored so blocks
+    don't shrink below ``target_block_rows`` on small corpora, capped at
+    ``cap`` (FAISS-norm IVF sizing).
 
-    Why this must scale (VERDICT r6, the one fitted-blocking parameter
-    that could kill the plan at 100×): a blocked self-join over nlist
-    blocks of ~n/nlist rows costs ∝ nlist·(n/nlist)² = n²/nlist pairs.
-    With nlist FIXED, doubling the corpus quadruples the pair count —
-    quadratic blow-up. With nlist = n/target, the cost is ∝ n·target:
-    linear in corpus size with a tunable constant, which is exactly the
-    IVF recipe (nlist ∝ √n..n/target depending on the probe budget; the
-    flat-target form keeps per-block pair work constant).
+    Why it must scale AT ALL (VERDICT r6): a blocked self-join over nlist
+    blocks of ~n/nlist rows costs ∝ nlist·(n/nlist)² = n²/nlist pairs —
+    with nlist FIXED, doubling the corpus quadruples the pair count.
 
-    Cost of the decision itself: one ``count()`` — a metadata-cheap
-    action on columnar sources, negligible next to the Lloyd fit that
-    follows. The harness queries keep pinned integer nlist constants so
-    the DuckDB oracles can replay the fit bit-for-bit; ``"auto"`` is the
-    production path."""
+    Why √n and not n/target (r8, advice item): the linear form made the
+    CENTROID count linear in corpus size, but centroids are the one piece
+    of state this design keeps at driver/broadcast scale — kmeans_fit
+    collects k×dim doubles per Lloyd round and the assignment kernel
+    closes over the full centroid list. At n = 10¹⁰ vectors, n/1024 is
+    ~10⁷ centroids (≈5 GB of closure at dim=64) — no longer broadcast
+    scale; √n is 10⁵ (≈50 MB), and the blocked pair work becomes
+    ∝ n²/√n = n^1.5 — the standard IVF trade (exhaustive in-block scan
+    under a √n-sized coarse quantizer), still far from n². The cap bounds
+    the closure at ~33 MB however large n gets; past that scale a real
+    deployment layers a second quantizer level rather than growing the
+    flat list.
+
+    Cost of the decision itself: one ``count()`` — metadata-cheap on
+    columnar sources, negligible next to the Lloyd fit that follows. The
+    harness queries keep pinned integer nlist constants so the DuckDB
+    oracles can replay the fit bit-for-bit; ``"auto"`` is the production
+    path (nesting/cohesion property tests run it)."""
     n = emb.count()
-    return max(1, -(-n // target_block_rows))
+    if n <= 0:
+        return 1
+    isqrt = int(n**0.5)
+    if isqrt * isqrt < n:  # ceil of the integer square root
+        isqrt += 1
+    # keep blocks from shrinking below ~target rows on small corpora
+    # (nlist ≤ ceil(n/target) ⇔ block size ≥ target): √n only takes over
+    # once n > target², i.e. when the corpus is big enough to need it
+    return max(1, min(cap, isqrt, -(-n // target_block_rows)))
 
 
 def _resolve_nlist(

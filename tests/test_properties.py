@@ -845,3 +845,45 @@ def test_multiprobe_superset_random(spark, vecs):
     assert set(p1) <= set(p2)
     for key in p1:
         assert p1[key] == p2[key]
+
+
+def test_assignment_kernel_chunk_merge_parity(spark):
+    """r8: the assignment kernel vectorizes across centroid CHUNKS and
+    merges per-chunk top-nprobe candidates. With the chunk shrunk to 2,
+    a 7-centroid assignment exercises multiple merge rounds — results
+    must be identical to the unchunked kernel AND the expression path,
+    including (distance, cid) tie-breaks (duplicate centroids force
+    exact distance ties across chunk boundaries)."""
+    import mongo_polars_reconciliation_spark.extensions.similarity as sim
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.5, 0.5, 0.0, 0.0],
+        [0.9, 0.1, 0.2, 0.0], [0.0, 0.0, 1.0, 0.0],
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    # duplicate centroids (cids 1 and 5 identical, 2 and 6 identical):
+    # every vector ties exactly on them, and the ties straddle chunks
+    cents = [vecs[0], vecs[1], vecs[2], vecs[3], vecs[4], vecs[1], vecs[2]]
+
+    def probes(nprobe):
+        return sorted(
+            map(tuple,
+                sim.probe_assignments(emb, cents, nprobe=nprobe)
+                .select("vec_id", "__blk").collect())
+        )
+
+    saved_chunk, saved_as = sim._ASSIGN_CHUNK, sim.ASSIGN_ARROW
+    try:
+        sim.ASSIGN_ARROW = True
+        sim._ASSIGN_CHUNK = 2
+        chunked = [probes(1), probes(2), probes(3)]
+        sim._ASSIGN_CHUNK = 1024
+        unchunked = [probes(1), probes(2), probes(3)]
+        sim.ASSIGN_ARROW = False
+        expr = [probes(1), probes(2), probes(3)]
+    finally:
+        sim._ASSIGN_CHUNK, sim.ASSIGN_ARROW = saved_chunk, saved_as
+    assert chunked == unchunked == expr
