@@ -86,6 +86,8 @@ SECONDARY = [
     "text_split_leakage_safe",
     "text_split_cluster_safe",
     "dedup_source_overlap",
+    # r8 additions
+    "text_bpe_merges",
 ]
 
 

@@ -1271,3 +1271,116 @@ def bpe_pair_stats(
         )
         .where(F.col("n_occurrences") >= min_count)
     )
+
+
+def bpe_merge_fit(
+    df: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative BPE vocabulary induction (Sennrich et al. 2016): run the
+    full merge LOOP, not just the first round's pair statistics
+    (``bpe_pair_stats``) — the gap between "has BPE stats" and "can
+    induce a tokenizer". Returns the merge table, one row per learned
+    merge: (merge_rank, lhs, rhs, merged, pair_count), where pair_count
+    is the corpus-wide weighted frequency of (lhs, rhs) at the moment it
+    was chosen. Deterministic: ties break (count DESC, lhs ASC, rhs ASC),
+    so the table is bit-stable across runs/engines/partitionings.
+
+    Algorithm, the standard trainer shape: (1) collapse the corpus to the
+    WORD-FREQUENCY table once (vocab-first — every real BPE trainer runs
+    on the word-count dict, and the r7 CMS lesson showed the |corpus| →
+    |vocab| collapse is also the Spark win); each word starts as its
+    character sequence. (2) Per round: corpus-wide adjacent-pair
+    aggregate weighted by word count → the single best pair comes to the
+    driver (ONE row — the same bounded-state loop contract as
+    ``kmeans_fit``'s k×dim round-trips) → a map-only fold rewrites every
+    word's symbol array, merging leftmost non-overlapping occurrences
+    ("aaaa" + (a,a) → [aa, aa], "aaa" → [aa, a]). The fold stays in
+    built-in expressions (``aggregate`` over the symbol array with
+    literal lhs/rhs), so each round is one hash-aggregate + one map —
+    no Python in the loop.
+
+    Scale shape: driver state is n_merges×3 strings; distributed state
+    is the |vocab|-row symbol table, localCheckpointed per round so
+    lineage doesn't deepen with rounds (the AQE re-analysis lesson from
+    plans/pipeline.py). Pair counts only shrink as merges apply, so the
+    per-round aggregate's input is ≤ the round before. Rounds stop early
+    if no pair remains (every word fully merged). Empty tokens carry no
+    pairs and are excluded up front.
+
+    Monotonicity invariant (property-pinned): pair_count is
+    non-increasing in merge_rank — a new pair created by merging (l, r)
+    can occur at most count(l, r) times, and existing pair counts only
+    fall when occurrences are consumed by the merge."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "wc",
+            F.expr(
+                "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            words.where(F.size("syms") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS l, "
+                        "element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merged = l + r
+        merges.append((rank, l, r, merged, cnt))
+
+        def make_step(_l: str, _r: str, _m: str):
+            # closure factory: pyspark introspects the lambda's arity, so
+            # the captured literals can't ride as default args
+            def step(acc, s):
+                hit = (
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(_l))
+                    & (s == F.lit(_r))
+                )
+                return F.when(
+                    hit,
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_m))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s)))
+
+            return step
+
+        words = words.select(
+            "wc",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                make_step(l, r, merged),
+            ).alias("syms"),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, lhs string, rhs string, merged string, "
+        "pair_count long",
+    )

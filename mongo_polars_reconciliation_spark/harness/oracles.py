@@ -2191,3 +2191,53 @@ _v1_head, _v1_tail = ORACLES["curation_pipeline"].split("qual AS (", 1)
 ORACLES["curation_pipeline_v2"] = (
     _v1_head + _V2_GATES + "qual AS (" + _v1_tail.replace("FROM kept2", "FROM kept4")
 )
+
+
+def _bpe_merges_oracle(n_rounds: int) -> str:
+    """Unrolled-CTE replay of extensions/text.py:bpe_merge_fit: each round
+    is (pair aggregate over the current segmentation) → (single best pair,
+    count DESC then lexicographic) → (list_reduce fold applying the merge
+    leftmost-non-overlapping). The fold uses the list-of-singletons trick
+    because DuckDB 1.0's list_reduce has no initial-value form: seeding
+    with [first_symbol] makes the accumulator a VARCHAR[] throughout,
+    matching Spark's aggregate(..., array(), ...) fold element-for-element."""
+    parts = [
+        """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+w AS (SELECT tok, COUNT(*) AS wc FROM toks WHERE length(tok) >= 1 GROUP BY tok),
+s0 AS (
+  SELECT list_transform(range(1, length(tok) + 1), i -> substr(tok, i, 1)) AS syms, wc
+  FROM w
+)"""
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(f""",
+p{k} AS (
+  SELECT pr.l AS l, pr.r AS r, SUM(wc) AS cnt
+  FROM (
+    SELECT unnest(list_transform(range(1, len(syms)), i ->
+             {{'l': syms[i], 'r': syms[i + 1]}})) AS pr, wc
+    FROM s{k - 1} WHERE len(syms) >= 2
+  )
+  GROUP BY pr.l, pr.r
+),
+b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+s{k} AS (
+  SELECT list_reduce(list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
+                       THEN list_concat(acc[1:len(acc) - 1], [b.l || b.r])
+                       ELSE list_concat(acc, x) END) AS syms, wc
+  FROM s{k - 1} CROSS JOIN b{k} b
+)""")
+    parts.append(
+        "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, "
+            f"l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+            for k in range(1, n_rounds + 1)
+        )
+    )
+    return "".join(parts)
+
+
+ORACLES["text_bpe_merges"] = _bpe_merges_oracle(5)

@@ -1357,6 +1357,19 @@ def text_bpe_pairs(spark, sf_dir) -> DataFrame:
     return bpe_pair_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_bpe_merges(spark, sf_dir) -> DataFrame:
+    """Iterative BPE vocabulary induction (r8): the full merge LOOP — five
+    rounds of corpus-wide weighted pair counting, each round's winner
+    (count DESC, lhs, rhs tie-break) merged into every word before the
+    next — returning the learned merge table. The DuckDB oracle replays
+    all five rounds (unrolled CTEs, list_reduce fold) bit-for-bit."""
+    from mongo_polars_reconciliation_spark.extensions.text import bpe_merge_fit
+
+    return bpe_merge_fit(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=5
+    )
+
+
 def text_heavy_hitters_cms(spark, sf_dir) -> DataFrame:
     """Count-min-sketch heavy hitters over document tokens (d=3, w=64):
     top-20 exact tokens with their CMS estimates — the mergeable
@@ -1751,6 +1764,7 @@ QUERIES = {
     "text_datacard": text_datacard,
     "events_anomaly_mad": events_anomaly_mad,
     "text_bpe_pairs": text_bpe_pairs,
+    "text_bpe_merges": text_bpe_merges,
     "text_lang_confusion": text_lang_confusion,
     "events_user_kmv": events_user_kmv,
     "events_kmv_merge": events_kmv_merge,

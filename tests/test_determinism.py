@@ -32,7 +32,9 @@ def _sorted_rows(df):
      # r7 operators
      "text_cms_merge", "text_bloom_decontaminate", "text_ngram_novelty",
      "text_split_leakage_safe", "dedup_source_overlap",
-     "dedup_ngram_jaccard"],
+     "dedup_ngram_jaccard",
+     # r8 operators
+     "text_bpe_merges"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")

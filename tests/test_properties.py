@@ -887,3 +887,67 @@ def test_assignment_kernel_chunk_merge_parity(spark):
     finally:
         sim._ASSIGN_CHUNK, sim.ASSIGN_ARROW = saved_chunk, saved_as
     assert chunked == unchunked == expr
+
+
+def _py_bpe(word_counts, n_merges):
+    """Independent Python BPE reference: weighted pair counts, best pair by
+    (count DESC, lhs, rhs), leftmost-non-overlapping merge application."""
+    from collections import Counter
+
+    segs = {w: [tuple(w), c] for w, c in word_counts.items()}
+    out = []
+    for rank in range(1, n_merges + 1):
+        stats = Counter()
+        for syms, c in segs.values():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += c
+        if not stats:
+            break
+        (l, r), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, l, r, l + r, cnt))
+        for w, (syms, c) in segs.items():
+            acc = []
+            for s in syms:
+                if acc and acc[-1] == l and s == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(s)
+            segs[w] = [tuple(acc), c]
+    return out
+
+
+def test_bpe_merge_fit_matches_python_model(spark):
+    """The distributed BPE loop must equal an independent Python trainer
+    exactly — ranks, chosen pairs, merged symbols, and weighted counts —
+    on a corpus engineered with repeats, ties (broken lexicographically),
+    and multi-round chain merges ('aaaa' exercising leftmost
+    non-overlapping application)."""
+    from collections import Counter
+
+    from mongo_polars_reconciliation_spark.extensions.text import bpe_merge_fit
+
+    docs = [
+        (1, "aaaa aaa banana bandana"),
+        (2, "banana aaaa cab cab"),
+        (3, "abc abc cab dada"),
+    ]
+    wc = Counter(t for _, s in docs for t in s.split(" ") if t)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merge_fit(df, n_merges=6).collect()]
+    assert got == _py_bpe(wc, 6)
+    # monotonicity: a merge can create new pairs occurring at most as
+    # often as the pair just merged, so chosen counts never increase
+    counts = [g[4] for g in got]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_merge_counts_monotone_on_corpus(spark):
+    """Merge-monotonicity on the real documents table (sf0.001): round
+    k+1's chosen pair count never exceeds round k's."""
+    from mongo_polars_reconciliation_spark.extensions.text import bpe_merge_fit
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = bpe_merge_fit(df, n_merges=5).orderBy("merge_rank").collect()
+    assert len(rows) == 5
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
