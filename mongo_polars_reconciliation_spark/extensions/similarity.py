@@ -992,3 +992,138 @@ def semantic_dedup(
         .distinct()
     )
     return emb.select(id_col, block_col).join(dropped, id_col, "left_anti")
+
+
+def knn_join_exact(
+    emb: DataFrame,
+    k: int = 10,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT k-NN graph: every vector's true top-k cosine neighbors over
+    ALL other vectors — the ground truth an ANN index is measured against.
+    O(n²) pair work by definition; what a Spark implementation controls is
+    the SHAPE of that work: the all-pairs join is realized as a block-pair
+    equi-join (1-bucket-theta style: each row is replicated to ``n_buckets``
+    composite keys, every unordered bucket pair meets at exactly one key),
+    so the plan has NO CartesianProduct/BNLJ node, the n² pairs spread
+    evenly over n_buckets² tasks, and each unordered vector pair is scored
+    ONCE (``id_a < id_b``) then exploded into both directed rows — the
+    same symmetric-scoring trick as :func:`knn_join_multiprobe`, with the
+    same 6-dp rounding and (cos DESC, neighbor ASC) tie-break so the two
+    graphs are set-comparable bit-for-bit.
+
+    At 100 TB this is not a production path — it is the recall harness
+    (``ann_recall_at_k``) run on a sampled slice to measure index quality;
+    the docstring of auto_nlist covers what production runs instead."""
+    base = _with_norm(emb.select(id_col, vec_col), vec_col, "__").select(
+        F.col(id_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("__bk"),
+        "__v",
+        "__n",
+    )
+    all_b = F.array(*[F.lit(i).cast("int") for i in range(n_buckets)])
+    l = base.select(
+        F.col("__bk").alias("__ba"),
+        F.explode(all_b).alias("__bb"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    r = base.select(
+        F.explode(all_b).alias("__ba"),
+        F.col("__bk").alias("__bb"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    dot = _pair_dot(F.col("va"), F.col("vb"))
+    half = (
+        l.join(r, ["__ba", "__bb"])
+        .where(F.col("__ida") < F.col("__idb"))
+        .select(
+            "__ida",
+            "__idb",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_r"),
+        )
+    )
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__ida").alias("src"), F.col("__idb").alias("nb")
+                ),
+                F.struct(
+                    F.col("__idb").alias("src"), F.col("__ida").alias("nb")
+                ),
+            )
+        ).alias("p"),
+        "cos_r",
+    ).select(
+        F.col("p.src").alias("__ida"),
+        F.col("p.nb").alias("neighbor_id"),
+        "cos_r",
+    )
+    w = Window.partitionBy("__ida").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("__ida").alias(id_col), "rank", "neighbor_id", "cos_r")
+    )
+
+
+def ann_recall_at_k(
+    emb: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    nlist: "int | str" = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the fitted multi-probe ANN graph against the exact
+    brute-force truth — the quality gate that turns "the ANN path is fast"
+    into "the ANN path is measurably good" (the first question a user
+    sizing nprobe/nlist asks). Per vector: n_true exact neighbors (= k),
+    n_hit of them found by :func:`knn_join_multiprobe`, and the floor4
+    recall ratio. Aggregate recall is AVG(recall_r); emitting per-vector
+    rows keeps the distribution visible (boundary-straddling vectors are
+    exactly the ones that drop below 1.0) and lets the oracle replay every
+    row bit-for-bit. Both graphs use the same 6-dp-rounded cosine and
+    (cos DESC, neighbor ASC) tie-break, so membership comparison is exact.
+
+    Scale: truth is O(n²) — run on a representative sample at corpus
+    scale; the ANN side is the production path being measured."""
+    from mongo_polars_reconciliation_spark.extensions.text import floor4
+
+    truth = knn_join_exact(emb, k=k, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), "neighbor_id"
+    )
+    ann = knn_join_multiprobe(
+        emb,
+        k=k,
+        nprobe=nprobe,
+        nlist=nlist,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select(F.col(id_col), "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        truth.join(ann, [id_col, "neighbor_id"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            F.col(id_col),
+            "n_true",
+            "n_hit",
+            floor4(F.col("n_hit") / F.col("n_true")).alias("recall_r"),
+        )
+    )

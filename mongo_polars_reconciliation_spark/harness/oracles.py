@@ -2241,3 +2241,65 @@ s{k} AS (
 
 
 ORACLES["text_bpe_merges"] = _bpe_merges_oracle(5)
+
+
+def _cos6_sql(a: str, b: str) -> str:
+    """6-dp-rounded cosine of two DOUBLE[] columns, left-fold order — the
+    shared arithmetic of every knn graph oracle."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({x})), "
+            f"i -> {x}[i]*{y}[i]), (p,q) -> p+q)"
+        )
+
+    return (
+        f"ROUND({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), 6)"
+    )
+
+
+# Recall@10 of the multiprobe ANN graph vs exact all-pairs truth: both
+# sides replayed with identical arithmetic and (cos DESC, neighbor ASC)
+# tie-breaks, so n_hit/n_true is exact, not approximate.
+ORACLES["sim_recall_probe"] = (
+    """
+WITH ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+"""
+    + KMEANS_CTES_MULTIPROBE
+    + ","
+    + _kmeans_assign_topn("cents_final", "assign_probe", 2)
+    + f""",
+ann_scored AS (
+  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         {_cos6_sql('a.v', 'b.v')} AS cos_r
+  FROM assign_probe a JOIN assign_probe b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+),
+ann_k AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_r DESC, neighbor_id) AS rn
+    FROM ann_scored) t
+  WHERE rn <= 10
+),
+truth_scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         {_cos6_sql('a.v', 'b.v')} AS cos_r
+  FROM ev a JOIN ev b ON a.vec_id <> b.vec_id
+),
+truth_k AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_r DESC, neighbor_id) AS rn
+    FROM truth_scored) t
+  WHERE rn <= 10
+)
+SELECT t.vec_id, COUNT(*) AS n_true, COUNT(a.neighbor_id) AS n_hit,
+       FLOOR((CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)) * 10000)
+         / 10000 AS recall_r
+FROM truth_k t LEFT JOIN ann_k a
+  ON a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.vec_id
+"""
+)

@@ -1327,6 +1327,32 @@ def sim_knn_join_multiprobe(spark, sf_dir) -> DataFrame:
     )
 
 
+def sim_recall_probe(spark, sf_dir) -> DataFrame:
+    """ANN quality gate (r8): per-vector recall@10 of the fitted
+    multi-probe k-NN graph (nprobe=2, the pinned IVF constants) against
+    the exact all-pairs brute-force truth — n_true, n_hit, and the floor4
+    recall ratio for every vector. The truth side's all-pairs join is a
+    block-pair equi-join (no cartesian node); both sides share the 6-dp
+    cosine and deterministic tie-break, so DuckDB replays the recall
+    bit-for-bit. Aggregate recall = AVG(recall_r); README documents the
+    measured recall/nprobe trade."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ann_recall_at_k,
+    )
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        MULTIPROBE_ORACLE_N_ITER,
+        MULTIPROBE_ORACLE_NLIST,
+    )
+
+    return ann_recall_at_k(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=10,
+        nprobe=2,
+        nlist=MULTIPROBE_ORACLE_NLIST,
+        n_iter=MULTIPROBE_ORACLE_N_ITER,
+    )
+
+
 def sim_semantic_dedup_fitted(spark, sf_dir) -> DataFrame:
     """SemDeDup survivors over FITTED multi-probe blocks on the duplicate-
     injected embeddings: drop every vector dominated (cos ≥ 0.9) by a
@@ -1732,6 +1758,7 @@ QUERIES = {
     "text_dup_spans_trim": text_dup_spans_trim,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
+    "sim_recall_probe": sim_recall_probe,
     "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
     "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
     "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
