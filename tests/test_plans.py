@@ -350,6 +350,10 @@ BNLJ_BY_DESIGN = {
     "events_kmv_merge",
     "text_lang_id",
     "events_hist_quantiles",
+    # r8: the independent-sides rework bins each filtered scan against the
+    # same one-row (lo, hi) broadcast, so the 1-row crossJoin now shows in
+    # the plan n_splits+1 times (it was hidden behind a checkpoint before)
+    "events_hist_merge",
     "sim_contamination",
     "curation_pipeline",
     "curation_pipeline_v2",
