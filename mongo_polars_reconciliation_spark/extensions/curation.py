@@ -43,15 +43,28 @@ def curate_corpus(
     ``None`` keeps exact mode. At test scale no bucket approaches the
     default cap, so capped and exact results coincide — which is exactly
     what the ``dedup_minhash_lsh_capped`` oracle query pins."""
+    # 0. ONE narrow (id, text) projection feeds every stage (r8): the
+    # exact-dedup digest and the keeper join each re-scanned the source
+    # parquet before; checkpointing the projection makes the corpus text
+    # read ONCE — at 100 TB that is one full-corpus scan saved. The rest
+    # of the pipeline only ever needs these two columns (pred_lang etc.
+    # are computed), so nothing widens back. Measured (r8, interleaved
+    # A/B, 3 reps, one session, sf0.1, load ~2.4): old 2.97 s min vs new
+    # 3.04 s — NEUTRAL at test scale, where the checkpoint write costs
+    # about what the second tiny scan did; kept for the scan count at
+    # real scale, not for a local win.
+    base = docs.select(F.col(id_col), F.col(text_col)).localCheckpoint(
+        eager=False
+    )
     # 1. exact dedup — keep the min-id copy of each distinct text.
     # Stage boundaries are localCheckpoint'ed: `kept` feeds the near-dup
     # stage AND three downstream scorers, and without lineage truncation
     # AQE re-analyzes the whole upstream tree per shuffle stage (the
     # measured driver-planning bottleneck — see plans/pipeline.py).
-    keepers = exact_dedup_groups(docs, id_col, text_col).select(
+    keepers = exact_dedup_groups(base, id_col, text_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    kept = docs.join(keepers, id_col).localCheckpoint(eager=False)
+    kept = base.join(keepers, id_col).localCheckpoint(eager=False)
 
     # 2. near-dup removal — drop the higher id of every verified pair
     pairs = minhash_near_dups(
@@ -116,10 +129,14 @@ def curate_corpus_v2(
         repetition_signals,
     )
 
-    keepers = exact_dedup_groups(docs, id_col, text_col).select(
+    # shared narrow text scan, as in curate_corpus (r8)
+    base = docs.select(F.col(id_col), F.col(text_col)).localCheckpoint(
+        eager=False
+    )
+    keepers = exact_dedup_groups(base, id_col, text_col).select(
         F.col("keeper_id").alias(id_col)
     )
-    kept = docs.join(keepers, id_col).localCheckpoint(eager=False)
+    kept = base.join(keepers, id_col).localCheckpoint(eager=False)
 
     pairs = minhash_near_dups(
         kept,
