@@ -623,7 +623,16 @@ def dedup_clusters_star(
     exceptAll per round — three job launches whose driver latency dominated
     wall time at bench scale (star was 1.4× plain propagation at sf0.1
     despite doing asymptotically less work). ``max_iter`` is a loud safety
-    bound like the propagation variant's."""
+    bound like the propagation variant's.
+
+    Drift watch closed (r8): driver warm-mins rose two rounds running
+    (r5 3.67 → r6 4.38 → r7 4.79 s), flagged as possible regression.
+    Interleaved A/B against ``dedup_clusters`` as control (4 reps, one
+    session, sf0.1, load ~2.5): star 3.50 s min vs control 3.31 s —
+    at the r5 level, 1.06× the control, no mechanism. The trend was
+    ambient load compounding across rounds; tools/bench_drift.py now
+    makes the per-query comparison automatic so a real one is caught in
+    one round."""
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .where(F.col("u") != F.col("v"))
