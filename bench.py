@@ -88,6 +88,8 @@ SECONDARY = [
     "dedup_source_overlap",
     # r8 additions
     "text_bpe_merges",
+    "text_bpe_encode",
+    "sim_recall_probe",
 ]
 
 

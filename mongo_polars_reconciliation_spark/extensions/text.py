@@ -1313,13 +1313,27 @@ def bpe_merge_fit(
     non-increasing in merge_rank — a new pair created by merging (l, r)
     can occur at most count(l, r) times, and existing pair counts only
     fall when occurrences are consumed by the merge."""
-    spark = df.sparkSession
+    merges, _ = _bpe_fit(df, n_merges, text_col)
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_rank long, lhs string, rhs string, merged string, "
+        "pair_count long",
+    )
+
+
+def _bpe_fit(
+    df: DataFrame, n_merges: int, text_col: str
+) -> "tuple[list[tuple[int, str, str, str, int]], DataFrame]":
+    """The fit loop shared by :func:`bpe_merge_fit` (wants the merge
+    table) and :func:`bpe_encode_stats` (wants the final per-word
+    segmentation). Returns (merge rows, vocab frame (tok, wc, syms))."""
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .where(F.length("tok") >= 1)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("wc"))
         .select(
+            "tok",
             "wc",
             F.expr(
                 "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
@@ -1372,6 +1386,7 @@ def bpe_merge_fit(
             return step
 
         words = words.select(
+            "tok",
             "wc",
             F.aggregate(
                 "syms",
@@ -1379,8 +1394,58 @@ def bpe_merge_fit(
                 make_step(l, r, merged),
             ).alias("syms"),
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank long, lhs string, rhs string, merged string, "
-        "pair_count long",
+    return merges, words
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    n_merges: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the learned BPE merges back to the corpus — the ENCODE half
+    of the tokenizer loop: fit ``n_merges`` merges (:func:`_bpe_fit`),
+    then report per document how the segmentation compressed:
+    (doc_id, ws_tokens, chars, bpe_tokens, compression_r) where
+    bpe_tokens is the total symbol count of the document's whitespace
+    tokens under the final merge table, chars the pre-merge symbol count
+    (token lengths), and compression_r = floor4(bpe_tokens / chars) —
+    1.0 means no merge applied, lower is more compression.
+
+    Scale shape: the fit already holds the final segmentation of every
+    DISTINCT token, so encoding is a dimension join — corpus tokens
+    against the |vocab|-row (tok → symbol count) table — plus one per-doc
+    aggregate. No per-occurrence re-segmentation: the fold ran |vocab|
+    times in the fit, never |corpus| times (vocab-first, as everywhere).
+    Hot tokens skew the join key, but the build side is one row per key,
+    which a hash join absorbs. Documents whose text has no non-empty
+    token (empty/null text) have nothing to encode and are absent from
+    the output, mirroring the SQL inner join."""
+    _, vocab = _bpe_fit(df, n_merges, text_col)
+    seg = vocab.select(
+        "tok",
+        F.length("tok").cast("long").alias("n_char"),
+        F.size("syms").cast("long").alias("n_sym"),
+    )
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.length("tok") >= 1)
+    return (
+        tok.join(seg, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_char").alias("chars"),
+            F.sum("n_sym").alias("bpe_tokens"),
+        )
+        .select(
+            F.col(id_col),
+            "ws_tokens",
+            "chars",
+            "bpe_tokens",
+            floor4(F.col("bpe_tokens") / F.col("chars")).alias(
+                "compression_r"
+            ),
+        )
     )

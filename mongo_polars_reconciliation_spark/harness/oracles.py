@@ -2200,13 +2200,17 @@ def _bpe_merges_oracle(n_rounds: int) -> str:
     leftmost-non-overlapping). The fold uses the list-of-singletons trick
     because DuckDB 1.0's list_reduce has no initial-value form: seeding
     with [first_symbol] makes the accumulator a VARCHAR[] throughout,
-    matching Spark's aggregate(..., array(), ...) fold element-for-element."""
+    matching Spark's aggregate(..., array(), ...) fold element-for-element.
+    The chain carries ``tok`` so the final segmentation doubles as the
+    encode oracle's vocabulary (text_bpe_encode)."""
     parts = [
         """
 WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
 w AS (SELECT tok, COUNT(*) AS wc FROM toks WHERE length(tok) >= 1 GROUP BY tok),
 s0 AS (
-  SELECT list_transform(range(1, length(tok) + 1), i -> substr(tok, i, 1)) AS syms, wc
+  SELECT tok,
+         list_transform(range(1, length(tok) + 1), i -> substr(tok, i, 1)) AS syms,
+         wc
   FROM w
 )"""
     ]
@@ -2223,7 +2227,7 @@ p{k} AS (
 ),
 b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
 s{k} AS (
-  SELECT list_reduce(list_transform(syms, s -> [s]),
+  SELECT tok, list_reduce(list_transform(syms, s -> [s]),
            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l AND x[1] = b.r
                        THEN list_concat(acc[1:len(acc) - 1], [b.l || b.r])
                        ELSE list_concat(acc, x) END) AS syms, wc
@@ -2241,6 +2245,38 @@ s{k} AS (
 
 
 ORACLES["text_bpe_merges"] = _bpe_merges_oracle(5)
+
+
+def _bpe_encode_oracle(n_rounds: int) -> str:
+    """Encode-stats replay: the SAME fitted chain (the final s{n} CTE is
+    the per-distinct-token segmentation), joined back onto the corpus
+    token stream and aggregated per document."""
+    chain = _bpe_merges_oracle(n_rounds)
+    chain = chain[: chain.index("\nSELECT CAST(1 AS BIGINT)")]
+    return (
+        chain
+        + f""",
+enc AS (
+  SELECT tok, CAST(length(tok) AS BIGINT) AS n_char,
+         CAST(len(syms) AS BIGINT) AS n_sym
+  FROM s{n_rounds}
+),
+dt AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT d.doc_id, COUNT(*) AS ws_tokens,
+       CAST(SUM(e.n_char) AS BIGINT) AS chars,
+       CAST(SUM(e.n_sym) AS BIGINT) AS bpe_tokens,
+       FLOOR((CAST(SUM(e.n_sym) AS DOUBLE) / CAST(SUM(e.n_char) AS DOUBLE))
+             * 10000) / 10000 AS compression_r
+FROM dt d JOIN enc e USING (tok)
+WHERE length(d.tok) >= 1
+GROUP BY d.doc_id
+"""
+    )
+
+
+ORACLES["text_bpe_encode"] = _bpe_encode_oracle(5)
 
 
 def _cos6_sql(a: str, b: str) -> str:

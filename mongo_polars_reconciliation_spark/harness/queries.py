@@ -1396,6 +1396,19 @@ def text_bpe_merges(spark, sf_dir) -> DataFrame:
     )
 
 
+def text_bpe_encode(spark, sf_dir) -> DataFrame:
+    """BPE encode (r8): fit 5 merges, then apply them back to the corpus
+    as a vocab-dimension join — per-doc whitespace tokens, chars, BPE
+    symbol count and floor4 compression ratio. Oracle replays fit AND
+    encode (the fitted CTE chain's final segmentation IS the encode
+    vocabulary)."""
+    from mongo_polars_reconciliation_spark.extensions.text import bpe_encode_stats
+
+    return bpe_encode_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_merges=5
+    )
+
+
 def text_heavy_hitters_cms(spark, sf_dir) -> DataFrame:
     """Count-min-sketch heavy hitters over document tokens (d=3, w=64):
     top-20 exact tokens with their CMS estimates — the mergeable
@@ -1792,6 +1805,7 @@ QUERIES = {
     "events_anomaly_mad": events_anomaly_mad,
     "text_bpe_pairs": text_bpe_pairs,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_encode": text_bpe_encode,
     "text_lang_confusion": text_lang_confusion,
     "events_user_kmv": events_user_kmv,
     "events_kmv_merge": events_kmv_merge,

@@ -951,3 +951,41 @@ def test_bpe_merge_counts_monotone_on_corpus(spark):
     assert len(rows) == 5
     counts = [r["pair_count"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_encode_stats_consistent_with_fit(spark):
+    """Encode-side invariants: every doc's bpe_tokens is between
+    ws_tokens (full merge of every token to one symbol) and chars (no
+    merges applied); a corpus whose best pairs were fully merged
+    compresses accordingly vs an independent Python re-encode."""
+    from collections import Counter
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        bpe_encode_stats,
+        bpe_merge_fit,
+    )
+
+    docs = [(1, "aaaa aaa banana"), (2, "banana aaaa cab"), (3, "abc cab dada")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = [(r["lhs"], r["rhs"]) for r in bpe_merge_fit(df, 4).collect()]
+
+    def py_encode(tok):
+        syms = list(tok)
+        for l, r in merges:
+            acc = []
+            for s in syms:
+                if acc and acc[-1] == l and s == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(s)
+            syms = acc
+        return len(syms)
+
+    got = {r["doc_id"]: r for r in bpe_encode_stats(df, 4).collect()}
+    for did, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        r = got[did]
+        assert r["ws_tokens"] == len(toks)
+        assert r["chars"] == sum(len(t) for t in toks)
+        assert r["bpe_tokens"] == sum(py_encode(t) for t in toks)
+        assert r["ws_tokens"] <= r["bpe_tokens"] <= r["chars"]
