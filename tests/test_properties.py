@@ -989,3 +989,62 @@ def test_bpe_encode_stats_consistent_with_fit(spark):
         assert r["chars"] == sum(len(t) for t in toks)
         assert r["bpe_tokens"] == sum(py_encode(t) for t in toks)
         assert r["ws_tokens"] <= r["bpe_tokens"] <= r["chars"]
+
+
+def test_cms_rows_independent_for_palindromic_tokens(spark):
+    """r8 h2 pin: with h2 derived from the reversed token (the r7 design),
+    every palindromic token — including ALL 1-char tokens — had h1 == h2,
+    so its d bucket rows were affine transforms of one hash (g_j =
+    h1·(1+j) mod p mod w) and row-independence vanished for that key
+    class. With the second-prime h2, a palindrome's d rows must NOT be
+    the degenerate affine family, and two 1-char tokens colliding in one
+    row must not collide in all rows (checked over the full single-char
+    alphabet: at least one pair separates in some other row)."""
+    from mongo_polars_reconciliation_spark.extensions.text import heavy_hitters_cms
+
+    alphabet = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    # each 1-char token appears a distinct number of times so exact counts
+    # identify them; w small enough to force same-row collisions
+    docs = [(i, " ".join([t] * (i + 1))) for i, t in enumerate(alphabet)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    d, w = 3, 8
+    rows = heavy_hitters_cms(df, d=d, w=w, k=len(alphabet)).collect()
+    est = {r["tok"]: (r["n_exact"], r["n_cms"]) for r in rows}
+    assert len(est) == len(alphabet)
+    # invariant: never undercounts
+    assert all(cms >= n for n, cms in est.values())
+    # the discriminating check: under the old h1==h2 family, any two
+    # tokens with h1 ≡ h1' (mod structure) collided in EVERY row, making
+    # n_cms equal for colliding groups across all rows. Recompute the
+    # bucket family in Python (second-prime h2) and assert some pair of
+    # tokens shares a row-0 bucket but separates in another row — the
+    # property the old family could not deliver for palindromes.
+    p1, p2, a = 2147483647, 2147483629, 2654435761
+
+    def h(tok, p):
+        v = 0
+        for ch in tok:
+            v = (v * 31 + (ord(ch) % p)) % p
+        return (v * a) % p
+
+    def bucket(tok, j):
+        return ((h(tok, p1) + j * h(tok, p2)) % p1) % w
+
+    separated = False
+    for i, t1 in enumerate(alphabet):
+        for t2 in alphabet[i + 1:]:
+            if bucket(t1, 0) == bucket(t2, 0) and any(
+                bucket(t1, j) != bucket(t2, j) for j in range(1, d)
+            ):
+                separated = True
+    assert separated, "no colliding pair separates — rows are not independent"
+    # and the engine's estimates agree with this Python family exactly
+    from collections import Counter
+
+    counters = [Counter() for _ in range(d)]
+    for i, t in enumerate(alphabet):
+        for j in range(d):
+            counters[j][bucket(t, j)] += i + 1
+    for i, t in enumerate(alphabet):
+        expect = min(counters[j][bucket(t, j)] for j in range(d))
+        assert est[t] == (i + 1, expect), t
