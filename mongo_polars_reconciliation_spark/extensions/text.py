@@ -220,6 +220,57 @@ def stratified_sample(
     return df.where(h < threshold)
 
 
+def sample_fixed_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    prefilter_frac: "float | None" = None,
+) -> DataFrame:
+    """Deterministic FIXED-SIZE sample: exactly ``k`` rows per stratum
+    (fewer only if the stratum is smaller) — the eval-set carving
+    primitive ("1000 docs per language for the benchmark"), complementing
+    rate-based :func:`stratified_sample`. Selection = the k smallest
+    mixed hashes of the row id per stratum, ties broken by id: stable
+    across runs/engines/cluster shapes, and UNIFORM per stratum because
+    the mixed hash de-bands short numeric ids. Returns
+    (strata, id, sample_rank 1..k).
+
+    The k-min-hash selection is ORDER-STATISTIC MERGEABLE (the KMV sketch
+    property): the k smallest hashes of a union are computable from each
+    part's k smallest, so per-day/per-shard samples re-merge without
+    rescanning, and appending data only ever replaces the largest-hash
+    members — a growing corpus's sample stays maximally stable.
+
+    Scale shape: the rank window sorts each stratum — fine when strata
+    are modest, wasteful for billion-row strata with small k. For that
+    case ``prefilter_frac`` keeps only hashes below frac·p BEFORE the
+    window — a PREFIX of the very ordering the rank uses, so it contains
+    the k winners whenever ~frac·|stratum| ≥ k, and the window sees ~frac
+    of the data. The filter is deterministic and oracle-replayable; pick
+    frac ≫ k/|stratum| (say 4×) and the exact same k rows come out.
+    Default None = exact path, no assumption."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        POLY_P31,
+        poly_hash_mixed_col,
+    )
+
+    h = poly_hash_mixed_col(id_col)
+    base = df.select(F.col(strata_col), F.col(id_col), h.alias("__h"))
+    if prefilter_frac is not None:
+        base = base.where(
+            F.col("__h") < F.lit(int(prefilter_frac * POLY_P31))
+        )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+        .select(strata_col, id_col, "sample_rank")
+    )
+
+
 def mix_epochs(
     df: DataFrame,
     strata_col: str,

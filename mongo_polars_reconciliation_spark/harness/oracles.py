@@ -2339,3 +2339,16 @@ FROM truth_k t LEFT JOIN ann_k a
 GROUP BY t.vec_id
 """
 )
+
+
+ORACLES["text_sample_fixed_k"] = """
+WITH h AS (
+  SELECT source, doc_id, {POLY_HASH_DOC} AS hh FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+  FROM h
+)
+SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM r WHERE rn <= 5
+""".replace("{POLY_HASH_DOC}", poly_hash_mixed_sql("doc_id"))

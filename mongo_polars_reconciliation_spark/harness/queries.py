@@ -1531,6 +1531,20 @@ def text_sample_stratified(spark, sf_dir) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def text_sample_fixed_k(spark, sf_dir) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample (r8): exactly 5 docs
+    per source by the k-smallest-mixed-hash rule — the eval-set carving
+    primitive; KMV-mergeable, so per-shard samples re-merge without
+    rescans."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        sample_fixed_per_stratum,
+    )
+
+    return sample_fixed_per_stratum(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "source", k=5
+    )
+
+
 def mm_decode_features(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.multimodal import (
         attach_payload,
@@ -1762,8 +1776,16 @@ QUERIES = {
     # changed-this-round first, then oldest driver rows, then the tail;
     # this reorder is the round's LAST semantics-touching commit.
     #
-    # -- positions 1-28: r8-changed or new --
-    # 1-3 new operators (BPE merge loop, BPE encode, ANN recall gate);
+    # -- positions 1-29: r8-changed or new --
+    # POST-ORDERING ADDITION (positional invariant, r6/r7 precedent):
+    # text_sample_fixed_k landed AFTER the ordering commit at position 4
+    # — inside the checked budget, so its row is fresh. The insertion
+    # shifts the budget cut by one: mm_frame_sample moves from position
+    # 50 to 51 (r6-row overflow; its mapInPandas plumbing shares
+    # extensions/multimodal.py with mm_decode_features, which stays in
+    # budget at position 50).
+    # 1-4 new operators (BPE merge loop, BPE encode, ANN recall gate,
+    #     fixed-k per-stratum sample);
     # 4-7 RESULTS changed: CMS/Bloom h2 now the second-prime hash
     #     (POLY_P31B) instead of the reversed token (advice item);
     # 8-10 impl changed: independent-sides merge pins (hist/cms),
@@ -1797,6 +1819,7 @@ QUERIES = {
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "sim_recall_probe": sim_recall_probe,
+    "text_sample_fixed_k": text_sample_fixed_k,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,
     "stream_cms_counters": stream_cms_counters,

@@ -1048,3 +1048,50 @@ def test_cms_rows_independent_for_palindromic_tokens(spark):
     for i, t in enumerate(alphabet):
         expect = min(counters[j][bucket(t, j)] for j in range(d))
         assert est[t] == (i + 1, expect), t
+
+
+def test_fixed_k_sample_merge_and_prefilter(spark):
+    """Fixed-size per-stratum sample invariants: (1) exactly k rows per
+    stratum with ranks 1..k (fewer only for small strata); (2) KMV
+    mergeability — the sample of the union equals the k-min re-merge of
+    per-part samples; (3) the prefilter fast path returns the identical
+    rows when the threshold keeps a superset of the winners."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        sample_fixed_per_stratum,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 5
+    full = sample_fixed_per_stratum(docs, "source", k)
+    rows = full.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["sample_rank"])
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(__import__("pyspark").sql.functions
+                                        .count("*").alias("n")).collect()}
+    for src, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, min(k, sizes[src]) + 1)), src
+
+    # (2) mergeability: sample(part0) ∪ sample(part1) re-sampled == full
+    p0 = docs.where("doc_id % 2 = 0")
+    p1 = docs.where("doc_id % 2 = 1")
+    partial = sample_fixed_per_stratum(p0, "source", k).unionByName(
+        sample_fixed_per_stratum(p1, "source", k)
+    )
+    remerged = sample_fixed_per_stratum(
+        docs.join(
+            partial.select("doc_id"), "doc_id"
+        ),
+        "source", k,
+    )
+    want = sorted((r["source"], r["doc_id"], r["sample_rank"]) for r in rows)
+    got = sorted((r["source"], r["doc_id"], r["sample_rank"])
+                 for r in remerged.collect())
+    assert got == want
+
+    # (3) prefilter equivalence with a generous threshold
+    pre = sample_fixed_per_stratum(docs, "source", k, prefilter_frac=0.5)
+    got2 = sorted((r["source"], r["doc_id"], r["sample_rank"])
+                  for r in pre.collect())
+    assert got2 == want
