@@ -53,6 +53,50 @@ def exact_dedup_groups(
     )
 
 
+def ingest_novel(
+    new_docs: DataFrame,
+    state_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus ingest — the crawl loop's dedup step: of an
+    arriving batch, keep ONE copy per content digest (min id, the
+    deterministic keeper rule of :func:`exact_dedup_groups`) whose digest
+    is ABSENT from the persisted state, i.e. never seen in any prior
+    ingest. Returns (id, text_hash) of the novel keepers; the caller
+    appends them to the state (``sources/state.py:upsert_state_table``
+    for transactional stores, or a partitioned-parquet union) and admits
+    only these documents downstream — the first question of every "new
+    dump arrived" decision, answered without rescanning history.
+
+    ``state_digests`` is any frame with a ``text_hash`` column (the
+    accumulated digest set). NULL text digests as '' (the r8 null-text
+    rule shared with leakage_safe_split).
+
+    Scale shape: one digest hash-aggregate over the batch (map-side
+    combine; the batch, not history, is scanned) + one LEFT ANTI join on
+    the digest against the state. Both sides shuffle on the digest; a
+    production state table is BUCKETED by text_hash so the anti-join is
+    shuffle-free on the (huge) state side and only the new batch moves.
+    Nothing driver-side; output ≤ distinct-batch-digests rows."""
+    dg = F.md5(
+        F.coalesce(F.col(text_col), F.lit("")).cast("binary")
+    ).alias("__dg")
+    keepers = (
+        new_docs.select(F.col(id_col), dg)
+        .groupBy("__dg")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return (
+        keepers.join(
+            state_digests.select(F.col("text_hash").alias("__dg")),
+            "__dg",
+            "left_anti",
+        )
+        .select(F.col(id_col), F.col("__dg").alias("text_hash"))
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -2352,3 +2352,20 @@ r AS (
 )
 SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM r WHERE rn <= 5
 """.replace("{POLY_HASH_DOC}", poly_hash_mixed_sql("doc_id"))
+
+
+ORACLES["dedup_ingest_incremental"] = """
+WITH b1 AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents WHERE doc_id % 3 < 2
+),
+b2 AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 100000, COALESCE(text, '') FROM documents WHERE doc_id % 10 = 7
+),
+s1 AS (SELECT DISTINCT md5(t) AS h FROM b1),
+k2 AS (SELECT md5(t) AS h, MIN(doc_id) AS doc_id FROM b2 GROUP BY md5(t))
+SELECT k2.doc_id, k2.h AS text_hash
+FROM k2 LEFT JOIN s1 ON s1.h = k2.h
+WHERE s1.h IS NULL
+"""

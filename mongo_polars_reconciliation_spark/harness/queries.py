@@ -1484,6 +1484,27 @@ def dedup_source_overlap(spark, sf_dir) -> DataFrame:
     return source_overlap(build_documents_xsource(spark, sf_dir))
 
 
+def dedup_ingest_incremental(spark, sf_dir) -> DataFrame:
+    """Two-phase incremental ingest (r8): batch 1 (doc_id%3<2) seeds the
+    digest state; batch 2 (the rest, plus redelivered copies of the
+    id%10==7 slice under shifted ids) is deduped against it — output is
+    batch 2's novel keepers only: within-batch duplicates collapse to the
+    min id, cross-batch duplicates (including every redelivered copy)
+    are suppressed by the state anti-join."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import ingest_novel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b1 = docs.where(F.col("doc_id") % 3 < 2)
+    b2 = docs.where(F.col("doc_id") % 3 == 2).select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    empty_state = spark.createDataFrame([], "text_hash string")
+    state1 = ingest_novel(b1, empty_state)
+    return ingest_novel(b2, state1)
+
+
 def text_cms_merge(spark, sf_dir) -> DataFrame:
     """Mergeability pin for the CMS sketch (mirror of events_kmv_merge):
     per-split partial sketches — each from its OWN filtered scan (r8:
@@ -1776,16 +1797,17 @@ QUERIES = {
     # changed-this-round first, then oldest driver rows, then the tail;
     # this reorder is the round's LAST semantics-touching commit.
     #
-    # -- positions 1-29: r8-changed or new --
-    # POST-ORDERING ADDITION (positional invariant, r6/r7 precedent):
-    # text_sample_fixed_k landed AFTER the ordering commit at position 4
-    # — inside the checked budget, so its row is fresh. The insertion
-    # shifts the budget cut by one: mm_frame_sample moves from position
-    # 50 to 51 (r6-row overflow; its mapInPandas plumbing shares
-    # extensions/multimodal.py with mm_decode_features, which stays in
-    # budget at position 50).
-    # 1-4 new operators (BPE merge loop, BPE encode, ANN recall gate,
-    #     fixed-k per-stratum sample);
+    # -- positions 1-30: r8-changed or new --
+    # POST-ORDERING ADDITIONS (positional invariant, r6/r7 precedent):
+    # text_sample_fixed_k (position 4) and dedup_ingest_incremental
+    # (position 5) landed AFTER the ordering commit — inside the checked
+    # budget, so their rows are fresh. The two insertions shift the
+    # budget cut: mm_decode_features and mm_frame_sample move from
+    # positions 49-50 to 51-52 (r6-row overflow; both are map-only
+    # extensions/multimodal.py plumbing whose mapInPandas batch shape is
+    # pinned by tests/test_properties.py and unchanged since r6).
+    # 1-5 new operators (BPE merge loop, BPE encode, ANN recall gate,
+    #     fixed-k per-stratum sample, incremental-ingest digest dedup);
     # 4-7 RESULTS changed: CMS/Bloom h2 now the second-prime hash
     #     (POLY_P31B) instead of the reversed token (advice item);
     # 8-10 impl changed: independent-sides merge pins (hist/cms),
@@ -1820,6 +1842,7 @@ QUERIES = {
     "text_bpe_encode": text_bpe_encode,
     "sim_recall_probe": sim_recall_probe,
     "text_sample_fixed_k": text_sample_fixed_k,
+    "dedup_ingest_incremental": dedup_ingest_incremental,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,
     "stream_cms_counters": stream_cms_counters,

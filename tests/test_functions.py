@@ -317,3 +317,31 @@ def test_null_text_docs_get_split_and_overlap_rows(spark):
     ov = {(r["source_a"], r["source_b"]): r["n_shared"]
           for r in source_overlap(docs).collect()}
     assert ov == {("a", "b"): 1}  # the ''-digest content appears in both
+
+
+def test_ingest_novel_suppresses_cross_batch_and_within_batch_dups(spark):
+    """r8 ingest_novel contract: within-batch duplicates collapse to the
+    min id; digests already in the state never re-admit (whatever id they
+    arrive under); null text digests as '' and dedups against an
+    empty-text state entry."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import ingest_novel
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "text_hash string")
+    state1 = ingest_novel(b1, empty)
+    assert {r["doc_id"] for r in state1.collect()} == {1, 2, 3}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha"),   # cross-batch dup — suppressed
+            (12, "gamma"),   # within-batch dup pair: keeper 11
+            (11, "gamma"),
+            (13, None),      # null == '' already in state via id 3
+            (14, "delta"),   # genuinely novel
+        ],
+        "doc_id long, text string",
+    )
+    novel2 = {r["doc_id"] for r in ingest_novel(b2, state1).collect()}
+    assert novel2 == {11, 14}
