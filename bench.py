@@ -90,6 +90,9 @@ SECONDARY = [
     "text_bpe_merges",
     "text_bpe_encode",
     "sim_recall_probe",
+    "text_sample_fixed_k",
+    "dedup_ingest_incremental",
+    "text_lm_score",
 ]
 
 

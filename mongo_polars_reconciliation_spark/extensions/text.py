@@ -756,6 +756,69 @@ def contamination_probe(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-bigram language-model quality scoring — the CCNet-style
+    "how typical is this document of the corpus" signal: train a bigram
+    model on the corpus itself (occurrence counts), score every document
+    by its mean conditional bigram probability. Atypical documents
+    (boilerplate explosions, lorem-ipsum, wrong-language fragments)
+    score low; middle-of-the-distribution prose scores high.
+
+    Integer-exact instead of log-prob floats (the tf·idf trick): each
+    bigram's probability is ``p_q = c(w1,w2)·scale DIV c(w1·)`` and the
+    doc score is ``lm_score_q = SUM(p_q) DIV n_bigrams`` — pure BIGINT,
+    shuffle-order-independent, bit-identical in DuckDB (no libm ``ln``
+    whose last bit differs between runtimes). Monotone per-bigram in the
+    true probability at 1/scale resolution. ``scale``·max-bigram-count
+    must stay < 2^63: the 10^6 default supports ~9·10^12 occurrences of
+    a single bigram — raise scale only with that budget in mind.
+
+    Plan shape: one bigram explode (map-side) → corpus (w1, w2) count
+    with map-side combine → prefix totals as a second small aggregate →
+    probability join keyed on the bigram (hot bigrams are one-row build
+    keys — hash join absorbs the skew) → per-doc aggregate. Docs with
+    fewer than two tokens have no bigrams and are absent, like the other
+    bigram operators."""
+    pairs = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("toks"),
+    ).where(F.size("toks") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, "
+                "element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select(
+        F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    probs = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr(f"c2 * CAST({scale} AS BIGINT) DIV c1").alias("p_q")
+    )
+    return (
+        pairs.join(probs, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_q").alias("__tot"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            F.expr("__tot DIV n_bigrams").alias("lm_score_q"),
+        )
+    )
+
+
 def ngram_frequencies(
     df: DataFrame,
     n: int = 2,

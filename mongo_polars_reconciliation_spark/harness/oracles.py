@@ -2369,3 +2369,24 @@ SELECT k2.doc_id, k2.h AS text_hash
 FROM k2 LEFT JOIN s1 ON s1.h = k2.h
 WHERE s1.h IS NULL
 """
+
+
+ORACLES["text_lm_score"] = '''
+WITH pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+  ), unnest(range(1, len(t))) AS u(i)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+probs AS (
+  SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS p_q
+  FROM c2 JOIN c1 USING (w1)
+)
+SELECT p.doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(pr.p_q) // COUNT(*) AS BIGINT) AS lm_score_q
+FROM pairs p JOIN probs pr ON pr.w1 = p.w1 AND pr.w2 = p.w2
+GROUP BY p.doc_id
+'''

@@ -1505,6 +1505,16 @@ def dedup_ingest_incremental(spark, sf_dir) -> DataFrame:
     return ingest_novel(b2, state1)
 
 
+def text_lm_score(spark, sf_dir) -> DataFrame:
+    """Corpus-bigram LM quality score per document (r8): mean conditional
+    bigram probability, integer-exact at 10^-6 resolution — the
+    typicality signal of CCNet-style quality filtering, with no float
+    log-probs so the oracle replays every score bit-for-bit."""
+    from mongo_polars_reconciliation_spark.extensions.text import bigram_lm_scores
+
+    return bigram_lm_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def text_cms_merge(spark, sf_dir) -> DataFrame:
     """Mergeability pin for the CMS sketch (mirror of events_kmv_merge):
     per-split partial sketches — each from its OWN filtered scan (r8:
@@ -1797,17 +1807,20 @@ QUERIES = {
     # changed-this-round first, then oldest driver rows, then the tail;
     # this reorder is the round's LAST semantics-touching commit.
     #
-    # -- positions 1-30: r8-changed or new --
+    # -- positions 1-31: r8-changed or new --
     # POST-ORDERING ADDITIONS (positional invariant, r6/r7 precedent):
-    # text_sample_fixed_k (position 4) and dedup_ingest_incremental
-    # (position 5) landed AFTER the ordering commit — inside the checked
-    # budget, so their rows are fresh. The two insertions shift the
-    # budget cut: mm_decode_features and mm_frame_sample move from
-    # positions 49-50 to 51-52 (r6-row overflow; both are map-only
-    # extensions/multimodal.py plumbing whose mapInPandas batch shape is
-    # pinned by tests/test_properties.py and unchanged since r6).
-    # 1-5 new operators (BPE merge loop, BPE encode, ANN recall gate,
-    #     fixed-k per-stratum sample, incremental-ingest digest dedup);
+    # text_sample_fixed_k (4), dedup_ingest_incremental (5) and
+    # text_lm_score (6) landed AFTER the ordering commit — inside the
+    # checked budget, so their rows are fresh. The three insertions
+    # shift the budget cut: events_sessionize, mm_decode_features and
+    # mm_frame_sample move from positions 48-50 to 51-53 (r6-row
+    # overflow; events_sessionize's session_window machinery is pinned
+    # by stream_sessionize_agg — front, r8 row — and the mm_* map-only
+    # mapInPandas plumbing is batch-shape-pinned in
+    # tests/test_properties.py, unchanged since r6).
+    # 1-6 new operators (BPE merge loop, BPE encode, ANN recall gate,
+    #     fixed-k per-stratum sample, incremental-ingest digest dedup,
+    #     integer-exact bigram-LM quality score);
     # 4-7 RESULTS changed: CMS/Bloom h2 now the second-prime hash
     #     (POLY_P31B) instead of the reversed token (advice item);
     # 8-10 impl changed: independent-sides merge pins (hist/cms),
@@ -1843,6 +1856,7 @@ QUERIES = {
     "sim_recall_probe": sim_recall_probe,
     "text_sample_fixed_k": text_sample_fixed_k,
     "dedup_ingest_incremental": dedup_ingest_incremental,
+    "text_lm_score": text_lm_score,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,
     "stream_cms_counters": stream_cms_counters,

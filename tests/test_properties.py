@@ -1095,3 +1095,37 @@ def test_fixed_k_sample_merge_and_prefilter(spark):
     got2 = sorted((r["source"], r["doc_id"], r["sample_rank"])
                   for r in pre.collect())
     assert got2 == want
+
+
+def test_bigram_lm_score_matches_python_model(spark):
+    """Integer-exact bigram-LM scores equal an independent Python mirror
+    (corpus bigram counts -> floor-scaled conditional probabilities ->
+    per-doc floor mean), including single-token docs being absent."""
+    from collections import Counter
+
+    from mongo_polars_reconciliation_spark.extensions.text import bigram_lm_scores
+
+    docs = [(1, "a b a b c"), (2, "a b"), (3, "c c c"), (4, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    scale = 1_000_000
+    bg, pre = Counter(), Counter()
+    per_doc = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        pairs = list(zip(toks, toks[1:]))
+        per_doc[did] = pairs
+        for p in pairs:
+            bg[p] += 1
+            pre[p[0]] += 1
+    expect = {}
+    for did, pairs in per_doc.items():
+        if not pairs:
+            continue
+        tot = sum(bg[p] * scale // pre[p[0]] for p in pairs)
+        expect[did] = (len(pairs), tot // len(pairs))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score_q"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert got == expect
+    assert 4 not in got  # no bigrams -> absent
