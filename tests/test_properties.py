@@ -1129,3 +1129,19 @@ def test_bigram_lm_score_matches_python_model(spark):
     }
     assert got == expect
     assert 4 not in got  # no bigrams -> absent
+
+
+def test_bpe_segmentation_is_lossless(spark):
+    """Whatever merges are learned, every word's final symbol sequence
+    must concatenate back to the word exactly (BPE is a segmentation,
+    never a rewrite) — on the real corpus vocabulary."""
+    from pyspark.sql import functions as F
+
+    from mongo_polars_reconciliation_spark.extensions.text import _bpe_fit
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _, vocab = _bpe_fit(df, 5, "text")
+    bad = vocab.where(
+        F.concat_ws("", F.col("syms")) != F.col("tok")
+    ).count()
+    assert bad == 0
