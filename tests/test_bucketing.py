@@ -50,3 +50,45 @@ def test_bucketed_state_joins_without_exchange_on_stored_side(spark):
     assert final.count("Exchange") == 1, final
     assert "Bucketed: true" in final, final
     assert "SelectedBucketsCount" in final, final
+
+
+def test_bucketed_digest_state_anti_join_shuffle_free_on_stored_side(spark):
+    """r8 ingest_novel scale claim, pinned: with the accumulated digest
+    state stored bucketed by text_hash, the incremental-ingest anti-join
+    reads the (huge) state side with NO exchange — only the arriving
+    batch shuffles to the bucket count."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import ingest_novel
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/corpus_digest_state", ignore_errors=True)
+    history = spark.range(0, 3000).select(
+        F.md5(F.col("id").cast("string").cast("binary")).alias("text_hash")
+    )
+    write_bucketed_state(history, "corpus_digest_state", buckets=4,
+                         key="text_hash")
+    batch = spark.range(1500, 4500).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("id").cast("string").alias("text"),
+    )
+    stored = spark.table("corpus_digest_state")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = ingest_novel(batch, stored)
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # correctness: exactly the ids whose digest is not in history
+    assert sorted(r["doc_id"] for r in rows) == list(range(3000, 4500))
+    final = plan.split("== Initial Plan ==")[0]
+    # one exchange: the batch aggregate/join side; the stored scan is
+    # bucket-pruned and exchange-free
+    assert "Bucketed: true" in final, final
+    scan_side = final[final.index("corpus_digest_state"):]
+    assert final.count("Exchange") <= 2, final  # batch agg + batch join side
+    # no Exchange between the bucketed scan and the join: the scan segment
+    # of the plan tree carries none
+    assert "Exchange" not in scan_side, scan_side
