@@ -93,6 +93,7 @@ SECONDARY = [
     "text_sample_fixed_k",
     "dedup_ingest_incremental",
     "text_lm_score",
+    "curation_pipeline_v3",
 ]
 
 

@@ -112,6 +112,7 @@ def curate_corpus_v2(
     contam_threshold: float = 0.2,
     hash_mode: str = "poly",
     max_bucket_size: int | None = None,
+    lm_threshold_q: int | None = None,
 ) -> DataFrame:
     """The FULL corpus build: exact dedup → MinHash-LSH near-dup drop →
     repetition gate (Gopher rule: top-token share > 0.2 or duplicate
@@ -123,7 +124,15 @@ def curate_corpus_v2(
 
     Every stage is an individually-oracle-checked operator; the joins the
     gates add are all left_anti on the doc id (one key-shuffle each, tiny
-    build sides — the flagged-doc sets)."""
+    build sides — the flagged-doc sets).
+
+    ``lm_threshold_q`` (r8, the v3 face): when set, a corpus-bigram LM
+    typicality gate runs after decontamination — the bigram model is
+    trained on the SURVIVING corpus itself (post-dedup, post-gates, the
+    distribution the score should mean "typical of") and documents whose
+    integer-exact mean conditional probability (bigram_lm_scores) falls
+    below the threshold are dropped. Docs with no bigrams carry no score
+    and pass. None (default) skips the stage entirely — v2 behavior."""
     from mongo_polars_reconciliation_spark.extensions.text import (
         contamination_probe,
         repetition_signals,
@@ -167,6 +176,20 @@ def curate_corpus_v2(
     kept = kept.join(contam_flagged, id_col, "left_anti").localCheckpoint(
         eager=False
     )
+
+    if lm_threshold_q is not None:
+        from mongo_polars_reconciliation_spark.extensions.text import (
+            bigram_lm_scores,
+        )
+
+        lm_flagged = (
+            bigram_lm_scores(kept, id_col=id_col, text_col=text_col)
+            .where(F.col("lm_score_q") < lm_threshold_q)
+            .select(id_col)
+        )
+        kept = kept.join(lm_flagged, id_col, "left_anti").localCheckpoint(
+            eager=False
+        )
 
     scored = fused_doc_scores(kept, id_col=id_col, text_col=text_col).where(
         F.col("quality_r") >= min_quality

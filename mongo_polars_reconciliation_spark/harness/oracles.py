@@ -1212,7 +1212,7 @@ nd_pairs AS (
     JOIN sizes sb ON sb.doc_id = i.id_b
   ) v WHERE jacc_r >= 0.6
 ),
-kept2 AS (
+kept2 AS MATERIALIZED (
   SELECT * FROM kept WHERE doc_id NOT IN (SELECT id_b FROM nd_pairs)
 ),
 qual AS (
@@ -2185,11 +2185,41 @@ cflag AS (
   SELECT h.doc_id FROM chit h JOIN ctot t USING (doc_id)
   WHERE FLOOR(CAST(h.hit AS DOUBLE) / t.n_grams * 10000) / 10000 >= 0.2
 ),
-kept4 AS (SELECT * FROM kept3 WHERE doc_id NOT IN (SELECT doc_id FROM cflag)),
+kept4 AS MATERIALIZED (SELECT * FROM kept3 WHERE doc_id NOT IN (SELECT doc_id FROM cflag)),
 """
 _v1_head, _v1_tail = ORACLES["curation_pipeline"].split("qual AS (", 1)
 ORACLES["curation_pipeline_v2"] = (
     _v1_head + _V2_GATES + "qual AS (" + _v1_tail.replace("FROM kept2", "FROM kept4")
+)
+
+# v3 = v2 + the bigram-LM typicality gate (threshold 32800 of 10^6): the
+# model is trained on the surviving corpus (kept4) and low-typicality docs
+# are dropped before scoring. Mirrors extensions/text.py:bigram_lm_scores.
+_V3_LM_GATE = """lmtok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM kept4
+  WHERE len(string_split(text, ' ')) >= 2
+),
+lmpairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM lmtok, unnest(range(1, len(t))) AS u(i)
+),
+lmc2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM lmpairs GROUP BY w1, w2),
+lmc1 AS (SELECT w1, SUM(c2) AS c1 FROM lmc2 GROUP BY w1),
+lmprobs AS (
+  SELECT lmc2.w1, lmc2.w2, (lmc2.c2 * 1000000) // lmc1.c1 AS p_q
+  FROM lmc2 JOIN lmc1 USING (w1)
+),
+lmscore AS (
+  SELECT p.doc_id, SUM(pr.p_q) // COUNT(*) AS s
+  FROM lmpairs p JOIN lmprobs pr ON pr.w1 = p.w1 AND pr.w2 = p.w2
+  GROUP BY p.doc_id
+),
+lmflag AS (SELECT doc_id FROM lmscore WHERE s < 32800),
+kept5 AS (SELECT * FROM kept4 WHERE doc_id NOT IN (SELECT doc_id FROM lmflag)),
+"""
+ORACLES["curation_pipeline_v3"] = (
+    _v1_head + _V2_GATES + _V3_LM_GATE + "qual AS ("
+    + _v1_tail.replace("FROM kept2", "FROM kept5")
 )
 
 

@@ -1101,6 +1101,27 @@ def curation_pipeline_v2(spark, sf_dir) -> DataFrame:
     )
 
 
+def curation_pipeline_v3(spark, sf_dir) -> DataFrame:
+    """v2 plus the r8 bigram-LM typicality gate (threshold 32800 of 10^6,
+    ~the corpus's bottom few percent): the full build — exact dedup →
+    LSH near-dup → repetition gate → decontamination → LM gate →
+    quality gate → per-language stats."""
+    from mongo_polars_reconciliation_spark.extensions.curation import (
+        curate_corpus_v2,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_documents_aug,
+    )
+
+    docs = build_documents_aug(spark, sf_dir)
+    bench = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 10 == 7
+    )
+    return curate_corpus_v2(
+        docs, bench, max_bucket_size=1000, lm_threshold_q=32800
+    )
+
+
 def text_lang_id(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.text import language_id
 
@@ -1807,20 +1828,24 @@ QUERIES = {
     # changed-this-round first, then oldest driver rows, then the tail;
     # this reorder is the round's LAST semantics-touching commit.
     #
-    # -- positions 1-31: r8-changed or new --
+    # -- positions 1-32: r8-changed or new --
     # POST-ORDERING ADDITIONS (positional invariant, r6/r7 precedent):
-    # text_sample_fixed_k (4), dedup_ingest_incremental (5) and
-    # text_lm_score (6) landed AFTER the ordering commit — inside the
-    # checked budget, so their rows are fresh. The three insertions
-    # shift the budget cut: events_sessionize, mm_decode_features and
-    # mm_frame_sample move from positions 48-50 to 51-53 (r6-row
-    # overflow; events_sessionize's session_window machinery is pinned
-    # by stream_sessionize_agg — front, r8 row — and the mm_* map-only
+    # text_sample_fixed_k (4), dedup_ingest_incremental (5),
+    # text_lm_score (6) and curation_pipeline_v3 (7) landed AFTER the
+    # ordering commit — inside the checked budget, so their rows are
+    # fresh. The four insertions shift the budget cut: events_hourly,
+    # events_sessionize, mm_decode_features and mm_frame_sample move
+    # from positions 47-50 to 51-54 (r6-row overflow: events_hourly's
+    # windowed agg is functionally pinned by stream_events_hourly —
+    # front, r8 row, whose drained result the oracle proves EQUAL to the
+    # batch hourly answer; events_sessionize's session_window machinery
+    # by stream_sessionize_agg — front, r8 row; the mm_* map-only
     # mapInPandas plumbing is batch-shape-pinned in
     # tests/test_properties.py, unchanged since r6).
-    # 1-6 new operators (BPE merge loop, BPE encode, ANN recall gate,
+    # 1-7 new operators (BPE merge loop, BPE encode, ANN recall gate,
     #     fixed-k per-stratum sample, incremental-ingest digest dedup,
-    #     integer-exact bigram-LM quality score);
+    #     integer-exact bigram-LM quality score, curation v3 = v2 + the
+    #     LM typicality gate);
     # 4-7 RESULTS changed: CMS/Bloom h2 now the second-prime hash
     #     (POLY_P31B) instead of the reversed token (advice item);
     # 8-10 impl changed: independent-sides merge pins (hist/cms),
@@ -1857,6 +1882,7 @@ QUERIES = {
     "text_sample_fixed_k": text_sample_fixed_k,
     "dedup_ingest_incremental": dedup_ingest_incremental,
     "text_lm_score": text_lm_score,
+    "curation_pipeline_v3": curation_pipeline_v3,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,
     "stream_cms_counters": stream_cms_counters,
