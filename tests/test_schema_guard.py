@@ -73,3 +73,27 @@ def test_readme_operator_count_matches_queries():
         f"README says {m.group(1)} operators but QUERIES has {len(QUERIES)} — "
         "update README.md"
     )
+
+
+def test_bench_lists_reference_declared_queries():
+    """Every HEADLINE/SECONDARY name in bench.py must exist in QUERIES —
+    a rename would otherwise surface only as a mid-bench crash in the
+    driver's per-round run (rc!=0, a whole round's bench lost)."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod"] = mod
+    spec.loader.exec_module(mod)
+    from mongo_polars_reconciliation_spark.harness.queries import QUERIES
+
+    missing = [
+        n for n in mod.HEADLINE + mod.SECONDARY if n not in QUERIES
+    ]
+    assert not missing, missing
+    # and no duplicates (a double-timed query skews the totals)
+    names = mod.HEADLINE + mod.SECONDARY
+    assert len(names) == len(set(names))
