@@ -1145,3 +1145,88 @@ def test_bpe_segmentation_is_lossless(spark):
         F.concat_ws("", F.col("syms")) != F.col("tok")
     ).count()
     assert bad == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["ab", "aba", "abab", "ba", "a", "bb"]),
+                 min_size=1, max_size=6),
+        min_size=1, max_size=6,
+    )
+)
+def test_bpe_merge_fit_matches_python_model_random(spark, docs):
+    """Randomized BPE: for ANY small corpus the distributed trainer's
+    merge table equals the independent Python trainer exactly — including
+    tie-heavy corpora (the token alphabet is built from a/b only, so
+    equal pair counts and palindromes are the common case, exercising
+    the lexicographic tie-break and leftmost-non-overlapping fold)."""
+    from collections import Counter
+
+    from mongo_polars_reconciliation_spark.extensions.text import bpe_merge_fit
+
+    texts = [" ".join(toks) for toks in docs]
+    wc = Counter(t for s in texts for t in s.split(" ") if t)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merge_fit(df, n_merges=4).collect()]
+    assert got == _py_bpe(wc, 4)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 60), st.sampled_from(["s0", "s1", "s2"])),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 4),
+)
+def test_fixed_k_sample_matches_python_model_random(spark, rows, k):
+    """Randomized fixed-k sampling: the selected ids per stratum are
+    exactly the k smallest (mixed_hash(id), id) pairs of that stratum,
+    per the independent Python mirror of the hash."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        sample_fixed_per_stratum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s, "t") for i, s in rows], "doc_id long, source string, text string"
+    )
+    got = {}
+    for r in sample_fixed_per_stratum(df, "source", k).collect():
+        got.setdefault(r["source"], []).append((r["sample_rank"], r["doc_id"]))
+    expect = {}
+    for i, s in rows:
+        expect.setdefault(s, []).append((_py_poly_hash_mixed(str(i)), i))
+    for s, hs in expect.items():
+        want_ids = [i for _, i in sorted(hs)[:k]]
+        got_ids = [i for _, i in sorted(got.get(s, []))]
+        assert got_ids == want_ids, s
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    batch1=st.lists(st.sampled_from(["x", "y", "z", "w", ""]), min_size=0, max_size=6),
+    batch2=st.lists(st.sampled_from(["x", "y", "z", "w", "", "v"]), min_size=1, max_size=8),
+)
+def test_ingest_novel_matches_python_set_model_random(spark, batch1, batch2):
+    """Randomized incremental ingest: novel keepers of batch 2 are
+    exactly {min id per batch-2 text} minus texts seen in batch 1, per a
+    plain Python set/dict model."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import ingest_novel
+
+    b1 = spark.createDataFrame(
+        list(enumerate(batch1)) or [(0, None)],
+        "doc_id long, text string",
+    ) if batch1 else spark.createDataFrame([], "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch2)], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "text_hash string")
+    state1 = ingest_novel(b1, empty) if batch1 else empty
+    got = sorted(r["doc_id"] for r in ingest_novel(b2, state1).collect())
+    seen = set(batch1)
+    keeper = {}
+    for i, t in enumerate(batch2):
+        keeper.setdefault(t, 100 + i)
+    expect = sorted(v for t, v in keeper.items() if t not in seen)
+    assert got == expect
