@@ -94,6 +94,7 @@ SECONDARY = [
     "dedup_ingest_incremental",
     "text_lm_score",
     "curation_pipeline_v3",
+    "text_quality_gate",
 ]
 
 

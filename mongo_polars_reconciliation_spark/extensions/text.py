@@ -220,6 +220,51 @@ def stratified_sample(
     return df.where(h < threshold)
 
 
+def quality_gate_adaptive(
+    df: DataFrame,
+    drop_permille: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PERCENTILE quality gate — drop the corpus's worst
+    ``drop_permille``/1000 fraction by fused quality score, whatever the
+    absolute numbers are. The fraction is a PERMILLE integer so
+    k = ceil(n·permille/1000) is pure integer arithmetic — a float
+    fraction would make the rank boundary depend on rounding luck
+    (0.05·n is not exact in binary, and engines disagree on double→int
+    casts).
+    Fixed thresholds (``quality_r >= 0.5``) go stale as the corpus mix
+    shifts; real pipelines gate on the distribution. Returns the
+    surviving docs as (id, quality_r, cutoff_r): cutoff_r is the
+    nearest-rank k-th smallest quality (k = ceil(n·permille/1000)), docs
+    with quality_r >= cutoff_r survive — ties AT the cutoff all survive
+    (set-based, no per-id arbitrariness), so the realized drop is ≤
+    permille/1000, exact when no ties straddle the rank.
+
+    Scale shape: the cutoff is an order statistic, NOT a global sort:
+    ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject (per-
+    partition top-k, driver merges k rows), then a 1-row MAX aggregate
+    joins back as a broadcast — the same bounded-driver-state pattern as
+    ``kmeans_fit``. One count() for n (metadata-cheap), one top-k, one
+    map-only filter. quality_r is floor4-quantized, so the cutoff
+    comparison is bit-exact cross-engine."""
+    q = fused_doc_scores(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), "quality_r"
+    ).localCheckpoint(eager=False)
+    n = q.count()
+    k = max(1, (n * drop_permille + 999) // 1000)
+    cutoff = (
+        q.orderBy(F.col("quality_r").asc(), F.col(id_col).asc())
+        .limit(k)
+        .agg(F.max("quality_r").alias("cutoff_r"))
+    )
+    return (
+        q.crossJoin(F.broadcast(cutoff))
+        .where(F.col("quality_r") >= F.col("cutoff_r"))
+        .select(id_col, "quality_r", "cutoff_r")
+    )
+
+
 def sample_fixed_per_stratum(
     df: DataFrame,
     strata_col: str,

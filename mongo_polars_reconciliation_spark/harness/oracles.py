@@ -2420,3 +2420,36 @@ SELECT p.doc_id, COUNT(*) AS n_bigrams,
 FROM pairs p JOIN probs pr ON pr.w1 = p.w1 AND pr.w2 = p.w2
 GROUP BY p.doc_id
 '''
+
+
+# Adaptive percentile quality gate: nearest-rank k-th smallest fused
+# quality (k = ceil(n*50/1000), integer arithmetic) as the cutoff; ties at
+# the cutoff survive. quality arithmetic mirrors fused_doc_scores exactly
+# (same formula as the curation oracles' qual CTE).
+ORACLES["text_quality_gate"] = '''
+WITH q AS (
+  SELECT doc_id,
+         FLOOR((
+           0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+           + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * LEAST(1.0,
+               ((length(text) - (len(string_split(text, ' ')) - 1))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0)
+           ) * 10000) / 10000 AS quality_r
+  FROM documents
+),
+ranked AS (
+  SELECT quality_r,
+         ROW_NUMBER() OVER (ORDER BY quality_r ASC, doc_id ASC) AS rn
+  FROM q
+),
+kk AS (
+  SELECT GREATEST(1, (COUNT(*) * 50 + 999) // 1000) AS k FROM q
+),
+cutoff AS (SELECT r.quality_r AS cutoff_r FROM ranked r, kk WHERE r.rn = kk.k)
+SELECT q.doc_id, q.quality_r, c.cutoff_r
+FROM q CROSS JOIN cutoff c
+WHERE q.quality_r >= c.cutoff_r
+'''

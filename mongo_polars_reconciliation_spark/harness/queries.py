@@ -1536,6 +1536,21 @@ def text_lm_score(spark, sf_dir) -> DataFrame:
     return bigram_lm_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_quality_gate(spark, sf_dir) -> DataFrame:
+    """Adaptive percentile quality gate (r8): survivors after dropping
+    the corpus's worst 5%% (permille = 50) by fused quality — the
+    distribution-relative gate real pipelines use instead of a fixed
+    threshold. The cutoff is a TakeOrderedAndProject order statistic,
+    never a global sort; ties at the cutoff all survive."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        quality_gate_adaptive,
+    )
+
+    return quality_gate_adaptive(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), drop_permille=50
+    )
+
+
 def text_cms_merge(spark, sf_dir) -> DataFrame:
     """Mergeability pin for the CMS sketch (mirror of events_kmv_merge):
     per-split partial sketches — each from its OWN filtered scan (r8:
@@ -1828,24 +1843,27 @@ QUERIES = {
     # changed-this-round first, then oldest driver rows, then the tail;
     # this reorder is the round's LAST semantics-touching commit.
     #
-    # -- positions 1-32: r8-changed or new --
+    # -- positions 1-33: r8-changed or new --
     # POST-ORDERING ADDITIONS (positional invariant, r6/r7 precedent):
     # text_sample_fixed_k (4), dedup_ingest_incremental (5),
-    # text_lm_score (6) and curation_pipeline_v3 (7) landed AFTER the
-    # ordering commit — inside the checked budget, so their rows are
-    # fresh. The four insertions shift the budget cut: events_hourly,
-    # events_sessionize, mm_decode_features and mm_frame_sample move
-    # from positions 47-50 to 51-54 (r6-row overflow: events_hourly's
+    # text_lm_score (6), curation_pipeline_v3 (7) and text_quality_gate
+    # (8) landed AFTER the ordering commit — inside the checked budget,
+    # so their rows are fresh. The five insertions shift the budget cut:
+    # sim_contamination, events_hourly, events_sessionize,
+    # mm_decode_features and mm_frame_sample move from positions 46-50
+    # to 51-55 (r6-row overflow: sim_contamination's broadcast-benchmark
+    # cosine plan is pinned at tests/test_plans.py:320 and its pair
+    # arithmetic by the front fitted-similarity rows; events_hourly's
     # windowed agg is functionally pinned by stream_events_hourly —
     # front, r8 row, whose drained result the oracle proves EQUAL to the
     # batch hourly answer; events_sessionize's session_window machinery
     # by stream_sessionize_agg — front, r8 row; the mm_* map-only
     # mapInPandas plumbing is batch-shape-pinned in
     # tests/test_properties.py, unchanged since r6).
-    # 1-7 new operators (BPE merge loop, BPE encode, ANN recall gate,
+    # 1-8 new operators (BPE merge loop, BPE encode, ANN recall gate,
     #     fixed-k per-stratum sample, incremental-ingest digest dedup,
     #     integer-exact bigram-LM quality score, curation v3 = v2 + the
-    #     LM typicality gate);
+    #     LM typicality gate, adaptive percentile quality gate);
     # 4-7 RESULTS changed: CMS/Bloom h2 now the second-prime hash
     #     (POLY_P31B) instead of the reversed token (advice item);
     # 8-10 impl changed: independent-sides merge pins (hist/cms),
@@ -1883,6 +1901,7 @@ QUERIES = {
     "dedup_ingest_incremental": dedup_ingest_incremental,
     "text_lm_score": text_lm_score,
     "curation_pipeline_v3": curation_pipeline_v3,
+    "text_quality_gate": text_quality_gate,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,
     "stream_cms_counters": stream_cms_counters,

@@ -35,7 +35,8 @@ def _sorted_rows(df):
      "dedup_ngram_jaccard",
      # r8 operators
      "text_bpe_merges", "text_bpe_encode", "text_sample_fixed_k",
-     "dedup_ingest_incremental", "text_lm_score", "sim_recall_probe"],
+     "dedup_ingest_incremental", "text_lm_score", "sim_recall_probe",
+     "text_quality_gate"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
