@@ -354,6 +354,8 @@ BNLJ_BY_DESIGN = {
     # same one-row (lo, hi) broadcast, so the 1-row crossJoin now shows in
     # the plan n_splits+1 times (it was hidden behind a checkpoint before)
     "events_hist_merge",
+    # r8: adaptive gate joins the 1-row cutoff as a broadcast
+    "text_quality_gate",
     "sim_contamination",
     "curation_pipeline",
     "curation_pipeline_v2",
