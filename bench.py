@@ -95,6 +95,7 @@ SECONDARY = [
     "text_lm_score",
     "curation_pipeline_v3",
     "text_quality_gate",
+    "stream_ingest_novel",
 ]
 
 

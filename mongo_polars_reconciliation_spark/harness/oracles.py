@@ -2453,3 +2453,25 @@ SELECT q.doc_id, q.quality_r, c.cutoff_r
 FROM q CROSS JOIN cutoff c
 WHERE q.quality_r >= c.cutoff_r
 '''
+
+
+# Streaming face of the incremental ingest: drained state == batch answer,
+# so the oracle is the batch SQL with the keeper/copy-count shape.
+ORACLES["stream_ingest_novel"] = '''
+WITH b1 AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents WHERE doc_id % 3 < 2
+),
+b2 AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 100000, COALESCE(text, '') FROM documents WHERE doc_id % 10 = 7
+),
+s1 AS (SELECT DISTINCT md5(t) AS text_hash FROM b1),
+k2 AS (
+  SELECT md5(t) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+  FROM b2 GROUP BY md5(t)
+)
+SELECT k2.text_hash, k2.keeper_id, k2.n_copies
+FROM k2 LEFT JOIN s1 ON s1.text_hash = k2.text_hash
+WHERE s1.text_hash IS NULL
+'''

@@ -1664,6 +1664,41 @@ def stream_dedup_corpus(spark, sf_dir) -> DataFrame:
     )
 
 
+def stream_ingest_novel(spark, sf_dir) -> DataFrame:
+    """Streaming incremental ingest (r8): batch 1 (doc_id%3<2) digests
+    form the STATIC state; batch 2 (the rest plus redelivered copies of
+    the id%10==7 slice under +100000 ids) arrives as two micro-batches
+    split by id parity — so duplicates of one text land in different
+    triggers and the cross-batch keeper state is exercised. Stream-static
+    LEFT ANTI join (no join state) + commutative (min, count) keeper
+    aggregation: the drained result equals the batch ingest bit-for-bit,
+    with n_copies counting batch-2 arrivals of each novel digest."""
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        ingest_novel_state,
+        read_documents_stream,
+    )
+    from mongo_polars_reconciliation_spark.streaming.events import run_to_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    state = docs.where(F.col("doc_id") % 3 < 2).select(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "text_hash"
+        )
+    ).distinct()
+    b2 = docs.where(F.col("doc_id") % 3 == 2).select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    stream = read_documents_stream(spark, b2, name=f"ingest_{tag}")
+    return run_to_table(
+        ingest_novel_state(stream, state),
+        "mem_stream_ingest",
+        output_mode="complete",
+    )
+
+
 def stream_cms_counters(spark, sf_dir) -> DataFrame:
     """Streaming count-min sketch: documents arrive as two micro-batches
     (split by doc id parity so every batch touches most counters) and the
@@ -1843,27 +1878,32 @@ QUERIES = {
     # changed-this-round first, then oldest driver rows, then the tail;
     # this reorder is the round's LAST semantics-touching commit.
     #
-    # -- positions 1-33: r8-changed or new --
+    # -- positions 1-34: r8-changed or new --
     # POST-ORDERING ADDITIONS (positional invariant, r6/r7 precedent):
     # text_sample_fixed_k (4), dedup_ingest_incremental (5),
-    # text_lm_score (6), curation_pipeline_v3 (7) and text_quality_gate
-    # (8) landed AFTER the ordering commit — inside the checked budget,
-    # so their rows are fresh. The five insertions shift the budget cut:
-    # sim_contamination, events_hourly, events_sessionize,
-    # mm_decode_features and mm_frame_sample move from positions 46-50
-    # to 51-55 (r6-row overflow: sim_contamination's broadcast-benchmark
-    # cosine plan is pinned at tests/test_plans.py:320 and its pair
-    # arithmetic by the front fitted-similarity rows; events_hourly's
-    # windowed agg is functionally pinned by stream_events_hourly —
-    # front, r8 row, whose drained result the oracle proves EQUAL to the
-    # batch hourly answer; events_sessionize's session_window machinery
-    # by stream_sessionize_agg — front, r8 row; the mm_* map-only
+    # text_lm_score (6), curation_pipeline_v3 (7), text_quality_gate (8)
+    # and stream_ingest_novel (9) landed AFTER the ordering commit —
+    # inside the checked budget, so their rows are fresh. The six
+    # insertions shift the budget cut: sim_topk_lsh, sim_contamination,
+    # events_hourly, events_sessionize, mm_decode_features and
+    # mm_frame_sample move from positions 45-50 to 51-56 (r6-row
+    # overflow: sim_topk_lsh is doubly plan-pinned — scan-side probe
+    # filter + TakeOrderedAndProject, tests/test_plans.py — and shares
+    # the scoring tail with sim_topk_bruteforce, in budget;
+    # sim_contamination's broadcast-benchmark cosine plan is pinned at
+    # tests/test_plans.py:320 and its pair arithmetic by the front
+    # fitted-similarity rows; events_hourly's windowed agg is
+    # functionally pinned by stream_events_hourly — front, r8 row, whose
+    # drained result the oracle proves EQUAL to the batch hourly answer;
+    # events_sessionize's session_window machinery by
+    # stream_sessionize_agg — front, r8 row; the mm_* map-only
     # mapInPandas plumbing is batch-shape-pinned in
     # tests/test_properties.py, unchanged since r6).
-    # 1-8 new operators (BPE merge loop, BPE encode, ANN recall gate,
+    # 1-9 new operators (BPE merge loop, BPE encode, ANN recall gate,
     #     fixed-k per-stratum sample, incremental-ingest digest dedup,
     #     integer-exact bigram-LM quality score, curation v3 = v2 + the
-    #     LM typicality gate, adaptive percentile quality gate);
+    #     LM typicality gate, adaptive percentile quality gate, and the
+    #     ingest's streaming face — a stream-static anti join);
     # 4-7 RESULTS changed: CMS/Bloom h2 now the second-prime hash
     #     (POLY_P31B) instead of the reversed token (advice item);
     # 8-10 impl changed: independent-sides merge pins (hist/cms),
@@ -1902,6 +1942,7 @@ QUERIES = {
     "text_lm_score": text_lm_score,
     "curation_pipeline_v3": curation_pipeline_v3,
     "text_quality_gate": text_quality_gate,
+    "stream_ingest_novel": stream_ingest_novel,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,
     "stream_cms_counters": stream_cms_counters,

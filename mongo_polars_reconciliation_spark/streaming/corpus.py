@@ -133,3 +133,37 @@ def cms_counter_state(
         .groupBy("j", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def ingest_novel_state(
+    stream: DataFrame,
+    state_digests: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming incremental corpus ingest — the crawl loop's streaming
+    face (batch form: extensions/dedup.py:ingest_novel): arriving
+    documents are digested, anti-joined against the PERSISTED digest
+    state via a STREAM-STATIC left anti join (stateless per micro-batch —
+    the static side is a plain table, re-read per trigger, so a state
+    refresh between runs is picked up automatically), then reduced to one
+    keeper row per novel digest by the commutative (min, count)
+    aggregation — so the drained complete-mode result is bit-identical to
+    the batch operator whatever the arrival order or micro-batch split.
+
+    Scale posture: the anti-join is the stream-static shape Structured
+    Streaming executes WITHOUT join state (only the aggregation keeps
+    state — one row per novel digest); the static digest table is the
+    same bucketed-by-text_hash layout the batch path uses
+    (tests/test_bucketing.py), so at 100 TB the stored side joins
+    exchange-free and only the micro-batch moves."""
+    dg = F.md5(
+        F.coalesce(F.col(text_col), F.lit("")).cast("binary")
+    ).alias("text_hash")
+    novel = stream.select(F.col(id_col), dg).join(
+        state_digests.select("text_hash"), "text_hash", "left_anti"
+    )
+    return novel.groupBy("text_hash").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
