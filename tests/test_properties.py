@@ -1230,3 +1230,69 @@ def test_ingest_novel_matches_python_set_model_random(spark, batch1, batch2):
         keeper.setdefault(t, 100 + i)
     expect = sorted(v for t, v in keeper.items() if t not in seen)
     assert got == expect
+
+
+def test_quality_gate_adaptive_matches_python_model(spark):
+    """Adaptive gate vs Python mirror on the real corpus: cutoff is the
+    k-th smallest (quality_r, doc_id) with k = ceil(n*permille/1000) in
+    integer arithmetic; survivors are exactly the docs at or above it,
+    ties at the cutoff included."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        fused_doc_scores,
+        quality_gate_adaptive,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = {r["doc_id"]: r["quality_r"]
+         for r in fused_doc_scores(docs).select("doc_id", "quality_r").collect()}
+    n = len(q)
+    for permille in (10, 50, 500):
+        k = max(1, (n * permille + 999) // 1000)
+        cutoff = sorted(q.items(), key=lambda t: (t[1], t[0]))[k - 1][1]
+        expect = {d for d, v in q.items() if v >= cutoff}
+        rows = quality_gate_adaptive(docs, drop_permille=permille).collect()
+        assert {r["doc_id"] for r in rows} == expect, permille
+        assert all(r["cutoff_r"] == cutoff for r in rows), permille
+
+
+def test_stream_ingest_drained_state_equals_batch_ingest(spark):
+    """The streaming ingest face must equal the batch operator directly
+    (not just both matching DuckDB): same novel keepers whatever the
+    micro-batch split, with n_copies counting batch-2 arrivals."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import ingest_novel
+    from mongo_polars_reconciliation_spark.harness.queries import (
+        stream_ingest_novel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    b1 = docs.where(F.col("doc_id") % 3 < 2)
+    b2 = docs.where(F.col("doc_id") % 3 == 2).select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    empty = spark.createDataFrame([], "text_hash string")
+    batch = {
+        r["text_hash"]: r["doc_id"]
+        for r in ingest_novel(b2, ingest_novel(b1, empty)).collect()
+    }
+    drained = {
+        r["text_hash"]: r["keeper_id"]
+        for r in stream_ingest_novel(spark, sf).collect()
+    }
+    assert drained == batch
+
+
+def test_ingest_novel_is_idempotent_after_state_update(spark):
+    """Admitting a batch and unioning its digests into the state must make
+    re-ingesting the same batch yield nothing — the exactly-once admission
+    contract of the crawl loop."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import ingest_novel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b = docs.where(F.col("doc_id") % 3 == 2)
+    empty = spark.createDataFrame([], "text_hash string")
+    admitted = ingest_novel(b, empty)
+    state = empty.unionByName(admitted.select("text_hash"))
+    assert ingest_novel(b, state).count() == 0
