@@ -847,7 +847,17 @@ def bigram_lm_scores(
     # ^ pairs is consumed twice (corpus counts AND the per-doc probability
     # join); without the checkpoint the explode runs both times (measured
     # r8, interleaved 3 reps at sf0.1: 1.06 -> 0.81 s warm min)
-    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        # consumed twice (prefix totals AND the probability join): without
+        # this the |distinct-bigram| aggregate runs twice. Wall-clock
+        # NEUTRAL at sf0.1 (0.83 vs 0.87 s min, interleaved — stage
+        # latency dominates); kept for the duplicated full-corpus shuffle
+        # it removes at real scale, same policy as the curation shared
+        # scan.
+        .localCheckpoint(eager=False)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     probs = c2.join(c1, "w1").select(
         "w1", "w2", F.expr(f"c2 * CAST({scale} AS BIGINT) DIV c1").alias("p_q")
