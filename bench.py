@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -174,13 +175,22 @@ def main() -> None:
     # Full-fidelity copy for round-over-round drift checks: the driver's
     # BENCH_r{N}.json records only a 2000-char stdout tail, which loses the
     # front of the JSON once the query list grew past ~35 entries. The
-    # committed bench_last.json + tools/bench_drift.py replace the manual
-    # (and twice-late, see dedup_clusters_star) per-query comparison.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
-        "w",
-    ) as fh:
+    # bench_last.json + tools/bench_drift.py replace the manual (and
+    # twice-late, see dedup_clusters_star) per-query comparison.
+    # r9 (advice): the default landing spot is OUTSIDE the repo tree — an
+    # ad-hoc bench run must not dirty the working tree or risk committing
+    # machine-local timings as a side effect. (A stable tmpdir path, NOT the
+    # per-process scratch root: that one is atexit-removed, which would
+    # delete the record the drift check wants to read.) Closing a round
+    # copies the adjudicated record in explicitly:
+    #   SPARK_GRAFT_BENCH_OUT=/root/repo/bench_last.json python bench.py
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(tempfile.gettempdir(), "mpr_spark_bench_last.json"),
+    )
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
+    print(f"bench: full-fidelity record written to {out_path}", file=sys.stderr)
     spark.stop()
 
 

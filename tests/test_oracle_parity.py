@@ -11,6 +11,13 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
+# r9 (VERDICT r8 ask #8): the parity sweep dominates the suite's wall time.
+# It stays in the DEFAULT run (the round gate is unchanged; no test removed)
+# but carries a marker so unit iterations can run `-m "not parity"` and
+# finish in seconds, and a single query can be re-checked with
+# `-m parity -k name`.
+pytestmark = pytest.mark.parity
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

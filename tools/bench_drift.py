@@ -78,7 +78,16 @@ def load_mins(path: str) -> dict[str, float]:
 def main() -> None:
     benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
     old = sys.argv[1] if len(sys.argv) > 1 else (benches[-1] if benches else None)
-    new = sys.argv[2] if len(sys.argv) > 2 else os.path.join(ROOT, "bench_last.json")
+    # Default NEW: the out-of-tree record a plain `python bench.py` writes
+    # since r9 (advice item — ad-hoc runs must not dirty the working tree);
+    # fall back to the committed copy if no fresh run exists.
+    import tempfile
+
+    tmp_last = os.path.join(tempfile.gettempdir(), "mpr_spark_bench_last.json")
+    default_new = tmp_last if os.path.exists(tmp_last) else os.path.join(
+        ROOT, "bench_last.json"
+    )
+    new = sys.argv[2] if len(sys.argv) > 2 else default_new
     if not old or not os.path.exists(old) or not os.path.exists(new):
         print(f"bench_drift: need two bench files (old={old}, new={new})")
         return
