@@ -247,8 +247,16 @@ def quality_gate_adaptive(
     joins back as a broadcast — the same bounded-driver-state pattern as
     ``kmeans_fit``. One count() for n (metadata-cheap), one top-k, one
     map-only filter. quality_r is floor4-quantized, so the cutoff
-    comparison is bit-exact cross-engine."""
-    q = fused_doc_scores(df, id_col=id_col, text_col=text_col).select(
+    comparison is bit-exact cross-engine.
+
+    NULL text scores as empty text (r9 advice; the shared null-text rule
+    of leakage_safe_split/source_overlap): without the coalesce a NULL
+    text yields NULL quality_r, and the two engines ORDER it to opposite
+    ends (Spark ASC puts NULLs FIRST, the oracle's ROW_NUMBER puts them
+    LAST), so the rank-k cutoff diverged and NULL-quality docs silently
+    vanished from the gate."""
+    base = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    q = fused_doc_scores(base, id_col=id_col, text_col=text_col).select(
         F.col(id_col), "quality_r"
     ).localCheckpoint(eager=False)
     n = q.count()
@@ -313,6 +321,60 @@ def sample_fixed_per_stratum(
         base.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= k)
         .select(strata_col, id_col, "sample_rank")
+    )
+
+
+def sample_shortfall_audit(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    prefilter_frac: "float | None" = None,
+) -> DataFrame:
+    """Audit face of :func:`sample_fixed_per_stratum`'s prefilter fast path
+    (r9 advice): the prefilter silently returns FEWER than k rows per
+    stratum when frac·|stratum| < k — the docstring noted the
+    precondition, nothing detected a violation. Per stratum:
+    (strata, n_rows, n_eligible, n_sampled, shortfall) where n_eligible
+    counts rows surviving the hash prefilter, n_sampled = what the sample
+    would return = min(k, n_eligible), and
+    shortfall = min(k, n_rows) − n_sampled — 0 exactly when the prefilter
+    lost nothing (always, when ``prefilter_frac`` is None). A production
+    run gates on ``shortfall = 0`` (or re-runs the affected strata with a
+    looser frac / the exact path) instead of training on a silently
+    shrunken eval set.
+
+    Scale shape: two map-side-combined count aggregates on the stratum
+    key (no window, no sort) — strictly cheaper than the sample itself,
+    so auditing every ingest is affordable."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        POLY_P31,
+        poly_hash_mixed_col,
+    )
+
+    h = poly_hash_mixed_col(id_col)
+    base = df.select(F.col(strata_col), F.col(id_col), h.alias("__h"))
+    elig = (
+        (F.col("__h") < F.lit(int(prefilter_frac * POLY_P31)))
+        if prefilter_frac is not None
+        else F.lit(True)
+    )
+    kk = F.lit(int(k))
+    return (
+        base.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(elig, 1).otherwise(0)).cast("long").alias("n_eligible"),
+        )
+        .select(
+            F.col(strata_col),
+            "n_rows",
+            "n_eligible",
+            F.least(kk, F.col("n_eligible")).cast("long").alias("n_sampled"),
+            (
+                F.least(kk, F.col("n_rows")) - F.least(kk, F.col("n_eligible"))
+            ).cast("long").alias("shortfall"),
+        )
     )
 
 
@@ -1543,9 +1605,16 @@ def _bpe_fit(
             # closure factory: pyspark introspects the lambda's arity, so
             # the captured literals can't ride as default args
             def step(acc, s):
+                # try_element_at (r9 advice): the plain element_at(acc, -1)
+                # is out-of-bounds on the empty initial accumulator — hit
+                # for EVERY word — and ANSI mode only tolerated it because
+                # the And short-circuited after size(acc) > 0, an eval
+                # order Spark does not formally guarantee. try_element_at
+                # returns NULL instead of raising; NULL == lhs is NULL,
+                # NULL & x is never TRUE, so the when() falls through to
+                # the append branch regardless of conjunct order.
                 hit = (
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(_l))
+                    (F.try_element_at(acc, F.lit(-1)) == F.lit(_l))
                     & (s == F.lit(_r))
                 )
                 return F.when(

@@ -2425,9 +2425,14 @@ GROUP BY p.doc_id
 # Adaptive percentile quality gate: nearest-rank k-th smallest fused
 # quality (k = ceil(n*50/1000), integer arithmetic) as the cutoff; ties at
 # the cutoff survive. quality arithmetic mirrors fused_doc_scores exactly
-# (same formula as the curation oracles' qual CTE).
+# (same formula as the curation oracles' qual CTE). NULL text scores as ''
+# (r9 advice — otherwise the engines order NULL quality to opposite ends
+# of the rank and the cutoff diverges).
 ORACLES["text_quality_gate"] = '''
-WITH q AS (
+WITH docs0 AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+q AS (
   SELECT doc_id,
          FLOOR((
            0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
@@ -2438,7 +2443,7 @@ WITH q AS (
                ((length(text) - (len(string_split(text, ' ')) - 1))
                 / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0)
            ) * 10000) / 10000 AS quality_r
-  FROM documents
+  FROM docs0
 ),
 ranked AS (
   SELECT quality_r,

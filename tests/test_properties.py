@@ -1296,3 +1296,61 @@ def test_ingest_novel_is_idempotent_after_state_update(spark):
     admitted = ingest_novel(b, empty)
     state = empty.unionByName(admitted.select("text_hash"))
     assert ingest_novel(b, state).count() == 0
+
+
+def test_quality_gate_null_text_scored_as_empty(spark):
+    """r9 advice: a NULL-text doc must not vanish from (or reorder) the
+    adaptive gate — it scores as empty text, exactly as if text were ''."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        quality_gate_adaptive,
+    )
+
+    docs = [(1, None), (2, "the of a to and is in the"), (3, "solid content "
+            "with reasonably long informative words throughout the body"),
+            (4, "x"), (5, "another plainly useful document with words")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df_empty = spark.createDataFrame(
+        [(i, t if t is not None else "") for i, t in docs],
+        "doc_id long, text string",
+    )
+    got = sorted(tuple(r) for r in quality_gate_adaptive(df, 400).collect())
+    want = sorted(
+        tuple(r) for r in quality_gate_adaptive(df_empty, 400).collect()
+    )
+    assert got == want
+    assert all(q is not None for _, q, _ in got)
+
+
+def test_sample_shortfall_audit_flags_tight_prefilter(spark):
+    """r9 advice: a too-tight prefilter_frac silently shrinks the sample;
+    the audit frame must report exactly the per-stratum loss, and report
+    zero when the prefilter is generous or absent."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        sample_fixed_per_stratum,
+        sample_shortfall_audit,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 40
+    tight = 0.02  # frac*|stratum| << k for every source at sf0.001
+    sampled = sample_fixed_per_stratum(docs, "source", k, prefilter_frac=tight)
+    audit = {
+        r["source"]: r
+        for r in sample_shortfall_audit(
+            docs, "source", k, prefilter_frac=tight
+        ).collect()
+    }
+    got_counts = {
+        r["source"]: r["n"]
+        for r in sampled.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert audit, "no strata audited"
+    flagged = 0
+    for src, a in audit.items():
+        assert a["n_sampled"] == got_counts.get(src, 0), src
+        assert a["shortfall"] == min(k, a["n_rows"]) - a["n_sampled"], src
+        flagged += a["shortfall"] > 0
+    assert flagged > 0, "tight prefilter should cause a shortfall somewhere"
+    # no-prefilter audit is all-zero shortfall with n_eligible == n_rows
+    for r in sample_shortfall_audit(docs, "source", k).collect():
+        assert r["shortfall"] == 0 and r["n_eligible"] == r["n_rows"]
