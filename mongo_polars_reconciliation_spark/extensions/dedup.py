@@ -97,6 +97,246 @@ def ingest_novel(
     )
 
 
+def band_state(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    hash_mode: str = "poly",
+) -> DataFrame:
+    """(bband, doc_id) MinHash band-key table of a corpus — the persisted
+    NEAR-dup state the crawl loop keeps next to the exact digest set.
+    ``bband`` is the single composite key ``band || ':' || bkey``: one
+    column instead of (band, bkey) so the state table can be BUCKETED by
+    exactly the join key and the incremental band anti-join reads the
+    (huge) state side with no exchange (``write_bucketed_state(...,
+    key='bband')``; plan-pinned in tests/test_bucketing.py) — the same
+    treatment the digest state gets for :func:`ingest_novel`.
+
+    NULL text digests as '' (shared null-text rule); docs shorter than
+    ``n`` tokens carry no shingles, hence no band keys — they are
+    exact-dedup-only, by construction."""
+    base = docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+    sigs = minhash_signatures_wide(
+        _shingle_ids(shingles(base, id_col, text_col, n), hash_mode),
+        id_col,
+        num_hashes,
+    )
+    bk = _band_keys_wide(sigs, id_col, num_hashes // bands, num_hashes)
+    return bk.select(
+        F.concat_ws(":", F.col("band").cast("string"), F.col("bkey")).alias(
+            "bband"
+        ),
+        F.col(id_col),
+    )
+
+
+def _greedy_admit(
+    candidates: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Sequential-arrival admission over a verified near-dup pair graph:
+    admit a doc iff NO already-ADMITTED lower id is a verified near-dup
+    of it — the greedy maximal independent set in id order, which is the
+    one rule that makes batched ingest equal doc-at-a-time ingest
+    (admission is indifferent to batch boundaries that respect id order,
+    and re-delivering an ingested batch admits nothing: every rejected
+    doc is, by construction, a verified near-dup of an admitted lower
+    doc that now sits in the state).
+
+    Keep-lowest-per-PAIR (curation's rule) or per-CLUSTER (connected
+    components) both break that contract: a doc can be dropped because
+    of a neighbor that itself was never admitted, so on re-delivery (or a
+    different batch split) nothing in the state blocks it and it slips
+    in. Measured on the r8 ingest pins' counter-example shapes in
+    tests/test_properties.py.
+
+    Iterative topological wave, one join + one groupBy per round: a node
+    is REJECTED once any lower neighbor is admitted, ADMITTED once every
+    lower neighbor is rejected (vacuously, when it has none). Statuses
+    are final once decided, so rounds needed = longest dependency chain
+    in the pair DAG (tiny for real near-dup graphs); ``max_iter`` is the
+    loud safety bound, and oracle-facing callers pin it to the unrolled
+    round count of their SQL mirror so the engines cannot silently
+    diverge. Status frames are localCheckpoint'ed per round (the lineage
+    lesson of dedup_clusters)."""
+    e = edges.select(F.col("lo"), F.col("hi")).localCheckpoint(eager=False)
+    status = candidates.select(
+        F.col(id_col).alias("node"), F.lit("U").alias("st")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        low = (
+            e.join(status, e["lo"] == status["node"])
+            .groupBy("hi")
+            .agg(
+                F.max((F.col("st") == "A").cast("int")).alias("any_a"),
+                F.max((F.col("st") != "R").cast("int")).alias("any_nonr"),
+            )
+        )
+        status = (
+            status.join(low, status["node"] == low["hi"], "left")
+            .select(
+                F.col("node"),
+                F.when(F.col("st") != "U", F.col("st"))
+                .when(F.col("any_a") == 1, F.lit("R"))
+                .when(F.coalesce(F.col("any_nonr"), F.lit(0)) == 0, F.lit("A"))
+                .otherwise(F.lit("U"))
+                .alias("st"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if status.where(F.col("st") == "U").count() == 0:
+            return status.where(F.col("st") == "A").select(
+                F.col("node").alias(id_col)
+            )
+    raise RuntimeError(
+        f"_greedy_admit did not converge in {max_iter} rounds — the verified "
+        "pair graph has a dependency chain longer than the bound; raise "
+        "max_iter (and the oracle's unrolled round count with it)"
+    )
+
+
+def ingest_novel_neardup(
+    new_docs: DataFrame,
+    state_digests: DataFrame,
+    state_bands: DataFrame,
+    state_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.6,
+    hash_mode: str = "poly",
+    max_bucket_size: int | None = None,
+    mis_max_iter: int = 25,
+) -> DataFrame:
+    """Incremental NEAR-dup ingest — the full "new dump arrived" decision
+    (r9; extends :func:`ingest_novel`, which answers only the exact-digest
+    half): of an arriving batch, admit the documents that are neither
+    exact copies NOR verified near-duplicates of (a) the persisted corpus
+    or (b) an already-admitted batch member. Returns (id, text_hash) of
+    the admitted docs; the caller appends their digests to
+    ``state_digests``, their :func:`band_state` rows to ``state_bands``,
+    and the docs themselves to the corpus store.
+
+    State contract: ``state_digests`` = accumulated (text_hash) set;
+    ``state_bands`` = accumulated (bband, doc_id) band-key table
+    (:func:`band_state`, bucketed by bband in production);
+    ``state_docs`` = the corpus store (id, text) — read ONLY for the
+    (few) docs whose band keys collide with the batch, via a semi-join;
+    history is never rescanned. Ids must be unique across state and
+    batch (ingest assigns monotone ids — arrival order IS id order).
+
+    Pipeline: (1) within-batch exact collapse (min-id keeper per digest)
+    + digest anti-join, exactly :func:`ingest_novel`; (2) MinHash band
+    keys of the survivors joined against the band STATE → candidate
+    (batch, history) pairs, exact-Jaccard-verified at ``threshold`` over
+    shingles — history shingles computed only for collision candidates;
+    (3) the remaining batch docs' candidate pairs among THEMSELVES,
+    verified the same way, feed :func:`_greedy_admit` (sequential-
+    arrival greedy, see there for why per-pair/per-cluster keep-lowest
+    break idempotence). Docs with no shingles (< n tokens) are
+    exact-dedup-only by construction.
+
+    Scale shape: phase 1 is the digest-bucketed anti-join (plan pin in
+    tests/test_bucketing.py); phase 2's band join hits a state table
+    bucketed by the composite bband key, so the accumulated band state
+    never reshuffles (second plan pin there) and verification touches
+    |candidates| history docs, not |history|; phase 3 runs on the batch
+    only. The only iterative part (greedy admission) is bounded by the
+    batch's pair-chain depth with a loud ``mis_max_iter`` guard."""
+    b = new_docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )
+    dg = F.md5(F.col(text_col).cast("binary")).alias("__dg")
+    keep1 = (
+        b.select(F.col(id_col), dg)
+        .groupBy("__dg")
+        .agg(F.min(id_col).alias(id_col))
+        .join(
+            state_digests.select(F.col("text_hash").alias("__dg")),
+            "__dg",
+            "left_anti",
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept = b.join(keep1.select(id_col), id_col).localCheckpoint(eager=False)
+
+    # batch band keys (wide signatures — the minhash_near_dups shape)
+    sh_b_base = shingles(kept, id_col, text_col, n)
+    target = new_docs.sparkSession.sparkContext.defaultParallelism
+    if sh_b_base.rdd.getNumPartitions() < target:
+        sh_b_base = sh_b_base.repartition(target, F.col(id_col))
+    sh_b = sh_b_base.localCheckpoint(eager=False)
+    bk = _band_keys_wide(
+        minhash_signatures_wide(_shingle_ids(sh_b, hash_mode), id_col, num_hashes),
+        id_col,
+        num_hashes // bands,
+        num_hashes,
+    ).select(
+        F.concat_ws(":", F.col("band").cast("string"), F.col("bkey")).alias(
+            "bband"
+        ),
+        F.col(id_col),
+        F.col("band"),
+        F.col("bkey"),
+    ).localCheckpoint(eager=False)
+
+    # phase 2: history collisions → exact-Jaccard verify against the few
+    # colliding history docs only
+    cand_hist = (
+        bk.select("bband", F.col(id_col).alias("__bid"))
+        .join(
+            state_bands.select("bband", F.col(id_col).alias("__hid")), "bband"
+        )
+        .select("__bid", "__hid")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hist_docs = state_docs.select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    ).join(cand_hist.select(F.col("__hid").alias(id_col)).distinct(), id_col)
+    sh_h = shingles(hist_docs, id_col, text_col, n)
+    dropped_hist = jaccard_verify(
+        cand_hist.select(
+            F.col("__hid").alias("id_a"), F.col("__bid").alias("id_b")
+        ),
+        sh_h.unionByName(sh_b),
+        id_col,
+        threshold,
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    kept2 = kept.join(dropped_hist, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+
+    # phase 3: within-batch candidates among the history-clean docs only
+    # (a history-dropped doc is never admitted, so it cannot block anyone
+    # — sequential semantics), then greedy admission
+    bk2 = bk.join(kept2.select(id_col), id_col)
+    pairs = _pairs_from_band_keys(
+        bk2.select(id_col, "band", "bkey"), id_col, max_bucket_size
+    )
+    edges = jaccard_verify(pairs, sh_b, id_col, threshold).select(
+        F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
+    )
+    paired = edges.select(F.col("lo").alias(id_col)).unionByName(
+        edges.select(F.col("hi").alias(id_col))
+    ).distinct().localCheckpoint(eager=False)
+    admitted_mis = _greedy_admit(paired, edges, id_col, mis_max_iter)
+    unpaired = kept2.select(id_col).join(paired, id_col, "left_anti")
+    admitted = unpaired.unionByName(admitted_mis)
+    return keep1.join(admitted, id_col).select(
+        F.col(id_col), F.col("__dg").alias("text_hash")
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

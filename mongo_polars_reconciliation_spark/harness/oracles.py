@@ -2480,3 +2480,156 @@ SELECT k2.text_hash, k2.keeper_id, k2.n_copies
 FROM k2 LEFT JOIN s1 ON s1.text_hash = k2.text_hash
 WHERE s1.text_hash IS NULL
 '''
+
+
+def _mh_band_ctes(src: str, p: str) -> str:
+    """MinHash shingle/signature/band-key CTE chain over docs CTE ``src``
+    (columns doc_id, text), prefixed ``p`` — the parametrized form of
+    MINHASH_PAIR_CTES' front half, shared by the near-dup ingest oracle's
+    history and batch sides. Constants in lockstep with extensions/dedup.py
+    (12 hashes, 4 bands of 3, P=8191, poly sid hash)."""
+    return f"""{p}toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
+{p}sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t)-2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM {p}toks) u
+  WHERE shingle IS NOT NULL
+),
+{p}shid AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN length(shingle) = 0 THEN 0 ELSE
+           list_reduce(list_transform(generate_series(1, length(shingle)),
+                       i -> ord(substr(shingle, i, 1)) % 8191),
+                       (h, c) -> (h*31 + c) % 8191) END AS sid
+  FROM {p}sh
+),
+{p}hashes AS MATERIALIZED (
+  SELECT doc_id, j, MIN(((2*j+3)*sid + 5*j+7) % 8191) AS mh
+  FROM {p}shid CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) js
+  GROUP BY doc_id, j
+),
+{p}bandkeys AS MATERIALIZED (
+  SELECT doc_id, j // 3 AS band,
+         STRING_AGG(CAST(mh AS VARCHAR), '_' ORDER BY j) AS bkey
+  FROM {p}hashes GROUP BY doc_id, j // 3
+)"""
+
+
+def _greedy_mis_round(prev: str, cur: str) -> str:
+    """One unrolled round of the sequential-arrival greedy admission
+    (extensions/dedup.py:_greedy_admit): statuses are final once decided;
+    a node is Rejected when an Admitted lower near-dup neighbor exists,
+    Admitted when every lower neighbor is Rejected (vacuously true for
+    none), else still Undecided."""
+    return f"""{cur} AS MATERIALIZED (
+  SELECT p.node, CASE
+    WHEN p.st <> 'U' THEN p.st
+    WHEN EXISTS (SELECT 1 FROM mis_edges e JOIN {prev} q ON q.node = e.lo
+                 WHERE e.hi = p.node AND q.st = 'A') THEN 'R'
+    WHEN NOT EXISTS (SELECT 1 FROM mis_edges e JOIN {prev} q ON q.node = e.lo
+                     WHERE e.hi = p.node AND q.st <> 'R') THEN 'A'
+    ELSE 'U' END AS st
+  FROM {prev} p)"""
+
+
+# Incremental NEAR-dup ingest (r9): history digests + band-key state;
+# batch = fresh slice + exact redeliveries + near-dup variants. Phase 1
+# exact (keeper min-id per digest, anti-join history digests); phase 2
+# band-collision candidates vs history, exact-Jaccard-verified at 0.6;
+# phase 3 within-batch candidates under sequential-arrival greedy
+# admission, unrolled 8 rounds (the query pins mis_max_iter=8 so a graph
+# needing more rounds fails LOUDLY on the Spark side instead of
+# diverging silently).
+ORACLES["dedup_ingest_neardup"] = (
+    """
+WITH hist AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents WHERE doc_id % 3 < 2
+),
+batch AS MATERIALIZED (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 100000, COALESCE(text, '') FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, COALESCE(substr(text, strpos(text, ' ') + 1), '')
+  FROM documents WHERE doc_id % 10 = 3
+),
+hist_dg AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM hist),
+keep1 AS MATERIALIZED (
+  SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM batch GROUP BY md5(text)
+),
+keep1n AS MATERIALIZED (
+  SELECT k.h, k.doc_id FROM keep1 k LEFT JOIN hist_dg s ON s.h = k.h
+  WHERE s.h IS NULL
+),
+kept AS MATERIALIZED (
+  SELECT b.doc_id, b.text FROM batch b JOIN keep1n k ON k.doc_id = b.doc_id
+),
+"""
+    + _mh_band_ctes("kept", "b_")
+    + ",\n"
+    + _mh_band_ctes("hist", "h_")
+    + """,
+b_sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM b_sh GROUP BY doc_id),
+h_sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM h_sh GROUP BY doc_id),
+cand_hist AS MATERIALIZED (
+  SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+  FROM b_bandkeys b JOIN h_bandkeys h
+    ON b.band = h.band AND b.bkey = h.bkey
+),
+hist_drop AS MATERIALIZED (
+  SELECT DISTINCT bid FROM (
+    SELECT c.bid, c.hid,
+           FLOOR(CAST(COUNT(*) AS DOUBLE)
+                 / (hs.sz + bs.sz - COUNT(*)) * 10000) / 10000 AS jacc_r
+    FROM cand_hist c
+    JOIN h_sh a ON a.doc_id = c.hid
+    JOIN b_sh b ON b.doc_id = c.bid AND b.shingle = a.shingle
+    JOIN h_sizes hs ON hs.doc_id = c.hid
+    JOIN b_sizes bs ON bs.doc_id = c.bid
+    GROUP BY c.bid, c.hid, hs.sz, bs.sz
+  ) v WHERE jacc_r >= 0.6
+),
+kept2 AS MATERIALIZED (
+  SELECT k.doc_id FROM kept k LEFT JOIN hist_drop d ON d.bid = k.doc_id
+  WHERE d.bid IS NULL
+),
+cand_batch AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM b_bandkeys l JOIN b_bandkeys r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+  WHERE l.doc_id IN (SELECT doc_id FROM kept2)
+    AND r.doc_id IN (SELECT doc_id FROM kept2)
+),
+mis_edges AS MATERIALIZED (
+  SELECT id_a AS lo, id_b AS hi FROM (
+    SELECT c.id_a, c.id_b,
+           FLOOR(CAST(COUNT(*) AS DOUBLE)
+                 / (sa.sz + sb.sz - COUNT(*)) * 10000) / 10000 AS jacc_r
+    FROM cand_batch c
+    JOIN b_sh a ON a.doc_id = c.id_a
+    JOIN b_sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+    JOIN b_sizes sa ON sa.doc_id = c.id_a
+    JOIN b_sizes sb ON sb.doc_id = c.id_b
+    GROUP BY c.id_a, c.id_b, sa.sz, sb.sz
+  ) v WHERE jacc_r >= 0.6
+),
+mis_nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT lo AS node FROM mis_edges UNION ALL SELECT hi FROM mis_edges) u
+),
+s0 AS MATERIALIZED (SELECT node, 'U' AS st FROM mis_nodes),
+"""
+    + ",\n".join(_greedy_mis_round(f"s{i}", f"s{i + 1}") for i in range(8))
+    + """,
+admitted AS (
+  SELECT k.doc_id FROM kept2 k
+  WHERE k.doc_id NOT IN (SELECT node FROM mis_nodes)
+  UNION ALL
+  SELECT node AS doc_id FROM s8 WHERE st = 'A'
+)
+SELECT k.doc_id, k.h AS text_hash
+FROM keep1n k JOIN admitted a ON a.doc_id = k.doc_id
+"""
+)

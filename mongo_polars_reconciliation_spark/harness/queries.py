@@ -1526,6 +1526,50 @@ def dedup_ingest_incremental(spark, sf_dir) -> DataFrame:
     return ingest_novel(b2, state1)
 
 
+def dedup_ingest_neardup(spark, sf_dir) -> DataFrame:
+    """Incremental NEAR-dup ingest (r9): history (doc_id%3<2) persists a
+    digest set AND a MinHash band-key state; the arriving batch (the
+    %3==2 slice, plus exact redeliveries of the %10==7 slice under
+    +100000 ids and first-word-dropped near-dup variants of the %10==3
+    slice under +200000 ids) is admitted only where it is neither an
+    exact copy nor a verified near-dup (Jaccard >= 0.6) of history or of
+    an already-admitted batch member (sequential-arrival greedy — the
+    rule that makes batch splits and redeliveries idempotent).
+    mis_max_iter=8 matches the oracle's unrolled greedy rounds."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.where(F.col("doc_id") % 3 < 2)
+    near_text = F.expr("substring(text, instr(text, ' ') + 1)")
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                near_text.alias("text"),
+            )
+        )
+    )
+    state_digests = hist.select(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "text_hash"
+        )
+    ).distinct()
+    return ingest_novel_neardup(
+        batch, state_digests, band_state(hist), hist, mis_max_iter=8
+    )
+
+
 def text_lm_score(spark, sf_dir) -> DataFrame:
     """Corpus-bigram LM quality score per document (r8): mean conditional
     bigram probability, integer-exact at 10^-6 resolution — the
@@ -1939,6 +1983,7 @@ QUERIES = {
     "sim_recall_probe": sim_recall_probe,
     "text_sample_fixed_k": text_sample_fixed_k,
     "dedup_ingest_incremental": dedup_ingest_incremental,
+    "dedup_ingest_neardup": dedup_ingest_neardup,
     "text_lm_score": text_lm_score,
     "curation_pipeline_v3": curation_pipeline_v3,
     "text_quality_gate": text_quality_gate,

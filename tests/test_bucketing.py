@@ -92,3 +92,37 @@ def test_bucketed_digest_state_anti_join_shuffle_free_on_stored_side(spark):
     # no Exchange between the bucketed scan and the join: the scan segment
     # of the plan tree carries none
     assert "Exchange" not in scan_side, scan_side
+
+
+def test_bucketed_band_state_join_shuffle_free_on_stored_side(spark):
+    """r9 ingest_novel_neardup scale claim, pinned: the accumulated
+    MinHash band-key state, stored bucketed by the composite bband key,
+    feeds the batch-vs-history collision join with NO exchange on the
+    stored side — only the arriving batch's band keys shuffle."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import band_state
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/corpus_band_state", ignore_errors=True)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 3 < 2).select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    write_bucketed_state(
+        band_state(hist), "corpus_band_state", buckets=4, key="bband"
+    )
+    stored = spark.table("corpus_band_state").withColumnRenamed(
+        "doc_id", "hist_id"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = band_state(batch).join(stored, "bband").select(
+            "doc_id", "hist_id"
+        ).distinct()
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in final, final
+    scan_side = final[final.index("corpus_band_state"):]
+    assert "Exchange" not in scan_side, scan_side

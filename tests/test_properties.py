@@ -1354,3 +1354,136 @@ def test_sample_shortfall_audit_flags_tight_prefilter(spark):
     # no-prefilter audit is all-zero shortfall with n_eligible == n_rows
     for r in sample_shortfall_audit(docs, "source", k).collect():
         assert r["shortfall"] == 0 and r["n_eligible"] == r["n_rows"]
+
+
+def _neardup_fixture(spark, sf_dir="/root/testdata/sf0.001"):
+    """The dedup_ingest_neardup query's (hist, batch, digest-state) shapes."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import band_state
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.where(F.col("doc_id") % 3 < 2)
+    near_text = F.expr("substring(text, instr(text, ' ') + 1)")
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                near_text.alias("text"),
+            )
+        )
+    )
+    digests = hist.select(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "text_hash"
+        )
+    ).distinct()
+    return hist, batch, digests, band_state(hist)
+
+
+def test_neardup_ingest_greedy_not_pair_drop(spark):
+    """Chain a~b~c with a!~c (ids a<b<c): sequential-arrival semantics
+    admit {a, c} — b is blocked by a, but c is NOT blocked by the
+    never-admitted b. Per-pair keep-lowest (drop every hi of a verified
+    pair) would wrongly drop c; this pins the greedy rule."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+    )
+
+    toks = [f"w{i:02d}" for i in range(1, 17)]
+    a = " ".join(toks[0:12])   # shingle starts 1..10
+    b = " ".join(toks[2:14])   # shares 8 of 12 distinct → J = 2/3
+    c = " ".join(toks[4:16])   # J(b,c) = 2/3, J(a,c) = 6/14 < 0.6
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    empty_dg = spark.createDataFrame([], "text_hash string")
+    empty_bands = spark.createDataFrame([], "bband string, doc_id long")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in ingest_novel_neardup(
+            df, empty_dg, empty_bands, empty_docs,
+            # 12 bands of 1 hash: a J=2/3 pair misses all 12 bands with
+            # probability ~(1/3)^12 — and the fixture is deterministic,
+            # so the collisions below are a checked fact, not luck
+            num_hashes=12, bands=12,
+        ).collect()
+    )
+    assert got == [1, 3], got
+    # sanity: the chain structure really held (a~b and b~c verified,
+    # a!~c unverified) — otherwise the admitted set above means nothing
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        jaccard_verify, shingles,
+    )
+
+    sh = shingles(df)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "id_a long, id_b long"
+    )
+    verified = sorted(
+        (r["id_a"], r["id_b"])
+        for r in jaccard_verify(pairs, sh, threshold=0.6).collect()
+    )
+    assert verified == [(1, 2), (2, 3)], verified
+
+
+def test_neardup_ingest_batch_split_equals_one_batch(spark):
+    """Sequential-arrival admission is indifferent to batch boundaries
+    that respect id order: ingesting B1 (low ids) then B2 (high ids,
+    against the updated state) admits exactly the docs that ingesting
+    B1 ∪ B2 at once admits."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+    )
+
+    hist, batch, digests, bands = _neardup_fixture(spark)
+    one = ingest_novel_neardup(batch, digests, bands, hist, mis_max_iter=8)
+    one_ids = sorted(r["doc_id"] for r in one.collect())
+
+    median = 100000  # original-id slice first, synthetic redeliveries after
+    b1 = batch.where(F.col("doc_id") < median).localCheckpoint(eager=True)
+    b2 = batch.where(F.col("doc_id") >= median).localCheckpoint(eager=True)
+    a1 = ingest_novel_neardup(b1, digests, bands, hist, mis_max_iter=8)
+    a1 = a1.localCheckpoint(eager=True)
+    admitted_docs1 = b1.join(a1.select("doc_id"), "doc_id")
+    digests2 = digests.unionByName(a1.select("text_hash")).distinct()
+    bands2 = bands.unionByName(band_state(admitted_docs1))
+    docs2 = hist.unionByName(admitted_docs1)
+    a2 = ingest_novel_neardup(b2, digests2, bands2, docs2, mis_max_iter=8)
+    two_ids = sorted(
+        [r["doc_id"] for r in a1.collect()]
+        + [r["doc_id"] for r in a2.collect()]
+    )
+    assert two_ids == one_ids
+
+
+def test_neardup_ingest_redelivery_admits_nothing(spark):
+    """Extending the r8 exact-ingest pin: after admitting a batch and
+    folding the admitted docs into all three state faces, re-delivering
+    the SAME batch admits zero documents — every previously rejected doc
+    is (by the greedy rule) an exact or near dup of something now in
+    state."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+    )
+
+    hist, batch, digests, bands = _neardup_fixture(spark)
+    a1 = ingest_novel_neardup(
+        batch, digests, bands, hist, mis_max_iter=8
+    ).localCheckpoint(eager=True)
+    admitted_docs = batch.join(a1.select("doc_id"), "doc_id")
+    digests2 = digests.unionByName(a1.select("text_hash")).distinct()
+    bands2 = bands.unionByName(band_state(admitted_docs))
+    docs2 = hist.unionByName(admitted_docs)
+    again = ingest_novel_neardup(batch, digests2, bands2, docs2, mis_max_iter=8)
+    assert again.count() == 0
