@@ -1086,6 +1086,149 @@ def knn_join_exact(
     )
 
 
+def knn_join_exact_probes(
+    emb: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE-SIDED exact k-NN: the true top-k cosine neighbors over the full
+    corpus, computed only FOR the probe ids — O(|probes|·n) pair work
+    instead of :func:`knn_join_exact`'s O(n²), which is what makes exact
+    ground truth affordable at corpus scale when the probe set is a
+    sample. Same block-pair equi-join shape (probe side replicated to
+    every corpus bucket, corpus side in its own bucket, so the plan has
+    no cartesian node and the |probes|·n pairs spread over
+    n_buckets² tasks), same 6-dp cosine and (cos DESC, neighbor ASC)
+    tie-break — a probe's rows here are BIT-IDENTICAL to its rows in the
+    full graph (property-pinned), because the directed pair dot runs the
+    same IEEE fold on the same operands.
+
+    No symmetric-halving here: pairs are directed probe→corpus by
+    construction (the halving trick only pays when both directions are
+    wanted). Self-pairs are excluded like the full graph's."""
+    base = _with_norm(emb.select(id_col, vec_col), vec_col, "__").select(
+        F.col(id_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("__bk"),
+        "__v",
+        "__n",
+    )
+    all_b = F.array(*[F.lit(i).cast("int") for i in range(n_buckets)])
+    l = (
+        base.join(probes.select(id_col).distinct(), id_col)
+        .select(
+            F.col("__bk").alias("__ba"),
+            F.explode(all_b).alias("__bb"),
+            F.col(id_col).alias("__ida"),
+            F.col("__v").alias("va"),
+            F.col("__n").alias("na"),
+        )
+    )
+    # the corpus side keys on its own bucket (replicated across the probe
+    # side's buckets) so each (probe, corpus row) pair meets at exactly
+    # one (__ba, __bb) cell. Numbered repartition on the join keys — the
+    # AQE-coalescing exemption knn_join_exact needs (the replicated sides
+    # are slim, AQE would fold the pair scoring onto one core; measured r8).
+    r = base.select(
+        F.explode(all_b).alias("__ba"),
+        F.col("__bk").alias("__bb"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    target = emb.sparkSession.sparkContext.defaultParallelism
+    l = l.repartition(target, "__ba", "__bb")
+    r = r.repartition(target, "__ba", "__bb")
+    dot = _pair_dot(F.col("va"), F.col("vb"))
+    scored = (
+        l.join(r, ["__ba", "__bb"])
+        .where(F.col("__ida") != F.col("__idb"))
+        .select(
+            "__ida",
+            F.col("__idb").alias("neighbor_id"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("__ida").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("__ida").alias(id_col), "rank", "neighbor_id", "cos_r")
+    )
+
+
+def ann_recall_at_k_sampled(
+    emb: DataFrame,
+    strata_col: str = "label",
+    k_sample: int = 5,
+    k: int = 10,
+    nprobe: int = 2,
+    nlist: "int | str" = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The recall probe AT CORPUS SCALE (r9): :func:`ann_recall_at_k`'s
+    exact-truth side is O(n²) — fine as a harness, unrunnable on a
+    billion vectors. This composition makes the docstring's "run on a
+    representative sample" real: ``sample_fixed_per_stratum`` carves a
+    deterministic k-per-stratum probe set (KMV-mergeable, so the probe
+    set is stable as the corpus grows), the exact graph is built only
+    FOR the probes against the full corpus
+    (:func:`knn_join_exact_probes`, O(sample·n)), and the ANN side is
+    the unchanged production multiprobe graph restricted to probe rows.
+    Per-probe rows (id, stratum, n_true, n_hit, recall_r) bit-match the
+    full probe's rows for the same ids (property-pinned) and aggregate
+    per stratum as AVG(recall_r) — the per-language/per-source index
+    quality readout."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        floor4,
+        sample_fixed_per_stratum,
+    )
+
+    probes = sample_fixed_per_stratum(
+        emb, strata_col, k_sample, id_col=id_col
+    ).select(strata_col, id_col)
+    truth = knn_join_exact_probes(
+        emb, probes, k=k, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col), "neighbor_id")
+    ann = (
+        knn_join_multiprobe(
+            emb,
+            k=k,
+            nprobe=nprobe,
+            nlist=nlist,
+            n_iter=n_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        .join(probes.select(id_col), id_col)
+        .select(F.col(id_col), "neighbor_id", F.lit(1).alias("__hit"))
+    )
+    return (
+        truth.join(ann, [id_col, "neighbor_id"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .join(probes, id_col)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            "n_true",
+            "n_hit",
+            floor4(F.col("n_hit") / F.col("n_true")).alias("recall_r"),
+        )
+    )
+
+
 def ann_recall_at_k(
     emb: DataFrame,
     k: int = 10,

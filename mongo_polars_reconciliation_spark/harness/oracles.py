@@ -2633,3 +2633,64 @@ SELECT k.doc_id, k.h AS text_hash
 FROM keep1n k JOIN admitted a ON a.doc_id = k.doc_id
 """
 )
+
+
+# Sampled recall probe (r9): deterministic 5-per-label KMV probe set;
+# exact truth computed for probes only (one-sided vs the full corpus);
+# ANN side identical to sim_recall_probe's multiprobe chain. Per-probe
+# rows carry the stratum for the per-label aggregate.
+ORACLES["sim_recall_probe_sampled"] = (
+    """
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+probes AS MATERIALIZED (
+  SELECT label, vec_id FROM (
+    SELECT label, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY label
+                              ORDER BY {POLY_HASH_VEC}, vec_id) AS rn
+    FROM ev) t
+  WHERE rn <= 5
+),
+"""
+    + KMEANS_CTES_MULTIPROBE
+    + ","
+    + _kmeans_assign_topn("cents_final", "assign_probe", 2)
+    + f""",
+ann_scored AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         {_cos6_sql('a.v', 'b.v')} AS cos_r
+  FROM assign_probe a JOIN assign_probe b
+    ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM probes)
+),
+ann_k AS MATERIALIZED (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_r DESC, neighbor_id) AS rn
+    FROM ann_scored) t
+  WHERE rn <= 10
+),
+truth_scored AS MATERIALIZED (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         {_cos6_sql('a.v', 'b.v')} AS cos_r
+  FROM ev a JOIN ev b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM probes)
+),
+truth_k AS MATERIALIZED (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_r DESC, neighbor_id) AS rn
+    FROM truth_scored) t
+  WHERE rn <= 10
+)
+SELECT t.vec_id, p.label, COUNT(*) AS n_true, COUNT(a.neighbor_id) AS n_hit,
+       FLOOR((CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)) * 10000)
+         / 10000 AS recall_r
+FROM truth_k t
+JOIN probes p ON p.vec_id = t.vec_id
+LEFT JOIN ann_k a
+  ON a.vec_id = t.vec_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.vec_id, p.label
+"""
+).replace("{POLY_HASH_VEC}", poly_hash_mixed_sql("vec_id"))

@@ -1374,6 +1374,33 @@ def sim_recall_probe(spark, sf_dir) -> DataFrame:
     )
 
 
+def sim_recall_probe_sampled(spark, sf_dir) -> DataFrame:
+    """Sampled ANN recall probe (r9): a deterministic 5-per-label probe
+    set (the fixed-k KMV sampler) gets exact ground truth built ONE-SIDED
+    against the full corpus — O(sample·n), the shape that stays runnable
+    at corpus scale — and is scored against the unchanged production
+    multiprobe graph. Per-probe rows bit-match the full O(n²) probe's
+    rows for the same ids (property-pinned); AVG(recall_r) per label is
+    the per-stratum index-quality readout."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ann_recall_at_k_sampled,
+    )
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        MULTIPROBE_ORACLE_N_ITER,
+        MULTIPROBE_ORACLE_NLIST,
+    )
+
+    return ann_recall_at_k_sampled(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        strata_col="label",
+        k_sample=5,
+        k=10,
+        nprobe=2,
+        nlist=MULTIPROBE_ORACLE_NLIST,
+        n_iter=MULTIPROBE_ORACLE_N_ITER,
+    )
+
+
 def sim_semantic_dedup_fitted(spark, sf_dir) -> DataFrame:
     """SemDeDup survivors over FITTED multi-probe blocks on the duplicate-
     injected embeddings: drop every vector dominated (cos ≥ 0.9) by a
@@ -1981,6 +2008,7 @@ QUERIES = {
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "sim_recall_probe": sim_recall_probe,
+    "sim_recall_probe_sampled": sim_recall_probe_sampled,
     "text_sample_fixed_k": text_sample_fixed_k,
     "dedup_ingest_incremental": dedup_ingest_incremental,
     "dedup_ingest_neardup": dedup_ingest_neardup,

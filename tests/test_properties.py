@@ -1487,3 +1487,36 @@ def test_neardup_ingest_redelivery_admits_nothing(spark):
     docs2 = hist.unionByName(admitted_docs)
     again = ingest_novel_neardup(batch, digests2, bands2, docs2, mis_max_iter=8)
     assert again.count() == 0
+
+
+def test_sampled_recall_rows_bitmatch_full_probe(spark):
+    """r9: the sampled recall probe's per-vector rows equal the full
+    O(n²) probe's rows for the same ids, bit-for-bit — the one-sided
+    exact graph runs the same IEEE fold on the same operands, so
+    sampling changes COST, not answers."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ann_recall_at_k,
+        ann_recall_at_k_sampled,
+    )
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        MULTIPROBE_ORACLE_N_ITER,
+        MULTIPROBE_ORACLE_NLIST,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sampled = ann_recall_at_k_sampled(
+        emb, strata_col="label", k_sample=3, k=10, nprobe=2,
+        nlist=MULTIPROBE_ORACLE_NLIST, n_iter=MULTIPROBE_ORACLE_N_ITER,
+    ).collect()
+    assert len(sampled) == 30  # 3 per label, 10 labels
+    full = {
+        r["vec_id"]: (r["n_true"], r["n_hit"], r["recall_r"])
+        for r in ann_recall_at_k(
+            emb, k=10, nprobe=2,
+            nlist=MULTIPROBE_ORACLE_NLIST, n_iter=MULTIPROBE_ORACLE_N_ITER,
+        ).collect()
+    }
+    for r in sampled:
+        assert full[r["vec_id"]] == (r["n_true"], r["n_hit"], r["recall_r"]), (
+            r["vec_id"]
+        )
