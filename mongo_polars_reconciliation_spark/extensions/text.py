@@ -1601,41 +1601,44 @@ def _bpe_fit(
         merged = l + r
         merges.append((rank, l, r, merged, cnt))
 
-        def make_step(_l: str, _r: str, _m: str):
-            # closure factory: pyspark introspects the lambda's arity, so
-            # the captured literals can't ride as default args
-            def step(acc, s):
-                # try_element_at (r9 advice): the plain element_at(acc, -1)
-                # is out-of-bounds on the empty initial accumulator — hit
-                # for EVERY word — and ANSI mode only tolerated it because
-                # the And short-circuited after size(acc) > 0, an eval
-                # order Spark does not formally guarantee. try_element_at
-                # returns NULL instead of raising; NULL == lhs is NULL,
-                # NULL & x is never TRUE, so the when() falls through to
-                # the append branch regardless of conjunct order.
-                hit = (
-                    (F.try_element_at(acc, F.lit(-1)) == F.lit(_l))
-                    & (s == F.lit(_r))
-                )
-                return F.when(
-                    hit,
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_m))
-                    ),
-                ).otherwise(F.concat(acc, F.array(s)))
-
-            return step
-
         words = words.select(
             "tok",
             "wc",
             F.aggregate(
                 "syms",
                 F.array().cast("array<string>"),
-                make_step(l, r, merged),
+                _bpe_merge_step(l, r, merged),
             ).alias("syms"),
         ).localCheckpoint(eager=False)
     return merges, words
+
+
+def _bpe_merge_step(_l: str, _r: str, _m: str):
+    """Fold step applying one BPE merge (lhs, rhs) → merged over a word's
+    symbol array, leftmost-non-overlapping — shared by the fit loop and
+    the persisted-merge-table encoder. Closure factory: pyspark
+    introspects the lambda's arity, so the captured literals can't ride
+    as default args."""
+
+    def step(acc, s):
+        # try_element_at (r9 advice): the plain element_at(acc, -1) is
+        # out-of-bounds on the empty initial accumulator — hit for EVERY
+        # word — and ANSI mode only tolerated it because the And
+        # short-circuited after size(acc) > 0, an eval order Spark does
+        # not formally guarantee. try_element_at returns NULL instead of
+        # raising; NULL == lhs is NULL, NULL & x is never TRUE, so the
+        # when() falls through to the append branch regardless of
+        # conjunct order.
+        hit = (
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(_l))
+            & (s == F.lit(_r))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(_m))),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return step
 
 
 def bpe_encode_stats(
@@ -1663,6 +1666,16 @@ def bpe_encode_stats(
     token (empty/null text) have nothing to encode and are absent from
     the output, mirroring the SQL inner join."""
     _, vocab = _bpe_fit(df, n_merges, text_col)
+    return _encode_stats_from_vocab(df, vocab, id_col, text_col)
+
+
+def _encode_stats_from_vocab(
+    df: DataFrame, vocab: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-doc encode stats from a (tok, syms) vocab segmentation — the
+    dimension-join tail shared by :func:`bpe_encode_stats` (vocab from an
+    in-session fit) and :func:`bpe_encode_with_merges` (vocab rebuilt
+    from a persisted merge table)."""
     seg = vocab.select(
         "tok",
         F.length("tok").cast("long").alias("n_char"),
@@ -1690,3 +1703,58 @@ def bpe_encode_stats(
             ),
         )
     )
+
+
+def bpe_encode_with_merges(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ENCODE from a persisted merge table (r9) — the tokenizer-artifact
+    half of the loop: a real pipeline trains ONCE (:func:`bpe_merge_fit`
+    → write parquet) and encodes many corpora from the loaded table;
+    :func:`bpe_encode_stats` covers only the fit-and-encode-in-one-
+    session case. ``merges`` is any frame with (merge_rank, lhs, rhs,
+    merged) — e.g. ``spark.read.parquet(artifact_path)``.
+
+    The merge list comes to the driver (n_merges×3 strings — the same
+    bounded-driver-state contract as the fit loop's 1-row-per-round
+    collects) and is applied IN RANK ORDER to the corpus's distinct-token
+    vocab as the same literal array-folds the fit runs, then the stats
+    come from the shared dimension-join tail. Applying rank-ordered
+    merges to raw character sequences reproduces the fit's final
+    segmentation exactly (BPE's defining replay property: each fold only
+    merges adjacent pairs the earlier folds created), so encode-from-
+    artifact is BIT-EQUAL to fit-then-encode on the same corpus —
+    property-pinned AND round-trip-pinned through parquet.
+
+    Scale shape: no pair-count aggregates at all (the expensive half of
+    the fit) — one vocab hash-aggregate, n_merges map-only folds over
+    |vocab| rows, one dimension join. The folds chain in a single
+    projection (no per-round checkpoint needed: nothing re-consumes the
+    intermediate frames)."""
+    rows = sorted(
+        (r["merge_rank"], r["lhs"], r["rhs"], r["merged"])
+        for r in merges.select("merge_rank", "lhs", "rhs", "merged").collect()
+    )
+    vocab = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "tok",
+            "wc",
+            F.expr(
+                "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"
+            ).alias("syms"),
+        )
+    )
+    syms = F.col("syms")
+    for _, l, r, m in rows:
+        syms = F.aggregate(
+            syms, F.array().cast("array<string>"), _bpe_merge_step(l, r, m)
+        )
+    vocab = vocab.select("tok", "wc", syms.alias("syms"))
+    return _encode_stats_from_vocab(df, vocab, id_col, text_col)

@@ -2694,3 +2694,10 @@ LEFT JOIN ann_k a
 GROUP BY t.vec_id, p.label
 """
 ).replace("{POLY_HASH_VEC}", poly_hash_mixed_sql("vec_id"))
+
+
+# Tokenizer artifact round-trip (r9): the parquet write/read of the merge
+# table is invisible to results (encode-from-artifact is bit-equal to
+# fit-then-encode, the BPE replay property — property-pinned), so the
+# oracle is the encode oracle itself, the recon_orc_roundtrip pattern.
+ORACLES["text_bpe_vocab_roundtrip"] = _bpe_encode_oracle(5)

@@ -1457,6 +1457,26 @@ def text_bpe_encode(spark, sf_dir) -> DataFrame:
     )
 
 
+def text_bpe_vocab_roundtrip(spark, sf_dir) -> DataFrame:
+    """Tokenizer artifact round-trip (r9): fit 5 BPE merges, persist the
+    merge table to parquet, read it back, and encode the corpus from the
+    LOADED table — bit-equal to fit-then-encode in one session (the
+    recon_orc_roundtrip write-read pattern applied to the trained
+    artifact; a real pipeline trains once and encodes many corpora)."""
+    import shutil
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        bpe_encode_with_merges,
+        bpe_merge_fit,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = scratch_path("bpe_vocab_roundtrip", "merges.parquet")
+    shutil.rmtree(path, ignore_errors=True)
+    bpe_merge_fit(docs, n_merges=5).write.mode("overwrite").parquet(path)
+    return bpe_encode_with_merges(docs, spark.read.parquet(path))
+
+
 def text_heavy_hitters_cms(spark, sf_dir) -> DataFrame:
     """Count-min-sketch heavy hitters over document tokens (d=3, w=64):
     top-20 exact tokens with their CMS estimates — the mergeable
@@ -2007,6 +2027,7 @@ QUERIES = {
     # -- r8 new/changed (1-28) --
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
+    "text_bpe_vocab_roundtrip": text_bpe_vocab_roundtrip,
     "sim_recall_probe": sim_recall_probe,
     "sim_recall_probe_sampled": sim_recall_probe_sampled,
     "text_sample_fixed_k": text_sample_fixed_k,

@@ -1520,3 +1520,33 @@ def test_sampled_recall_rows_bitmatch_full_probe(spark):
         assert full[r["vec_id"]] == (r["n_true"], r["n_hit"], r["recall_r"]), (
             r["vec_id"]
         )
+
+
+def test_bpe_encode_from_loaded_merges_bitmatches_fit_encode(spark):
+    """r9 artifact round-trip: encoding from a parquet-persisted merge
+    table equals fit-then-encode in one session, row for row — the BPE
+    replay property (rank-ordered merges over raw characters reproduce
+    the fit's final segmentation) survives the write/read."""
+    import shutil
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        bpe_encode_stats,
+        bpe_encode_with_merges,
+        bpe_merge_fit,
+    )
+    from mongo_polars_reconciliation_spark.scratch import scratch_path
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    direct = sorted(
+        tuple(r) for r in bpe_encode_stats(docs, n_merges=4).collect()
+    )
+    path = scratch_path("test_bpe_roundtrip", "merges.parquet")
+    shutil.rmtree(path, ignore_errors=True)
+    bpe_merge_fit(docs, n_merges=4).write.mode("overwrite").parquet(path)
+    loaded = sorted(
+        tuple(r)
+        for r in bpe_encode_with_merges(
+            docs, spark.read.parquet(path)
+        ).collect()
+    )
+    assert loaded == direct
