@@ -113,6 +113,8 @@ def curate_corpus_v2(
     hash_mode: str = "poly",
     max_bucket_size: int | None = None,
     lm_threshold_q: int | None = None,
+    min_term_sent_ratio: float | None = None,
+    min_mwps: float | None = None,
 ) -> DataFrame:
     """The FULL corpus build: exact dedup → MinHash-LSH near-dup drop →
     repetition gate (Gopher rule: top-token share > 0.2 or duplicate
@@ -132,7 +134,15 @@ def curate_corpus_v2(
     distribution the score should mean "typical of") and documents whose
     integer-exact mean conditional probability (bigram_lm_scores) falls
     below the threshold are dropped. Docs with no bigrams carry no score
-    and pass. None (default) skips the stage entirely — v2 behavior."""
+    and pass. None (default) skips the stage entirely — v2 behavior.
+
+    ``min_term_sent_ratio`` / ``min_mwps`` (r9): the two C4-residual
+    gates real curation runs among its first cuts — drop docs whose
+    terminal-punctuation-per-sentence ratio, or mean words per sentence,
+    falls below the floor (``fused_doc_scores(c4=True)`` signals; Raffel
+    et al. 2020 §2.2). Both are row-local columns in the scorer's single
+    projection and the gate is the same left_anti-on-doc-id shape as the
+    other gates — zero new shuffles beyond it. None (default) skips."""
     from mongo_polars_reconciliation_spark.extensions.text import (
         contamination_probe,
         repetition_signals,
@@ -165,6 +175,21 @@ def curate_corpus_v2(
         .select(id_col)
     )
     kept = kept.join(rep_flagged, id_col, "left_anti")
+
+    if min_term_sent_ratio is not None or min_mwps is not None:
+        c4_cond = F.lit(False)
+        if min_term_sent_ratio is not None:
+            c4_cond = c4_cond | (
+                F.col("term_sent_ratio_r") < min_term_sent_ratio
+            )
+        if min_mwps is not None:
+            c4_cond = c4_cond | (F.col("mwps_r") < min_mwps)
+        c4_flagged = (
+            fused_doc_scores(kept, id_col=id_col, text_col=text_col, c4=True)
+            .where(c4_cond)
+            .select(id_col)
+        )
+        kept = kept.join(c4_flagged, id_col, "left_anti")
 
     contam_flagged = (
         contamination_probe(

@@ -665,6 +665,7 @@ def fused_doc_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep: tuple[str, ...] = (),
+    c4: bool = False,
 ) -> DataFrame:
     """Single-pass row-local scorer: language argmax + quality + whitespace
     token count in ONE projection — value-identical to
@@ -682,7 +683,19 @@ def fused_doc_scores(
 
     At 100 TB this is the curation stage-3 shape: a map-only projection on
     the scan instead of three scans + two whole-corpus hash shuffles
-    (explode/join/window) that the operator-per-frame composition costs."""
+    (explode/join/window) that the operator-per-frame composition costs.
+
+    ``c4=True`` (r9) appends the two cheap C4-residual signals real
+    curation gates on FIRST (Raffel et al. 2020 §2.2's line heuristics,
+    doc-level): ``n_sentences`` (segments between terminal punctuation
+    with at least one non-space char), ``term_sent_ratio_r`` (terminal
+    punctuation marks per sentence, capped at 1 — a fully terminated doc
+    scores 1.0, an unterminated tail drags it down, punctuation-free text
+    scores 0), and ``mwps_r`` (mean whitespace words per sentence — the
+    "lines of at least N words" cut). All three are splits/filters inside
+    the SAME projection — zero new shuffles, integer counts floor4'd, so
+    the oracle replays them bit-for-bit. Default off: every existing
+    caller's output is unchanged."""
     toks = F.split(F.col(text_col), " ")
     n_tok = F.size(toks).cast("long")
     def _hits(ws: list[str]):
@@ -704,14 +717,33 @@ def fused_doc_scores(
         + F.lit(0.3) * (F.lit(1.0) - sw_ratio)
         + F.lit(0.3) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
     )
-    return df.select(
+    cols = [
         F.col(id_col),
         *[F.col(c) for c in keep],
         pred.alias("pred_lang"),
         floor4(best.cast("long") / n_tok).alias("score_r"),
         floor4(quality).alias("quality_r"),
         n_tok.alias("ws_tokens"),
-    )
+    ]
+    if c4:
+        segs = F.split(F.col(text_col), "[.!?]")
+        n_sent = F.size(
+            F.filter(segs, lambda s: F.length(F.trim(s)) > 0)
+        ).cast("long")
+        n_term = (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), "[.!?]", ""))
+        ).cast("long")
+        cols += [
+            n_sent.alias("n_sentences"),
+            F.when(n_sent > 0, floor4(F.least(F.lit(1.0), n_term / n_sent)))
+            .otherwise(F.lit(0.0))
+            .alias("term_sent_ratio_r"),
+            F.when(n_sent > 0, floor4(n_tok / n_sent))
+            .otherwise(F.lit(0.0))
+            .alias("mwps_r"),
+        ]
+    return df.select(*cols)
 
 
 def quality_score(

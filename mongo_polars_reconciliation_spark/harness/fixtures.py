@@ -174,6 +174,30 @@ def build_documents_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
+def build_documents_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically injected terminal punctuation (the
+    natural texts carry none, which would make every C4 sentence signal
+    zero): doc_id%3==0 docs get a '.' sentence break before every ' join '
+    occurrence plus a trailing '.' (fully terminated multi-sentence);
+    %3==1 docs get '!' breaks before ' data ' with NO trailing terminator
+    (unterminated tail drags the ratio down); %3==2 stay punctuation-free.
+    Pure literal replace/concat, mirrored verbatim by the oracle SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    text2 = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.expr("replace(text, ' join ', '. join ')"), F.lit(".")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.expr("replace(text, ' data ', '! data ')"),
+        )
+        .otherwise(t)
+    )
+    return d.select("doc_id", text2.alias("text"), "lang", "source")
+
+
 def build_documents_xsource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents plus CROSS-source exact copies: doc_id % 10 == 7 docs are
     mirrored (doc_id + 100000) under the synthetic source ``mirror`` —

@@ -2701,3 +2701,48 @@ GROUP BY t.vec_id, p.label
 # fit-then-encode, the BPE replay property — property-pinned), so the
 # oracle is the encode oracle itself, the recon_orc_roundtrip pattern.
 ORACLES["text_bpe_vocab_roundtrip"] = _bpe_encode_oracle(5)
+
+
+# C4-residual quality signals (r9) over the punctuation-injected fixture:
+# sentences = [.!?]-delimited segments with a non-space char; terminal
+# ratio = terminators per sentence capped at 1; mwps = whitespace tokens
+# per sentence. quality_r mirrors fused_doc_scores (the text_quality_gate
+# oracle's formula).
+ORACLES["text_quality_c4"] = '''
+WITH docs_punct AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN replace(text, ' join ', '. join ') || '.'
+              WHEN doc_id % 3 = 1
+              THEN replace(text, ' data ', '! data ')
+              ELSE text END AS text
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split_regex(text, '[.!?]'),
+                         s -> length(trim(s)) > 0)) AS n_sent,
+         length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))
+           AS n_term
+  FROM docs_punct
+)
+SELECT doc_id,
+       FLOOR((
+         0.4 * LEAST(1.0, n_tok / 100.0)
+         + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                  / n_tok)
+         + 0.3 * LEAST(1.0,
+             ((length(text) - (n_tok - 1)) / CAST(n_tok AS DOUBLE)) / 8.0)
+         ) * 10000) / 10000 AS quality_r,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       CASE WHEN n_sent > 0
+            THEN FLOOR(LEAST(1.0, CAST(n_term AS DOUBLE) / n_sent) * 10000)
+                 / 10000
+            ELSE 0.0 END AS term_sent_ratio_r,
+       CASE WHEN n_sent > 0
+            THEN FLOOR((CAST(n_tok AS DOUBLE) / n_sent) * 10000) / 10000
+            ELSE 0.0 END AS mwps_r
+FROM sig
+'''

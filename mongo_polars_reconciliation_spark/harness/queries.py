@@ -1642,6 +1642,24 @@ def text_quality_gate(spark, sf_dir) -> DataFrame:
     )
 
 
+def text_quality_c4(spark, sf_dir) -> DataFrame:
+    """C4-residual quality signals (r9), fused into the single-projection
+    scorer: sentence count, terminal-punctuation-per-sentence ratio
+    (capped at 1), and mean words per sentence — over the punctuation-
+    injected fixture (the natural texts carry no punctuation). Map-only:
+    the signals share the scorer's one projection, zero shuffles."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        fused_doc_scores,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_documents_punct,
+    )
+
+    return fused_doc_scores(build_documents_punct(spark, sf_dir), c4=True).select(
+        "doc_id", "quality_r", "n_sentences", "term_sent_ratio_r", "mwps_r"
+    )
+
+
 def text_cms_merge(spark, sf_dir) -> DataFrame:
     """Mergeability pin for the CMS sketch (mirror of events_kmv_merge):
     per-split partial sketches — each from its OWN filtered scan (r8:
@@ -2036,6 +2054,7 @@ QUERIES = {
     "text_lm_score": text_lm_score,
     "curation_pipeline_v3": curation_pipeline_v3,
     "text_quality_gate": text_quality_gate,
+    "text_quality_c4": text_quality_c4,
     "stream_ingest_novel": stream_ingest_novel,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,

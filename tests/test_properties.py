@@ -1550,3 +1550,63 @@ def test_bpe_encode_from_loaded_merges_bitmatches_fit_encode(spark):
         ).collect()
     )
     assert loaded == direct
+
+
+def test_curation_v2_c4_gates(spark):
+    """r9: the optional C4 gates drop exactly the docs whose fused c4
+    signals fall below the floors — checked on a corpus where every other
+    v2 stage is a no-op (all texts distinct, non-repetitive, benchmark
+    unrelated), against the independently computed signal rows."""
+    from mongo_polars_reconciliation_spark.extensions.curation import (
+        curate_corpus_v2,
+    )
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        fused_doc_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma. delta epsilon zeta. eta theta iota."),
+            (2, "alpha bravo charlie delta echo foxtrot golf hotel"),
+            (3, "one two. three four five six seven eight nine ten"),
+            (4, "red green blue! yellow purple orange! cyan magenta!"),
+            (5, "north south east west up down left right center middle."),
+            (6, "cat dog bird fish horse cow sheep goat pig duck hen"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp")],
+        "doc_id long, text string",
+    )
+    floors = dict(min_term_sent_ratio=0.9, min_mwps=3.5)
+    base = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(docs, bench, min_quality=0.0).collect()
+    }
+    gated = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(
+            docs, bench, min_quality=0.0, **floors
+        ).collect()
+    }
+    c4 = fused_doc_scores(docs, c4=True).collect()
+    keep = [
+        r for r in c4
+        if r["term_sent_ratio_r"] >= 0.9 and r["mwps_r"] >= 3.5
+    ]
+    assert 0 < len(keep) < docs.count(), "floors must bite, not annihilate"
+    expect = {}
+    for r in keep:
+        n, t = expect.get(r["pred_lang"], (0, 0))
+        expect[r["pred_lang"]] = (n + 1, t + r["ws_tokens"])
+    assert gated == expect
+    # zero floors == baseline (n_sent=0 docs score 0.0, never below 0.0)
+    zeroed = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(
+            docs, bench, min_quality=0.0,
+            min_term_sent_ratio=0.0, min_mwps=0.0,
+        ).collect()
+    }
+    assert zeroed == base
