@@ -94,6 +94,130 @@ def decode_image(payload_bytes: bytes) -> "object":
     )
 
 
+def payload_digest_dedup(
+    mm: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Exact payload dedup — the binary column joined into the dedup
+    family (r9): md5 over the raw bytes, one row per distinct payload
+    with the deterministic min-id keeper and the copy count — byte-for-
+    byte identical images/audio collapse exactly like duplicate text
+    does in ``exact_dedup_groups`` (same output contract, same hash-
+    groupBy-with-map-side-combine scale shape; the digest set persists
+    into the ``ingest_novel`` state pattern unchanged)."""
+    return (
+        mm.select(
+            F.md5(F.col(payload_col)).alias("payload_hash"), F.col(id_col)
+        )
+        .groupBy("payload_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def payload_block_keys(
+    mm: DataFrame,
+    block_bytes: int = 1024,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, block_no, block_hash, n_blocks): md5 digest of every fixed-
+    size byte block of the payload — the pigeonhole bucket keys of
+    :func:`payload_near_dups` (the SimHash-blocks treatment applied to
+    raw bytes). Map-only: a per-row explode of ceil(len/block_bytes)
+    binary slices, each hashed JVM-side; zero-length payloads emit no
+    blocks (the frame_sample_plan guard)."""
+    nb = F.expr(
+        f"CAST(ceil(length({payload_col}) / {block_bytes}) AS INT)"
+    )
+    return (
+        mm.where(F.length(payload_col) > 0)
+        .select(
+            F.col(id_col),
+            nb.cast("long").alias("n_blocks"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(length({payload_col})"
+                    f" / {block_bytes}) AS INT) - 1),"
+                    f" i -> md5(substring({payload_col},"
+                    f" i * {block_bytes} + 1, {block_bytes})))"
+                )
+            ).alias("block_no", "block_hash"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("block_no").cast("long").alias("block_no"),
+            "block_hash",
+            "n_blocks",
+        )
+    )
+
+
+def payload_near_dups(
+    mm: DataFrame,
+    block_bytes: int = 1024,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Chunked-byte-signature near-dup probe over binary payloads (r9):
+    two payloads are candidates iff they share at least one
+    (block_no, block_hash) — identical bytes at the same aligned offset
+    window — and a pair is emitted when the shared-block fraction
+    ``floor4(n_shared / max(n_blocks_a, n_blocks_b))`` reaches
+    ``threshold``. Catches the dominant binary near-dup classes —
+    re-uploads with appended/truncated tails, metadata-stripped copies
+    sharing their byte prefix — deterministically and oracle-replayably
+    (no decoder needed, so it works in this container and as the cheap
+    pre-filter before any perceptual hash in production).
+
+    Scale shape: exactly the SimHash pigeonhole envelope — block keys
+    are a map-only projection; the only shuffles are the (block_no,
+    digest) bucket self-join (bucket sizes = copies of identical
+    aligned blocks, never corpus size) and the pair-count aggregate;
+    byte-shifted content shares no aligned block, so unrelated payloads
+    never meet. Output: (id_a, id_b, n_shared, n_blocks_a, n_blocks_b,
+    block_sim_r)."""
+    keys = payload_block_keys(
+        mm, block_bytes, id_col, payload_col
+    ).localCheckpoint(eager=False)
+    l = keys.select(
+        F.col(id_col).alias("id_a"),
+        "block_no",
+        "block_hash",
+        F.col("n_blocks").alias("n_blocks_a"),
+    )
+    r = keys.select(
+        F.col(id_col).alias("id_b"),
+        "block_no",
+        "block_hash",
+        F.col("n_blocks").alias("n_blocks_b"),
+    )
+    return (
+        l.join(r, ["block_no", "block_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_blocks_a", "n_blocks_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_blocks_a",
+            "n_blocks_b",
+            (
+                F.floor(
+                    F.col("n_shared")
+                    / F.greatest(F.col("n_blocks_a"), F.col("n_blocks_b"))
+                    * 10000
+                )
+                / 10000
+            ).alias("block_sim_r"),
+        )
+        .where(F.col("block_sim_r") >= threshold)
+    )
+
+
 def frame_sample_plan(
     mm: DataFrame, every_n_bytes: int = 1024, id_col: str = "doc_id"
 ) -> DataFrame:

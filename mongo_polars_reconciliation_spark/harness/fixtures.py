@@ -198,6 +198,33 @@ def build_documents_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text2.alias("text"), "lang", "source")
 
 
+MM_PAYLOAD_TAIL = " extra appended tail content for payload variant"
+
+
+def build_mm_payload_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal payload fixture with injected binary duplicates:
+    documents as UTF-8 payloads (attach_payload), plus byte-exact copies
+    (doc_id%10==7 → +100000) and APPEND variants (doc_id%10==5 →
+    +300000, a fixed tail appended) — re-uploads sharing their aligned
+    byte prefix, the class the chunked-block probe is built to catch.
+    Texts are ASCII, so the oracle mirrors byte slicing with substr."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = d.where(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    appended = d.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(MM_PAYLOAD_TAIL)).alias("text"),
+    )
+    return attach_payload(d.unionByName(exact).unionByName(appended))
+
+
 def build_documents_xsource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents plus CROSS-source exact copies: doc_id % 10 == 7 docs are
     mirrored (doc_id + 100000) under the synthetic source ``mirror`` —

@@ -2746,3 +2746,49 @@ SELECT doc_id,
             ELSE 0.0 END AS mwps_r
 FROM sig
 '''
+
+
+# Binary payload dedup (r9): payloads are UTF-8 encodings of ASCII texts,
+# so DuckDB's VARCHAR md5/substr mirror Spark's byte-level md5/substring
+# exactly (same bytes, same lowercase hex).
+MM_PAYLOAD_BASE = """base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 300000,
+         text || ' extra appended tail content for payload variant'
+  FROM documents WHERE doc_id % 10 = 5
+)"""
+
+ORACLES["mm_payload_dedup"] = (
+    "WITH " + MM_PAYLOAD_BASE + """
+SELECT md5(text) AS payload_hash, MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM base GROUP BY md5(text)
+"""
+)
+
+ORACLES["mm_payload_near_dup"] = (
+    "WITH " + MM_PAYLOAD_BASE + """,
+keys AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_no,
+         md5(substr(text, (i - 1) * 64 + 1, 64)) AS block_hash,
+         CAST(ceil(length(text) / 64) AS BIGINT) AS n_blocks
+  FROM base, unnest(generate_series(1,
+       CAST(ceil(length(text) / 64) AS INT))) AS u(i)
+  WHERE length(text) > 0
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS n_shared,
+       l.n_blocks AS n_blocks_a, r.n_blocks AS n_blocks_b,
+       FLOOR(CAST(COUNT(*) AS DOUBLE)
+             / GREATEST(l.n_blocks, r.n_blocks) * 10000) / 10000
+         AS block_sim_r
+FROM keys l JOIN keys r
+  ON l.block_no = r.block_no AND l.block_hash = r.block_hash
+ AND l.doc_id < r.doc_id
+GROUP BY l.doc_id, r.doc_id, l.n_blocks, r.n_blocks
+HAVING FLOOR(CAST(COUNT(*) AS DOUBLE)
+             / GREATEST(l.n_blocks, r.n_blocks) * 10000) / 10000 >= 0.5
+"""
+)

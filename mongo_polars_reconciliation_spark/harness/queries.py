@@ -1731,6 +1731,38 @@ def mm_decode_features(spark, sf_dir) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+def mm_payload_dedup(spark, sf_dir) -> DataFrame:
+    """Exact BINARY payload dedup (r9): md5 over the raw payload bytes of
+    the duplicate-injected multimodal fixture — min-id keeper + copy
+    count per distinct payload, the exact_dedup_groups contract applied
+    to the binary column."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        payload_digest_dedup,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_mm_payload_aug,
+    )
+
+    return payload_digest_dedup(build_mm_payload_aug(spark, sf_dir))
+
+
+def mm_payload_near_dup(spark, sf_dir) -> DataFrame:
+    """Chunked-byte-signature near-dup probe (r9): 64-byte aligned block
+    digests, pigeonhole bucket join, shared-block fraction >= 0.5 —
+    catches byte-exact copies (sim 1.0) and appended-tail re-uploads
+    (shared prefix blocks) without any decoder."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        payload_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_mm_payload_aug,
+    )
+
+    return payload_near_dups(
+        build_mm_payload_aug(spark, sf_dir), block_bytes=64, threshold=0.5
+    )
+
+
 def mm_frame_sample(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.multimodal import (
         attach_payload,
@@ -2051,6 +2083,8 @@ QUERIES = {
     "text_sample_fixed_k": text_sample_fixed_k,
     "dedup_ingest_incremental": dedup_ingest_incremental,
     "dedup_ingest_neardup": dedup_ingest_neardup,
+    "mm_payload_dedup": mm_payload_dedup,
+    "mm_payload_near_dup": mm_payload_near_dup,
     "text_lm_score": text_lm_score,
     "curation_pipeline_v3": curation_pipeline_v3,
     "text_quality_gate": text_quality_gate,
