@@ -97,6 +97,13 @@ SECONDARY = [
     "curation_pipeline_v3",
     "text_quality_gate",
     "stream_ingest_novel",
+    # r9 additions
+    "dedup_ingest_neardup",
+    "sim_recall_probe_sampled",
+    "text_bpe_vocab_roundtrip",
+    "text_quality_c4",
+    "mm_payload_dedup",
+    "mm_payload_near_dup",
 ]
 
 
