@@ -104,6 +104,7 @@ SECONDARY = [
     "text_quality_c4",
     "mm_payload_dedup",
     "mm_payload_near_dup",
+    "stream_ingest_neardup",
 ]
 
 

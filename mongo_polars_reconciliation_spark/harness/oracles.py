@@ -2792,3 +2792,9 @@ HAVING FLOOR(CAST(COUNT(*) AS DOUBLE)
              / GREATEST(l.n_blocks, r.n_blocks) * 10000) / 10000 >= 0.5
 """
 )
+
+
+# Streaming face of the near-dup ingest: the drained admitted set equals
+# the one-batch admission (greedy batch-split property, property-pinned),
+# so the oracle is the batch oracle.
+ORACLES["stream_ingest_neardup"] = ORACLES["dedup_ingest_neardup"]

@@ -1840,6 +1840,67 @@ def stream_ingest_novel(spark, sf_dir) -> DataFrame:
     )
 
 
+def stream_ingest_neardup(spark, sf_dir) -> DataFrame:
+    """Streaming crawl loop (r9): the dedup_ingest_neardup batch arrives
+    as TWO micro-batches in id order (originals first, redelivered/
+    variant synthetics second); each trigger runs the full near-dup
+    admission against the seeded history state PLUS earlier triggers'
+    admissions, appending all three state faces. Drained admitted set ==
+    the one-batch answer (the greedy batch-split property), so this
+    shares dedup_ingest_neardup's oracle."""
+    import shutil
+
+    from mongo_polars_reconciliation_spark.extensions.dedup import band_state
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        incremental_neardup_ingest,
+        read_documents_stream,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.where(F.col("doc_id") % 3 < 2)
+    near_text = F.expr("substring(text, instr(text, ' ') + 1)")
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                near_text.alias("text"),
+            )
+        )
+    )
+    seed_digests = hist.select(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "text_hash"
+        )
+    ).distinct()
+    stream = read_documents_stream(
+        spark,
+        batch,
+        name=f"neardup_{tag}",
+        split_expr=(F.col("doc_id") >= 100000).cast("int"),
+    )
+    root = scratch_path(tag, "neardup_state")
+    shutil.rmtree(root, ignore_errors=True)
+    incremental_neardup_ingest(
+        stream,
+        seed_digests,
+        band_state(hist),
+        hist,
+        f"{root}/state",
+        f"{root}/ckpt",
+        mis_max_iter=8,
+    )
+    return spark.read.parquet(f"{root}/state/admitted")
+
+
 def stream_cms_counters(spark, sf_dir) -> DataFrame:
     """Streaming count-min sketch: documents arrive as two micro-batches
     (split by doc id parity so every batch touches most counters) and the
@@ -2090,6 +2151,7 @@ QUERIES = {
     "text_quality_gate": text_quality_gate,
     "text_quality_c4": text_quality_c4,
     "stream_ingest_novel": stream_ingest_novel,
+    "stream_ingest_neardup": stream_ingest_neardup,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,
     "stream_cms_counters": stream_cms_counters,

@@ -135,6 +135,90 @@ def cms_counter_state(
     )
 
 
+def incremental_neardup_ingest(
+    docs_stream: DataFrame,
+    seed_digests: DataFrame,
+    seed_bands: DataFrame,
+    seed_docs: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **neardup_kwargs,
+) -> None:
+    """The FULL crawl loop as a stream (r9): each arriving micro-batch of
+    documents runs the batch near-dup admission operator
+    (extensions/dedup.py:ingest_novel_neardup) against the seed state
+    PLUS everything admitted by earlier micro-batches, then appends its
+    admitted docs to all three state faces under ``state_root``
+    (admitted/ = (id, text_hash) ledger, bands/ = their band-key rows,
+    docs/ = the admitted documents) — so batch N+1's dedup horizon
+    includes batch N, exactly like successive dumps against a growing
+    corpus.
+
+    Equivalence contract (what the oracle checks): when micro-batch
+    arrival order respects id order, the drained admitted set equals the
+    ONE-batch admission of the concatenated stream — the greedy
+    batch-split property pinned in tests/test_properties.py. Exactly-once
+    posture: a replayed micro-batch admits nothing (the redelivery
+    property), so duplicate appends can only come from a crash BETWEEN
+    the admitted/ write and the state writes — the standard foreachBatch
+    boundary a production sink closes with a transactional MERGE
+    (sources/state.py capability gate).
+
+    Like ``incremental_match``, the per-batch plan is the batch engine's
+    (swept by the batch plan sweep); this captures the stream side."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+    )
+    from mongo_polars_reconciliation_spark.streaming.recon import (
+        _has_state_files,
+    )
+
+    spark = seed_docs.sparkSession
+    adm_dir = f"{state_root}/admitted"
+    bands_dir = f"{state_root}/bands"
+    docs_dir = f"{state_root}/docs"
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        digests = seed_digests.select("text_hash")
+        bands = seed_bands.select("bband", id_col)
+        corpus = seed_docs.select(id_col, text_col)
+        if _has_state_files(spark, adm_dir):
+            digests = digests.unionByName(
+                spark.read.parquet(adm_dir).select("text_hash")
+            ).distinct()
+            bands = bands.unionByName(spark.read.parquet(bands_dir))
+            corpus = corpus.unionByName(spark.read.parquet(docs_dir))
+        admitted = ingest_novel_neardup(
+            batch, digests, bands, corpus,
+            id_col=id_col, text_col=text_col, **neardup_kwargs,
+        ).localCheckpoint(eager=True)
+        admitted.write.mode("append").parquet(adm_dir)
+        adm_docs = batch.select(id_col, text_col).join(
+            admitted.select(id_col), id_col
+        ).localCheckpoint(eager=True)
+        band_state(adm_docs, id_col, text_col).write.mode("append").parquet(
+            bands_dir
+        )
+        adm_docs.write.mode("append").parquet(docs_dir)
+
+    query = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    from mongo_polars_reconciliation_spark.streaming.events import LAST_PLANS
+
+    try:
+        LAST_PLANS["incremental_neardup"] = query._jsq.explainInternal(True)  # noqa: SLF001
+    except Exception:
+        LAST_PLANS.pop("incremental_neardup", None)
+
+
 def ingest_novel_state(
     stream: DataFrame,
     state_digests: DataFrame,

@@ -399,6 +399,7 @@ def test_every_batch_query_plan_is_scale_clean(spark):
 STREAM_TABLE_OF = {
     "stream_cms_counters": "mem_stream_cms",
     "stream_ingest_novel": "mem_stream_ingest",
+    "stream_ingest_neardup": "incremental_neardup",
     "stream_dedup_corpus": "mem_stream_dedup_corpus",
     "stream_dedup": "mem_stream_dedup",
     "stream_events_hourly": "mem_stream_hourly",
