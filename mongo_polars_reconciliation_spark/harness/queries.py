@@ -2055,153 +2055,44 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 
 
 # Dict order = the driver's check order (it walks insertion order and may
-# stop when its per-round budget runs out, ~50 entries). Round-7 rotation
-# (VERDICT r6 'Next round' #1): first the 19 entries that are new or whose
-# implementation changed this round (the similarity queries via the Arrow
-# kernels + nlist=auto, the span/jaccard queries via hashed join keys,
-# text_heavy_hitters_cms with changed RESULTS via the double-hash family),
-# then the queries whose last green driver row is r05 — 38 of them, of
-# which 31 fit positions 20-50 and 7 overflow to 51-57 with per-query
-# justifications inline below — then the 42 r6-row tail. Positions 1-50
-# are exactly 19 changed + 31 oldest-stale.
+# stop when its per-round budget runs out — exactly 50 entries in r5-r8).
 # RULE: the ordering commit is the round's LAST semantics-touching commit —
 # or, equivalently (the actual invariant), any post-ordering change may
 # touch only queries inside the driver's ~50-position budget, so their
-# fresh rows still verify final code.
-# Round-7 post-ordering changes, all within budget: (1) bench SECONDARY
-# list + new property tests (no query code touched); (2) widen-if-narrow
-# repartitions in text_bloom_decontaminate (position 4) and
-# stream_cms_counters (position 3) — value-identical, re-parity-checked.
-# Everything beyond position 50 is untouched round-7 code-wise.
+# fresh rows still verify final code. The r9 ledger is inside the dict.
 QUERIES = {
-    # ================= r8 DRIVER-VERIFICATION LEDGER =================
-    # The driver checks the FIRST ~50 entries each round (budget was
-    # exactly 50 in r5/r6/r7). Ordering discipline (see r5-r7 verdicts):
-    # changed-this-round first, then oldest driver rows, then the tail;
-    # this reorder is the round's LAST semantics-touching commit.
+    # ================= r9 DRIVER-VERIFICATION LEDGER =================
+    # The driver checks the FIRST ~50 entries each round (budget exactly
+    # 50 in r5-r8). Ordering discipline (r5-r8 verdicts): this reorder is
+    # the round's LAST semantics-touching commit; any later change may
+    # touch only queries inside the 50-position budget.
     #
-    # -- positions 1-34: r8-changed or new --
-    # POST-ORDERING ADDITIONS (positional invariant, r6/r7 precedent):
-    # text_sample_fixed_k (4), dedup_ingest_incremental (5),
-    # text_lm_score (6), curation_pipeline_v3 (7), text_quality_gate (8)
-    # and stream_ingest_novel (9) landed AFTER the ordering commit —
-    # inside the checked budget, so their rows are fresh. The six
-    # insertions shift the budget cut: sim_topk_lsh, sim_contamination,
-    # events_hourly, events_sessionize, mm_decode_features and
-    # mm_frame_sample move from positions 45-50 to 51-56 (r6-row
-    # overflow: sim_topk_lsh is doubly plan-pinned — scan-side probe
-    # filter + TakeOrderedAndProject, tests/test_plans.py — and shares
-    # the scoring tail with sim_topk_bruteforce, in budget;
-    # sim_contamination's broadcast-benchmark cosine plan is pinned at
-    # tests/test_plans.py:320 and its pair arithmetic by the front
-    # fitted-similarity rows; events_hourly's windowed agg is
-    # functionally pinned by stream_events_hourly — front, r8 row, whose
-    # drained result the oracle proves EQUAL to the batch hourly answer;
-    # events_sessionize's session_window machinery by
-    # stream_sessionize_agg — front, r8 row; the mm_* map-only
-    # mapInPandas plumbing is batch-shape-pinned in
-    # tests/test_properties.py, unchanged since r6).
-    # 1-9 new operators (BPE merge loop, BPE encode, ANN recall gate,
-    #     fixed-k per-stratum sample, incremental-ingest digest dedup,
-    #     integer-exact bigram-LM quality score, curation v3 = v2 + the
-    #     LM typicality gate, adaptive percentile quality gate, and the
-    #     ingest's streaming face — a stream-static anti join);
-    # 4-7 RESULTS changed: CMS/Bloom h2 now the second-prime hash
-    #     (POLY_P31B) instead of the reversed token (advice item);
-    # 8-10 impl changed: independent-sides merge pins (hist/cms),
-    #     null-text coalesce in leakage split + source overlap;
-    # 11-12 curation: shared (id, text) scan;
-    # 13-16 fitted-similarity: chunked assignment kernel (bit-parity
-    #     property-pinned, but code changed -> rows demoted);
-    # 17-28 scratch-path move (tempfile root, r7 hygiene ask): every
-    #     disk-round-trip and streaming-feed query whose function body
-    #     changed, demoted conservatively even though results cannot
-    #     depend on the feed path.
-    #
-    # -- positions 29-35: the seven r5-row queries that overflowed r7's
-    #     budget (promised to lead r8) --
-    # -- positions 36-50: r6-row queries, standalone code paths first --
-    # -- positions 51-70: r6-row OVERFLOW (20): 28 changed + 7 r5 + 42
-    #     r6-row = 77 > 50. Every overflow query is green in today's
-    #     local 102-query oracle-parity suite, its code is untouched in
-    #     r7 AND r8 (git-verifiable), and its machinery is exercised by
-    #     an in-budget row: events_* rollup/window family by
-    #     events_hourly + events_sessionize (36-50); text map-only
-    #     scorers by curation_pipeline_v2 (front) and text_datacard
-    #     (r7 row); mix_epochs by text_sample_stratified (29-35);
-    #     hist_quantiles by events_hist_merge (front); match/arbitration
-    #     rows by the front cascade + strict-loser r7 rows. --
-    # -- positions 71-102: r7-row tail (freshest, 1 round old) --
-    # NOTE dedup_clusters_star's r8 diff is docstring-only (drift-watch
-    # measurement note) — not a semantics change.
+    # -- 1-26: the 26 r6-row rotation queries (r8 positions 51-76) --
+    #    VERDICT r8 ask #1: these MUST lead r9 (3 rounds stale
+    #    otherwise). Order preserved from the r8 overflow listing.
+    # -- 27-33: the 7 NEW r9 queries --
+    #    near-dup ingest (batch + streaming face), sampled recall probe,
+    #    BPE artifact round-trip, C4 quality signals, payload dedup
+    #    (exact + block near-dup).
+    # -- 34-40: the 7 CHANGED r9 queries --
+    #    text_bpe_merges/encode (try_element_at ANSI fix + shared-step
+    #    refactor), text_quality_gate (null-text coalesce - oracle
+    #    updated in lockstep), curation_pipeline{,_v2,_v3} + text_datacard
+    #    (fused_doc_scores gained the optional c4 face and v2/v3 the
+    #    optional C4 floors - defaults off, outputs unchanged, demoted
+    #    conservatively).
+    # -- 41-50: the 10 oldest r7-row queries --
+    #    pulled forward so the r7 tail ages evenly instead of going
+    #    3-rounds-stale en masse in r10.
+    # -- 51-71: remaining r7-row tail (21) - next round's rotation
+    #    leads with these. -- 72-115: r8-row tail (44, freshest). --
     # ==================================================================
-    # -- r8 new/changed (1-28) --
-    "text_bpe_merges": text_bpe_merges,
-    "text_bpe_encode": text_bpe_encode,
-    "text_bpe_vocab_roundtrip": text_bpe_vocab_roundtrip,
-    "sim_recall_probe": sim_recall_probe,
-    "sim_recall_probe_sampled": sim_recall_probe_sampled,
-    "text_sample_fixed_k": text_sample_fixed_k,
-    "dedup_ingest_incremental": dedup_ingest_incremental,
-    "dedup_ingest_neardup": dedup_ingest_neardup,
-    "mm_payload_dedup": mm_payload_dedup,
-    "mm_payload_near_dup": mm_payload_near_dup,
-    "text_lm_score": text_lm_score,
-    "curation_pipeline_v3": curation_pipeline_v3,
-    "text_quality_gate": text_quality_gate,
-    "text_quality_c4": text_quality_c4,
-    "stream_ingest_novel": stream_ingest_novel,
-    "stream_ingest_neardup": stream_ingest_neardup,
-    "text_heavy_hitters_cms": text_heavy_hitters_cms,
-    "text_cms_merge": text_cms_merge,
-    "stream_cms_counters": stream_cms_counters,
-    "text_bloom_decontaminate": text_bloom_decontaminate,
-    "events_hist_merge": events_hist_merge,
-    "text_split_leakage_safe": text_split_leakage_safe,
-    "dedup_source_overlap": dedup_source_overlap,
-    "curation_pipeline": curation_pipeline,
-    "curation_pipeline_v2": curation_pipeline_v2,
-    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
-    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
-    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
-    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
-    "recon_persist_roundtrip": recon_persist_roundtrip,
-    "recon_csv_roundtrip": recon_csv_roundtrip,
-    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
-    "recon_mongo_json_scan": recon_mongo_json_scan,
-    "recon_orc_roundtrip": recon_orc_roundtrip,
-    "stream_incremental_match": stream_incremental_match,
-    "stream_dedup_corpus": stream_dedup_corpus,
-    "stream_dedup": stream_dedup_events,
-    "stream_events_hourly": stream_events_hourly,
-    "stream_sessionize_agg": stream_sessionize_agg,
-    "stream_user_seq": stream_user_seq,
-    "stream_view_attribution": stream_view_attribution,
-    # -- r5-row overflow from r7 (29-35) --
-    "text_lang_id": text_lang_id,
-    "text_quality": text_quality,
-    "text_token_count": text_token_count,
-    "recon_source_scan_filtered": recon_source_scan_filtered,
-    "text_split_assign": text_split_assign,
-    "text_sample_stratified": text_sample_stratified,
-    "events_funnel_windowed": events_funnel_windowed,
-    # -- r6-row, in budget (36-50) --
-    "dedup_exact": dedup_exact,
-    "dedup_simhash": dedup_simhash,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
-    "dedup_clusters": dedup_clusters_cc,
-    "dedup_clusters_star": dedup_clusters_star_cc,
-    "q1_pricing_summary": q1_pricing_summary,
-    "sim_topk_bruteforce": sim_topk_bruteforce,
-    "sim_topk_ivf": sim_topk_ivf,
     "sim_topk_lsh": sim_topk_lsh,
     "sim_contamination": sim_contamination,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "mm_decode_features": mm_decode_features,
     "mm_frame_sample": mm_frame_sample,
-    # -- r6-row overflow (51-70): justified above --
     "text_mix_epochs": text_mix_epochs,
     "events_retention": events_retention,
     "events_daily_type_pivot": events_daily_type_pivot,
@@ -2222,7 +2113,20 @@ QUERIES = {
     "text_ngram_freq": text_ngram_freq,
     "recon_match_exact": recon_match_exact,
     "recon_duplicate_losers": recon_duplicate_losers,
-    # -- r7-row tail (71-102) --
+    "dedup_ingest_neardup": dedup_ingest_neardup,
+    "stream_ingest_neardup": stream_ingest_neardup,
+    "sim_recall_probe_sampled": sim_recall_probe_sampled,
+    "text_bpe_vocab_roundtrip": text_bpe_vocab_roundtrip,
+    "text_quality_c4": text_quality_c4,
+    "mm_payload_dedup": mm_payload_dedup,
+    "mm_payload_near_dup": mm_payload_near_dup,
+    "text_bpe_merges": text_bpe_merges,
+    "text_bpe_encode": text_bpe_encode,
+    "text_quality_gate": text_quality_gate,
+    "curation_pipeline": curation_pipeline,
+    "curation_pipeline_v2": curation_pipeline_v2,
+    "curation_pipeline_v3": curation_pipeline_v3,
+    "text_datacard": text_datacard,
     "text_ngram_novelty": text_ngram_novelty,
     "text_split_cluster_safe": text_split_cluster_safe,
     "text_dup_spans": text_dup_spans,
@@ -2249,11 +2153,55 @@ QUERIES = {
     "recon_union_remanent_dedup": recon_union_remanent_dedup,
     "events_funnel": events_funnel,
     "events_props_extract": events_props_extract,
-    "text_datacard": text_datacard,
     "events_anomaly_mad": events_anomaly_mad,
     "text_bpe_pairs": text_bpe_pairs,
     "text_lang_confusion": text_lang_confusion,
     "events_user_kmv": events_user_kmv,
     "events_kmv_merge": events_kmv_merge,
+    "sim_recall_probe": sim_recall_probe,
+    "text_sample_fixed_k": text_sample_fixed_k,
+    "dedup_ingest_incremental": dedup_ingest_incremental,
+    "text_lm_score": text_lm_score,
+    "stream_ingest_novel": stream_ingest_novel,
+    "text_heavy_hitters_cms": text_heavy_hitters_cms,
+    "text_cms_merge": text_cms_merge,
+    "stream_cms_counters": stream_cms_counters,
+    "text_bloom_decontaminate": text_bloom_decontaminate,
+    "events_hist_merge": events_hist_merge,
+    "text_split_leakage_safe": text_split_leakage_safe,
+    "dedup_source_overlap": dedup_source_overlap,
+    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
+    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
+    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
+    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
+    "recon_persist_roundtrip": recon_persist_roundtrip,
+    "recon_csv_roundtrip": recon_csv_roundtrip,
+    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
+    "recon_mongo_json_scan": recon_mongo_json_scan,
+    "recon_orc_roundtrip": recon_orc_roundtrip,
+    "stream_incremental_match": stream_incremental_match,
+    "stream_dedup_corpus": stream_dedup_corpus,
+    "stream_dedup": stream_dedup_events,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_sessionize_agg": stream_sessionize_agg,
+    "stream_user_seq": stream_user_seq,
+    "stream_view_attribution": stream_view_attribution,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "recon_source_scan_filtered": recon_source_scan_filtered,
+    "text_split_assign": text_split_assign,
+    "text_sample_stratified": text_sample_stratified,
+    "events_funnel_windowed": events_funnel_windowed,
+    "dedup_exact": dedup_exact,
+    "dedup_simhash": dedup_simhash,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
+    "dedup_clusters": dedup_clusters_cc,
+    "dedup_clusters_star": dedup_clusters_star_cc,
+    "q1_pricing_summary": q1_pricing_summary,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_topk_ivf": sim_topk_ivf,
 }
+
 
