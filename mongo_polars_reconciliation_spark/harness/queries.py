@@ -1876,14 +1876,27 @@ def stream_ingest_neardup(spark, sf_dir) -> DataFrame:
             )
         )
     )
+    # Eager-checkpoint every seed face: each is consumed once PER TRIGGER
+    # inside foreachBatch, and the band-key seed is itself a whole
+    # shingle→signature pipeline — without materialization each trigger
+    # re-derives it from the parquet scan (measured ~1 s/trigger at
+    # sf0.1).
+    hist = hist.localCheckpoint(eager=True)
     seed_digests = hist.select(
         F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
             "text_hash"
         )
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
+    seed_bands = band_state(hist).localCheckpoint(eager=True)
+    # coalesce(1): the feed writer emits each id-range part as ONE file, so
+    # maxFilesPerTrigger=1 yields exactly the two intended id-ordered
+    # triggers — a multi-partition write split each part into several
+    # micro-batches, each paying the full admission pipeline (measured 4
+    # triggers / ~25 s at sf0.1; 2 triggers / ~14 s with the coalesce).
+    # Harness-only: the production loop ingests real arrival batches.
     stream = read_documents_stream(
         spark,
-        batch,
+        batch.coalesce(1),
         name=f"neardup_{tag}",
         split_expr=(F.col("doc_id") >= 100000).cast("int"),
     )
@@ -1892,7 +1905,7 @@ def stream_ingest_neardup(spark, sf_dir) -> DataFrame:
     incremental_neardup_ingest(
         stream,
         seed_digests,
-        band_state(hist),
+        seed_bands,
         hist,
         f"{root}/state",
         f"{root}/ckpt",
@@ -2086,6 +2099,15 @@ QUERIES = {
     #    3-rounds-stale en masse in r10.
     # -- 51-71: remaining r7-row tail (21) - next round's rotation
     #    leads with these. -- 72-115: r8-row tail (44, freshest). --
+    #
+    # POST-ORDERING CHANGES (positional invariant, r6-r8 precedent -
+    # every touched query is inside the 50-position budget, so its
+    # driver row verifies final code):
+    # (1) stream_ingest_neardup (position 28): harness-side only -
+    #     coalesce(1) on the feed writer (2 intended triggers instead
+    #     of one per part-FILE) and eager-checkpointed seed frames;
+    #     value-identical, re-parity-checked at sf0.001 + sf0.01,
+    #     warm min 21.5 -> 14.2 s at sf0.1.
     # ==================================================================
     "sim_topk_lsh": sim_topk_lsh,
     "sim_contamination": sim_contamination,
