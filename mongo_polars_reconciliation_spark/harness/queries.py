@@ -1900,6 +1900,21 @@ def stream_ingest_neardup(spark, sf_dir) -> DataFrame:
         name=f"neardup_{tag}",
         split_expr=(F.col("doc_id") >= 100000).cast("int"),
     )
+    # Pin trigger ORDER explicitly: the file source orders micro-batches
+    # by modification time, and unlike the commutative-aggregation
+    # streams this query's drained-≡-one-batch contract is order-
+    # SENSITIVE (originals must precede the synthetic redeliveries).
+    # Same-millisecond part writes would leave the order to luck; a
+    # monotone utime per part makes it a fact.
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    feed = scratch_path("corpus", f"neardup_{tag}", "feed")
+    now = _time.time()
+    for i, part in enumerate(sorted(_glob.glob(f"{feed}/part*"))):
+        for f in _glob.glob(f"{part}/*.parquet"):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
     root = scratch_path(tag, "neardup_state")
     shutil.rmtree(root, ignore_errors=True)
     incremental_neardup_ingest(
@@ -2107,7 +2122,9 @@ QUERIES = {
     #     coalesce(1) on the feed writer (2 intended triggers instead
     #     of one per part-FILE) and eager-checkpointed seed frames;
     #     value-identical, re-parity-checked at sf0.001 + sf0.01,
-    #     warm min 21.5 -> 14.2 s at sf0.1.
+    #     warm min 21.5 -> 14.2 s at sf0.1; plus an explicit utime pin
+    #     of the trigger order (this query's drained-==-one-batch
+    #     contract is order-sensitive, unlike the commutative streams).
     # ==================================================================
     "sim_topk_lsh": sim_topk_lsh,
     "sim_contamination": sim_contamination,
