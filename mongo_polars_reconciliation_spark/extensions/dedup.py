@@ -303,12 +303,18 @@ def ingest_novel_neardup(
     hist_docs = state_docs.select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     ).join(cand_hist.select(F.col("__hid").alias(id_col)).distinct(), id_col)
-    sh_h = shingles(hist_docs, id_col, text_col, n)
+    # checkpoint the combined shingle frame: jaccard_verify consumes it
+    # three times (sizes + both intersection joins) and the history side
+    # would otherwise re-run its semi-join + shingle explode per
+    # consumption (sh_b is already materialized above)
+    sh_all = shingles(hist_docs, id_col, text_col, n).unionByName(
+        sh_b
+    ).localCheckpoint(eager=False)
     dropped_hist = jaccard_verify(
         cand_hist.select(
             F.col("__hid").alias("id_a"), F.col("__bid").alias("id_b")
         ),
-        sh_h.unionByName(sh_b),
+        sh_all,
         id_col,
         threshold,
     ).select(F.col("id_b").alias(id_col)).distinct()
@@ -323,9 +329,11 @@ def ingest_novel_neardup(
     pairs = _pairs_from_band_keys(
         bk2.select(id_col, "band", "bkey"), id_col, max_bucket_size
     )
+    # checkpoint the verified edge set: it is consumed three times (both
+    # legs of the candidate-node union + the greedy loop's own leaf)
     edges = jaccard_verify(pairs, sh_b, id_col, threshold).select(
         F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
-    )
+    ).localCheckpoint(eager=False)
     paired = edges.select(F.col("lo").alias(id_col)).unionByName(
         edges.select(F.col("hi").alias(id_col))
     ).distinct().localCheckpoint(eager=False)
