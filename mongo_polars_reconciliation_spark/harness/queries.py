@@ -2125,6 +2125,9 @@ QUERIES = {
     #     warm min 21.5 -> 14.2 s at sf0.1; plus an explicit utime pin
     #     of the trigger order (this query's drained-==-one-batch
     #     contract is order-sensitive, unlike the commutative streams).
+    # (2) ingest_novel_neardup (positions 27-28): localCheckpoint the
+    #     combined shingle frame and the verified edge set (each
+    #     consumed 3x) - value-identical, parity re-checked both SFs.
     # ==================================================================
     "sim_topk_lsh": sim_topk_lsh,
     "sim_contamination": sim_contamination,
