@@ -1610,3 +1610,92 @@ def test_curation_v2_c4_gates(spark):
         ).collect()
     }
     assert zeroed == base
+
+
+def test_neardup_ingest_short_docs_exact_only(spark):
+    """Docs shorter than the shingle width carry no band keys, so they are
+    exact-dedup-only by construction: distinct short texts all admit
+    (even near-identical ones), exact copies collapse, and redelivery
+    still admits nothing (digest state suffices)."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "ab"), (2, "ab cd"), (3, "ab ce"), (4, "ab cd"), (5, "")],
+        "doc_id long, text string",
+    )
+    empty_dg = spark.createDataFrame([], "text_hash string")
+    empty_bands = spark.createDataFrame([], "bband string, doc_id long")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    a1 = ingest_novel_neardup(batch, empty_dg, empty_bands, empty_docs)
+    got = sorted(r["doc_id"] for r in a1.collect())
+    assert got == [1, 2, 3, 5]  # 4 is an exact copy of 2; all else distinct
+    admitted_docs = batch.join(a1.select("doc_id"), "doc_id")
+    again = ingest_novel_neardup(
+        batch,
+        a1.select("text_hash"),
+        band_state(admitted_docs),
+        admitted_docs,
+    )
+    assert again.count() == 0
+
+
+def test_payload_block_near_dup_matches_python_model(spark):
+    """Chunked-block near-dup rows equal an independent Python mirror
+    (hashlib md5 per aligned block, shared-count join, floor4 fraction)
+    on payloads engineered for prefix sharing, tail growth, truncation,
+    and byte shift."""
+    import hashlib
+    import math
+
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        payload_near_dups,
+    )
+
+    B = 8
+    texts = {
+        1: "abcdefghXYZWVUTS12345678",          # 3 full blocks
+        2: "abcdefghXYZWVUTS12345678",          # exact copy of 1
+        3: "abcdefghXYZWVUTS12345678extra",     # appended tail
+        4: "abcdefghXYZWVUTS",                  # truncation of 1
+        5: "zabcdefghXYZWVUTS1234567",          # byte-shifted: no aligned block
+        6: "totally-different-payload-bytes",
+    }
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["n_shared"], r["n_blocks_a"],
+         r["n_blocks_b"], r["block_sim_r"])
+        for r in payload_near_dups(
+            attach_payload(df), block_bytes=B, threshold=0.25
+        ).collect()
+    )
+
+    def blocks(t):
+        bs = t.encode()
+        return [
+            hashlib.md5(bs[i * B:(i + 1) * B]).hexdigest()
+            for i in range(math.ceil(len(bs) / B))
+        ]
+
+    expect = []
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ba, bb = blocks(texts[a]), blocks(texts[b])
+            shared = sum(
+                1 for k in range(min(len(ba), len(bb))) if ba[k] == bb[k]
+            )
+            if not shared:
+                continue
+            sim = math.floor(shared / max(len(ba), len(bb)) * 10000) / 10000
+            if sim >= 0.25:
+                expect.append((a, b, shared, len(ba), len(bb), sim))
+    assert got == sorted(expect)
+    got_pairs = {(a, b) for a, b, *_ in got}
+    assert (1, 2) in got_pairs and (1, 3) in got_pairs and (1, 4) in got_pairs
+    assert not any(5 in (a, b) or 6 in (a, b) for a, b in got_pairs)
