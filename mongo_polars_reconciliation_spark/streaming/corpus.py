@@ -219,6 +219,54 @@ def incremental_neardup_ingest(
         LAST_PLANS.pop("incremental_neardup", None)
 
 
+def compact_ingest_state(
+    spark: SparkSession,
+    state_root: str,
+    table_prefix: str = "corpus_ingest",
+    buckets: int = 64,
+    id_col: str = "doc_id",
+) -> "dict[str, str]":
+    """Compact the crawl loop's append-only state dirs into the BUCKETED
+    tables the admission joins want (r9): ``incremental_neardup_ingest``
+    appends one parquet fragment per micro-batch to admitted/ bands/
+    docs/ — correct, but after N triggers each is N small fragments and
+    every anti-join reshuffles the whole accumulated state. This rewrite
+    lands each face bucketed by exactly its join key — digests by
+    text_hash, band keys by bband, docs by the id — so the NEXT ingest
+    reads the (huge) state sides exchange-free, the layout both
+    bucketed-state plan pins in tests/test_bucketing.py verify.
+
+    Returns {face: table_name}. Run it like any compaction job — between
+    ingest waves, not inside one; readers launched before the rewrite
+    keep their snapshot, and the loop's idempotence property means a
+    re-delivered batch admits nothing whether it reads the fragments or
+    the compacted tables (pinned in tests/test_streaming.py)."""
+    from mongo_polars_reconciliation_spark.sources.state import (
+        write_bucketed_state,
+    )
+
+    faces = {
+        "digests": (f"{state_root}/admitted", "text_hash"),
+        "bands": (f"{state_root}/bands", "bband"),
+        "docs": (f"{state_root}/docs", id_col),
+    }
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    out = {}
+    for face, (path, key) in faces.items():
+        table = f"{table_prefix}_{face}"
+        # a crashed earlier compaction can leave the managed location
+        # behind after its table entry is gone — saveAsTable then fails
+        # with LOCATION_ALREADY_EXISTS; clear it like the table itself
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+        df = spark.read.parquet(path)
+        if face == "digests":
+            df = df.select("text_hash").distinct()
+        write_bucketed_state(df, table, buckets=buckets, key=key)
+        out[face] = table
+    return out
+
+
 def ingest_novel_state(
     stream: DataFrame,
     state_digests: DataFrame,

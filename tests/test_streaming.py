@@ -203,3 +203,80 @@ def test_stream_dedup_corpus_state_carries_across_batches(spark):
     )
     got = {r["keeper_id"]: r["n_copies"] for r in out.collect()}
     assert got == {1: 2, 3: 1}
+
+
+def test_compact_ingest_state_closes_the_loop(spark):
+    """r9: after the streaming crawl loop drains, compacting the
+    append-only state dirs into bucketed tables preserves the admission
+    horizon — re-delivering the SAME batch against the compacted tables
+    admits nothing (idempotence survives the rewrite), and the compacted
+    faces carry the bucketed layout the anti-join plan pins rely on."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        ingest_novel_neardup,
+    )
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        compact_ingest_state,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    # drain the streaming loop (also the parity query's path)
+    admitted = QUERIES["stream_ingest_neardup"](spark, sf_dir)
+    n_admitted = admitted.count()
+    assert n_admitted > 0
+    root = scratch_path("sf0.001", "neardup_state")
+    tables = compact_ingest_state(spark, f"{root}/state",
+                                  table_prefix="t_compact", buckets=4)
+    assert set(tables) == {"digests", "bands", "docs"}
+    # compacted digest count == distinct admitted digests
+    assert (
+        spark.table(tables["digests"]).count()
+        == admitted.select("text_hash").distinct().count()
+    )
+    # the full admission horizon = seeds + compacted state; re-deliver
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.where(F.col("doc_id") % 3 < 2)
+    near_text = F.expr("substring(text, instr(text, ' ') + 1)")
+    batch = (
+        docs.where(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                near_text.alias("text"),
+            )
+        )
+    )
+    from mongo_polars_reconciliation_spark.extensions.dedup import band_state
+
+    seed_digests = hist.select(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "text_hash"
+        )
+    ).distinct()
+    again = ingest_novel_neardup(
+        batch,
+        seed_digests.unionByName(
+            spark.table(tables["digests"]).select("text_hash")
+        ).distinct(),
+        band_state(hist).unionByName(spark.table(tables["bands"])),
+        hist.unionByName(spark.table(tables["docs"])),
+        mis_max_iter=8,
+    )
+    assert again.count() == 0
+    # layout: every face carries the bucket spec on its join key (a bare
+    # scan won't USE buckets — the join-side exploitation is what the
+    # test_bucketing.py plan pins verify; here we pin the catalog spec)
+    keys = {"digests": "text_hash", "bands": "bband", "docs": "doc_id"}
+    for face, key in keys.items():
+        desc = {
+            r["col_name"].strip(): r["data_type"].strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {tables[face]}").collect()
+        }
+        assert desc.get("Num Buckets") == "4", (face, desc)
+        assert key in desc.get("Bucket Columns", ""), (face, desc)
