@@ -1699,3 +1699,38 @@ def test_payload_block_near_dup_matches_python_model(spark):
     got_pairs = {(a, b) for a, b, *_ in got}
     assert (1, 2) in got_pairs and (1, 3) in got_pairs and (1, 4) in got_pairs
     assert not any(5 in (a, b) or 6 in (a, b) for a, b in got_pairs)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=0,
+        max_size=14,
+    )
+)
+def test_greedy_admit_matches_python_sequential_model(spark, edges):
+    """Randomized pin of the sequential-arrival admission: on arbitrary
+    near-dup graphs, _greedy_admit equals the doc-at-a-time Python
+    greedy (admit v iff no ADMITTED lower neighbor) — the property the
+    ingest's batch-split and redelivery contracts rest on."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        _greedy_admit,
+    )
+
+    norm = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    nodes = sorted({n for e in norm for n in e})
+    if not nodes:
+        return
+    e_df = spark.createDataFrame(norm, "lo long, hi long")
+    c_df = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    got = sorted(
+        r["doc_id"] for r in _greedy_admit(c_df, e_df, "doc_id", 25).collect()
+    )
+    admitted = set()
+    for v in nodes:  # id order == arrival order
+        if not any((u, v) in set(norm) for u in admitted if u < v):
+            admitted.add(v)
+    assert got == sorted(admitted), (norm, got, sorted(admitted))
