@@ -75,6 +75,27 @@ def load_mins(path: str) -> dict[str, float]:
         return _min_sections(fh.read())
 
 
+def load_sf(path: str) -> "float | None":
+    """Best-effort scale factor of a bench record (None when the driver
+    tail truncated it away). Guards against silently comparing an sf0.1
+    round record with, say, an sf0.01 ad-hoc run left at the default
+    output path — every 'drift' would be fiction."""
+    with open(path) as fh:
+        raw = fh.read()
+    try:
+        doc = json.loads(raw)
+        if isinstance(doc, dict):
+            if doc.get("parsed"):
+                doc = doc["parsed"]
+            if "sf" in doc:
+                return float(doc["sf"])
+            raw = doc.get("tail", raw)
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'"sf"\s*:\s*([0-9.]+)', raw)
+    return float(m.group(1)) if m else None
+
+
 def main() -> None:
     benches = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")))
     old = sys.argv[1] if len(sys.argv) > 1 else (benches[-1] if benches else None)
@@ -90,6 +111,12 @@ def main() -> None:
     new = sys.argv[2] if len(sys.argv) > 2 else default_new
     if not old or not os.path.exists(old) or not os.path.exists(new):
         print(f"bench_drift: need two bench files (old={old}, new={new})")
+        return
+    sf_a, sf_b = load_sf(old), load_sf(new)
+    if sf_a is not None and sf_b is not None and sf_a != sf_b:
+        print(f"bench_drift: REFUSING comparison — records are from "
+              f"different scale factors (old sf={sf_a}, new sf={sf_b}); "
+              f"pass two same-sf records explicitly")
         return
     a, b = load_mins(old), load_mins(new)
     common = sorted(set(a) & set(b))
