@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Empirical scale probe: run a flagship operator at 1x and Nx synthetic
+corpus size and report the wall-clock ratio vs the ideal.
+
+The point is evidence, not benchmarking: a plan that "should" scale
+linearly at 100 TB ought to demonstrate ~linear behavior across a 10x
+blow-up on this machine (modulo the fixed driver/stage-latency floor that
+dominates small inputs — so the measured ratio is typically BELOW the
+data ratio). Superlinear growth is the red flag this probe exists to
+catch: it means some join or aggregate is quadratic in corpus size after
+all.
+
+Synthetic blow-up rules keep the WORKLOAD shape honest:
+- documents: every copy k prefixes each token with "x{k}", so copies
+  share no shingles — the near-dup structure per copy is independent and
+  total near-dup work grows linearly by construction (a naive id-shifted
+  copy would either collapse in exact dedup or create cross-copy
+  near-dup cliques, both of which change the workload's complexity
+  class, not just its size).
+- embeddings: every copy k gets vec_id + 100000*k and a deterministic
+  per-copy nudge on the first dimension, keeping vectors distinct while
+  preserving the label strata.
+
+Usage:
+    python tools/scale_probe.py [factor]   # default 4
+
+Prints one JSON line per probe: {probe, factor, t_base_sec, t_scaled_sec,
+ratio, ideal}. Advisory; exit code always 0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mongo_polars_reconciliation_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def docs_at(spark, factor: int):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    parts = []
+    for k in range(factor):
+        prefixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t, _k=k: F.concat(F.lit(f"x{_k}"), t),
+            ),
+            " ",
+        )
+        parts.append(
+            base.select(
+                (F.col("doc_id") + 1_000_000 * k).alias("doc_id"),
+                prefixed.alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def emb_at(spark, factor: int):
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    parts = []
+    for k in range(factor):
+        nudged = F.concat(
+            F.array(
+                (F.element_at("embedding", 1) + F.lit(k * 0.001)).cast(
+                    "float"
+                )
+            ),
+            F.slice("embedding", 2, 10_000),
+        )
+        parts.append(
+            base.select(
+                (F.col("vec_id") + 100_000 * k).alias("vec_id"),
+                nudged.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probe_neardup_ingest(spark, docs):
+    """The r9 flagship: full near-dup admission of a batch vs history."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+    )
+
+    docs = docs.localCheckpoint(eager=True)  # exclude synthesis from timing
+    hist = docs.where(F.col("doc_id") % 3 < 2)
+    batch = docs.where(F.col("doc_id") % 3 == 2)
+    digests = hist.select(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "text_hash"
+        )
+    ).distinct()
+    t0 = time.perf_counter()
+    ingest_novel_neardup(batch, digests, band_state(hist), hist).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_minhash(spark, docs):
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        minhash_near_dups,
+    )
+
+    docs = docs.localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    minhash_near_dups(docs, max_bucket_size=1000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - t0
+
+
+def _probe_recall(nlist):
+    def run(spark, emb):
+        from mongo_polars_reconciliation_spark.extensions.similarity import (
+            ann_recall_at_k_sampled,
+        )
+
+        emb = emb.localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        ann_recall_at_k_sampled(
+            emb, strata_col="label", k_sample=5, k=10, nprobe=2,
+            nlist=nlist, n_iter=1,
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    return run
+
+
+# The recall probe runs twice on purpose — the contrast IS the finding
+# (measured at factor 4 on sf0.1 embeddings, 2k -> 8k vectors):
+#   fixed nlist=32 (the oracle-pinned test constant): 3.5 -> 22.6 s,
+#     ratio 6.4x of ideal 4x — block sizes grow with n, the blocked
+#     self-join's n^2/nlist pair count is QUADRATIC, the documented
+#     fixed-nlist trap caught red-handed;
+#   nlist="auto": 23.5 -> 60 s, ratio 2.55x — auto floors the block
+#     size at ~1024 rows on small corpora (nlist = n/1024), making pair
+#     work 1024*n, LINEAR in n (later ~n^1.5 once sqrt(n) takes over
+#     past n ~ 1M); the higher small-n absolute cost is the price of a
+#     bounded block (the FAISS-style brute-scan cell), which is what
+#     survives the next 100x — exactly the auto_nlist docstring's claim,
+#     now measured.
+# The one-sided exact-truth side is O(sample*n) in both runs.
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("scale_probe", cpus=cpus, shuffle_partitions=cpus)
+    spark.range(10).count()
+    probes = [
+        ("neardup_ingest", docs_at, probe_neardup_ingest),
+        ("minhash_near_dups", docs_at, probe_minhash),
+        ("recall_sampled_fixed_nlist", emb_at, _probe_recall(32)),
+        ("recall_sampled_auto_nlist", emb_at, _probe_recall("auto")),
+    ]
+    for name, mk, run in probes:
+        run(spark, mk(spark, 1))  # warm: JVM/codegen/scan caches
+        t1 = run(spark, mk(spark, 1))
+        tn = run(spark, mk(spark, factor))
+        print(json.dumps({
+            "probe": name,
+            "factor": factor,
+            "t_base_sec": round(t1, 2),
+            "t_scaled_sec": round(tn, 2),
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+            "ideal": factor,
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
