@@ -36,7 +36,11 @@ def _sorted_rows(df):
      # r8 operators
      "text_bpe_merges", "text_bpe_encode", "text_sample_fixed_k",
      "dedup_ingest_incremental", "text_lm_score", "sim_recall_probe",
-     "text_quality_gate"],
+     "text_quality_gate",
+     # r9 operators
+     "dedup_ingest_neardup", "sim_recall_probe_sampled",
+     "text_bpe_vocab_roundtrip", "text_quality_c4",
+     "mm_payload_dedup", "mm_payload_near_dup"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
