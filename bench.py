@@ -164,6 +164,20 @@ def main() -> None:
     timings_min = {name: min(ts) for name, ts in head_runs.items()}
     secondary_min = {name: min(ts) for name, ts in sec_runs.items()}
 
+    # Control-normalized mins (r10, VERDICT r9 ask #7): q1_pricing_summary is
+    # the long-standing code-unchanged control of tools/bench_recheck.py; its
+    # min in THIS session measures the day's ambient handicap. Dividing every
+    # query min by it makes cross-session comparisons self-adjudicating —
+    # tools/bench_drift.py compares the normalized values when both records
+    # carry them, so a uniformly-loaded machine no longer flags every query.
+    control = "q1_pricing_summary"
+    control_min = timings_min[control]
+
+    def norm(d: dict[str, float]) -> dict[str, float]:
+        if control_min <= 0:
+            return {}
+        return {k: round(v / control_min, 3) for k, v in d.items()}
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -175,6 +189,10 @@ def main() -> None:
         "secondary_min": secondary_min,
         "secondary_total_sec": round(sum(secondary.values()), 3),
         "secondary_min_total_sec": round(sum(secondary_min.values()), 3),
+        "control_query": control,
+        "control_min_sec": control_min,
+        "queries_min_ctrl": norm(timings_min),
+        "secondary_min_ctrl": norm(secondary_min),
         "reps": reps,
         "fixture_warm_sec": fixture_warm,
         "sf": float(sf),
@@ -192,9 +210,14 @@ def main() -> None:
     # delete the record the drift check wants to read.) Closing a round
     # copies the adjudicated record in explicitly:
     #   SPARK_GRAFT_BENCH_OUT=/root/repo/bench_last.json python bench.py
+    # r10 (advice): the default name is uid-suffixed — a fixed world-shared
+    # tmp name would collide (or clobber) across users on a shared machine,
+    # and another user's symlink at that path could redirect the write.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(tempfile.gettempdir(), "mpr_spark_bench_last.json"),
+        os.path.join(
+            tempfile.gettempdir(), f"mpr_spark_bench_last.{os.getuid()}.json"
+        ),
     )
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)

@@ -75,6 +75,25 @@ def load_mins(path: str) -> dict[str, float]:
         return _min_sections(fh.read())
 
 
+def load_control(path: str) -> "float | None":
+    """The record's control-query min (bench.py's ``control_min_sec``,
+    present since r10). Regex fallback for truncated driver tails."""
+    with open(path) as fh:
+        raw = fh.read()
+    try:
+        doc = json.loads(raw)
+        if isinstance(doc, dict):
+            if doc.get("parsed"):
+                doc = doc["parsed"]
+            if "control_min_sec" in doc:
+                return float(doc["control_min_sec"])
+            raw = doc.get("tail", raw)
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'"control_min_sec"\s*:\s*([0-9.]+)', raw)
+    return float(m.group(1)) if m else None
+
+
 def load_sf(path: str) -> "float | None":
     """Best-effort scale factor of a bench record (None when the driver
     tail truncated it away). Guards against silently comparing an sf0.1
@@ -102,11 +121,20 @@ def main() -> None:
     # Default NEW: the out-of-tree record a plain `python bench.py` writes
     # since r9 (advice item — ad-hoc runs must not dirty the working tree);
     # fall back to the committed copy if no fresh run exists.
+    import datetime
     import tempfile
 
-    tmp_last = os.path.join(tempfile.gettempdir(), "mpr_spark_bench_last.json")
-    default_new = tmp_last if os.path.exists(tmp_last) else os.path.join(
-        ROOT, "bench_last.json"
+    # uid-suffixed since r10 (advice: a world-shared tmp name collides across
+    # users); the un-suffixed name is still accepted for pre-r10 records.
+    tmp_candidates = [
+        os.path.join(
+            tempfile.gettempdir(), f"mpr_spark_bench_last.{os.getuid()}.json"
+        ),
+        os.path.join(tempfile.gettempdir(), "mpr_spark_bench_last.json"),
+        os.path.join(ROOT, "bench_last.json"),
+    ]
+    default_new = next(
+        (p for p in tmp_candidates if os.path.exists(p)), tmp_candidates[-1]
     )
     new = sys.argv[2] if len(sys.argv) > 2 else default_new
     if not old or not os.path.exists(old) or not os.path.exists(new):
@@ -118,10 +146,38 @@ def main() -> None:
               f"different scale factors (old sf={sf_a}, new sf={sf_b}); "
               f"pass two same-sf records explicitly")
         return
+    # Freshness readout (advice): when NEW came from the default tmp path it
+    # may be a stale record from an earlier same-sf run — print its mtime so
+    # a comparison against last week's run is visible instead of silent.
+    mtime = datetime.datetime.fromtimestamp(os.path.getmtime(new))
+    print(f"bench_drift: NEW record {new} written {mtime:%Y-%m-%d %H:%M:%S}")
     a, b = load_mins(old), load_mins(new)
-    common = sorted(set(a) & set(b))
-    up = [(q, b[q] / a[q]) for q in common if a[q] > 0 and b[q] / a[q] > THRESHOLD]
-    down = [(q, b[q] / a[q]) for q in common if b[q] > 0 and a[q] / b[q] > THRESHOLD]
+    # Control normalization (r10, ask #7): when both records carry the
+    # control query's min (bench.py's control_min_sec), divide every ratio
+    # by the control's own ratio — a uniformly-loaded session then shows
+    # ratio ~1.0 everywhere instead of flagging the whole suite. The
+    # control row itself is compared raw (its normalized ratio is 1 by
+    # construction).
+    ctrl_a, ctrl_b = load_control(old), load_control(new)
+    handicap = (
+        ctrl_b / ctrl_a if ctrl_a and ctrl_b and ctrl_a > 0 else None
+    )
+    if handicap is not None:
+        print(
+            f"  control q1_pricing_summary: {ctrl_a:.3f}s -> {ctrl_b:.3f}s "
+            f"(session handicap x{handicap:.2f}; ratios below are "
+            f"control-normalized)"
+        )
+
+    def ratio(q: str) -> float:
+        r = b[q] / a[q]
+        if handicap is not None and q != "q1_pricing_summary":
+            r /= handicap
+        return r
+
+    common = sorted(q for q in set(a) & set(b) if a[q] > 0 and b[q] > 0)
+    up = [(q, ratio(q)) for q in common if ratio(q) > THRESHOLD]
+    down = [(q, ratio(q)) for q in common if 1 / ratio(q) > THRESHOLD]
     print(f"bench_drift: {old} -> {new}: {len(common)} comparable query mins"
           f" ({len(a) - len(common)} only-old, {len(b) - len(common)} only-new)")
     for q, r in sorted(up, key=lambda t: -t[1]):
@@ -129,7 +185,8 @@ def main() -> None:
     for q, r in sorted(down, key=lambda t: t[1]):
         print(f"  faster x{r:4.2f}  {q}  ({a[q]:.3f}s -> {b[q]:.3f}s)")
     if not up:
-        print(f"  no query min regressed past x{THRESHOLD}")
+        print(f"  no query min regressed past x{THRESHOLD}"
+              + (" (control-normalized)" if handicap is not None else ""))
 
 
 if __name__ == "__main__":
