@@ -300,9 +300,18 @@ def ingest_novel_neardup(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # distinct AFTER the candidate semi-join (r10): a crash-replayed
+    # streaming trigger can leave duplicate rows in the docs/bands state
+    # faces (streaming/corpus.py writes the digest ledger last), and a
+    # duplicated history doc would double its shingle rows — doubling its
+    # Jaccard size and intersection counts and shifting jacc_r. Deduping
+    # here costs a shuffle of |collision candidates| rows only (never the
+    # corpus), making duplicate state rows semantics-free by construction.
     hist_docs = state_docs.select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
-    ).join(cand_hist.select(F.col("__hid").alias(id_col)).distinct(), id_col)
+    ).join(
+        cand_hist.select(F.col("__hid").alias(id_col)).distinct(), id_col
+    ).distinct()
     # checkpoint the combined shingle frame: jaccard_verify consumes it
     # three times (sizes + both intersection joins) and the history side
     # would otherwise re-run its semi-join + shingle explode per

@@ -160,11 +160,25 @@ def incremental_neardup_ingest(
     arrival order respects id order, the drained admitted set equals the
     ONE-batch admission of the concatenated stream — the greedy
     batch-split property pinned in tests/test_properties.py. Exactly-once
-    posture: a replayed micro-batch admits nothing (the redelivery
-    property), so duplicate appends can only come from a crash BETWEEN
-    the admitted/ write and the state writes — the standard foreachBatch
-    boundary a production sink closes with a transactional MERGE
-    (sources/state.py capability gate).
+    posture (r10, advice): the admitted/ digest ledger is written LAST —
+    a crash between the bands/docs writes and the ledger write means the
+    replayed trigger re-derives the SAME admitted set (the state digests
+    it anti-joins are unchanged) and re-appends bands/docs, leaving
+    duplicate rows there; ``ingest_novel_neardup`` tolerates duplicate
+    state rows by construction (bands feed a DISTINCT candidate set,
+    docs are deduped after the candidate semi-join), so the blind spot
+    the old ledger-first order created (replay admits nothing → bands/
+    docs never backfilled → permanent near-dup hole) cannot occur. A
+    production transactional sink (sources/state.py capability gate)
+    would put all three faces in one transaction; until then this
+    ordering makes every crash window replay-idempotent rather than
+    merely the ledger.
+
+    ``neardup_kwargs`` are forwarded BOTH to the admission operator and
+    to the ``band_state`` rows persisted for admitted docs (r10, advice:
+    the MinHash geometry — n/num_hashes/bands/hash_mode — must match
+    between the state being probed and the state being appended, or
+    later triggers silently miss near-dups of earlier admissions).
 
     Like ``incremental_match``, the per-batch plan is the batch engine's
     (swept by the batch plan sweep); this captures the stream side."""
@@ -180,6 +194,13 @@ def incremental_neardup_ingest(
     adm_dir = f"{state_root}/admitted"
     bands_dir = f"{state_root}/bands"
     docs_dir = f"{state_root}/docs"
+    # the band-state geometry MUST match the admission join's keys —
+    # these kwargs are the shared subset of the two signatures
+    band_kwargs = {
+        k: v
+        for k, v in neardup_kwargs.items()
+        if k in ("n", "num_hashes", "bands", "hash_mode")
+    }
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         digests = seed_digests.select("text_hash")
@@ -195,14 +216,18 @@ def incremental_neardup_ingest(
             batch, digests, bands, corpus,
             id_col=id_col, text_col=text_col, **neardup_kwargs,
         ).localCheckpoint(eager=True)
-        admitted.write.mode("append").parquet(adm_dir)
         adm_docs = batch.select(id_col, text_col).join(
             admitted.select(id_col), id_col
         ).localCheckpoint(eager=True)
-        band_state(adm_docs, id_col, text_col).write.mode("append").parquet(
-            bands_dir
-        )
+        # bands + docs BEFORE the admitted/ ledger (see docstring): a crash
+        # anywhere in this window leaves the digest ledger short, so the
+        # replayed trigger re-derives the same admissions and the duplicate
+        # band/doc appends are tolerated downstream
+        band_state(adm_docs, id_col, text_col, **band_kwargs).write.mode(
+            "append"
+        ).parquet(bands_dir)
         adm_docs.write.mode("append").parquet(docs_dir)
+        admitted.write.mode("append").parquet(adm_dir)
 
     query = (
         docs_stream.writeStream.foreachBatch(process)
@@ -240,7 +265,16 @@ def compact_ingest_state(
     ingest waves, not inside one; readers launched before the rewrite
     keep their snapshot, and the loop's idempotence property means a
     re-delivered batch admits nothing whether it reads the fragments or
-    the compacted tables (pinned in tests/test_streaming.py)."""
+    the compacted tables (pinned in tests/test_streaming.py).
+
+    Consumers (r10, advice): the compacted tables feed the BATCH wave
+    path — ``spark.table(out['digests'])`` etc. straight into
+    ``ingest_novel_neardup`` (the ``dedup_ingest_waves`` query is exactly
+    wave → compact → wave, with the wave-2 plan pinned exchange-free on
+    all three compacted faces). ``incremental_neardup_ingest`` reads the
+    ``state_root`` parquet DIRS, not these tables — to resume the
+    streaming loop after a compaction, seed a fresh ``state_root`` from
+    the tables (or pass them as the seed_* frames of a new loop)."""
     from mongo_polars_reconciliation_spark.sources.state import (
         write_bucketed_state,
     )
@@ -250,7 +284,17 @@ def compact_ingest_state(
         "bands": (f"{state_root}/bands", "bband"),
         "docs": (f"{state_root}/docs", id_col),
     }
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    # the stale-location cleanup below shells out to the local filesystem —
+    # loudly refuse a non-local warehouse URI instead of rmtree'ing a
+    # stripped-scheme path that doesn't mean what it says (r10, advice)
+    wh_uri = spark.conf.get("spark.sql.warehouse.dir")
+    if not (wh_uri.startswith("file:") or wh_uri.startswith("/")):
+        raise ValueError(
+            f"compact_ingest_state only supports a local (file:) warehouse; "
+            f"spark.sql.warehouse.dir={wh_uri!r} — on a remote warehouse, "
+            f"drop the stale table locations with the catalog's own tooling"
+        )
+    wh = wh_uri.removeprefix("file:")
     out = {}
     for face, (path, key) in faces.items():
         table = f"{table_prefix}_{face}"
