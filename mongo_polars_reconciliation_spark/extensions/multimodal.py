@@ -160,6 +160,7 @@ def payload_near_dups(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Chunked-byte-signature near-dup probe over binary payloads (r9):
     two payloads are candidates iff they share at least one
@@ -172,16 +173,45 @@ def payload_near_dups(
     (no decoder needed, so it works in this container and as the cheap
     pre-filter before any perceptual hash in production).
 
+    ``max_bucket_size`` (r10, VERDICT r9's one weak flag) is the
+    hot-bucket guard ported from ``lsh_candidate_pairs``: a degenerate
+    COMMON aligned block — a zero-padding run, a shared format header —
+    IS corpus-sized on real binary corpora, and its bucket self-join
+    emits B² pairs. Buckets over the cap are skipped BEFORE the join;
+    a block that common carries no near-dup signal (every pair it
+    suggests still shares its other, discriminative blocks), but note
+    the capped ``n_shared`` counts only surviving blocks, so a pair
+    whose overlap is MOSTLY degenerate blocks can fall under
+    ``threshold`` — exactly the intended behavior, audited (never
+    silent) via :func:`payload_dropped_buckets`. Default None = exact;
+    the ``mm_payload_near_dup_capped`` query pins capped ≡ exact on the
+    test fixture (no degenerate block there), the hot-bucket unit test
+    pins the skip on a synthetic zero-padded corpus. Singleton buckets
+    are always pruned — they cannot form a pair, and dropping them
+    before the join shrinks both join inputs (the
+    ``_pairs_from_band_keys`` treatment; the count agg hashes on the
+    same keys as the join, so no extra shuffle of the big side).
+
     Scale shape: exactly the SimHash pigeonhole envelope — block keys
     are a map-only projection; the only shuffles are the (block_no,
     digest) bucket self-join (bucket sizes = copies of identical
-    aligned blocks, never corpus size) and the pair-count aggregate;
+    aligned blocks, capped as above) and the pair-count aggregate;
     byte-shifted content shares no aligned block, so unrelated payloads
     never meet. Output: (id_a, id_b, n_shared, n_blocks_a, n_blocks_b,
     block_sim_r)."""
     keys = payload_block_keys(
         mm, block_bytes, id_col, payload_col
     ).localCheckpoint(eager=False)
+    keep = F.col("bsz") >= 2
+    if max_bucket_size is not None:
+        keep = keep & (F.col("bsz") <= max_bucket_size)
+    ok = (
+        keys.groupBy("block_no", "block_hash")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(keep)
+        .select("block_no", "block_hash")
+    )
+    keys = keys.join(ok, ["block_no", "block_hash"])
     l = keys.select(
         F.col(id_col).alias("id_a"),
         "block_no",
@@ -215,6 +245,26 @@ def payload_near_dups(
             ).alias("block_sim_r"),
         )
         .where(F.col("block_sim_r") >= threshold)
+    )
+
+
+def payload_dropped_buckets(
+    mm: DataFrame,
+    block_bytes: int = 1024,
+    max_bucket_size: int = 1000,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(block_no, block_hash, bsz) for every block bucket the cap in
+    :func:`payload_near_dups` would skip — the audit face of the cap
+    (the ``lsh_dropped_buckets`` contract): a capped run reports WHAT it
+    declined to compare — typically zero-padding runs and shared format
+    headers — instead of silently under-reporting payload near-dups."""
+    return (
+        payload_block_keys(mm, block_bytes, id_col, payload_col)
+        .groupBy("block_no", "block_hash")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > max_bucket_size)
     )
 
 

@@ -2798,3 +2798,9 @@ HAVING FLOOR(CAST(COUNT(*) AS DOUBLE)
 # the one-batch admission (greedy batch-split property, property-pinned),
 # so the oracle is the batch oracle.
 ORACLES["stream_ingest_neardup"] = ORACLES["dedup_ingest_neardup"]
+
+# Capped payload near-dup (r10): on this fixture no block bucket exceeds
+# the cap, so capped == exact bit-for-bit (pinned in tests/test_lsh_cap.py)
+# and the query shares the exact oracle — the dedup_minhash_lsh_capped
+# treatment.
+ORACLES["mm_payload_near_dup_capped"] = ORACLES["mm_payload_near_dup"]

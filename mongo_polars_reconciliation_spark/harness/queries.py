@@ -1763,6 +1763,29 @@ def mm_payload_near_dup(spark, sf_dir) -> DataFrame:
     )
 
 
+def mm_payload_near_dup_capped(spark, sf_dir) -> DataFrame:
+    """Production-mode payload near-dup probe (r10): the hot-bucket cap
+    set (1000, the LSH default) — a corpus-sized bucket of one common
+    aligned block (zero padding, shared format headers) is skipped
+    before the self-join instead of going quadratic. On this fixture no
+    block bucket exceeds the cap, so the output is bit-identical to
+    exact mode (pinned in tests/test_lsh_cap.py) and the query shares
+    the exact oracle — the ``dedup_minhash_lsh_capped`` treatment."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        payload_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_mm_payload_aug,
+    )
+
+    return payload_near_dups(
+        build_mm_payload_aug(spark, sf_dir),
+        block_bytes=64,
+        threshold=0.5,
+        max_bucket_size=1000,
+    )
+
+
 def mm_frame_sample(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.multimodal import (
         attach_payload,
@@ -2162,6 +2185,7 @@ QUERIES = {
     "text_quality_c4": text_quality_c4,
     "mm_payload_dedup": mm_payload_dedup,
     "mm_payload_near_dup": mm_payload_near_dup,
+    "mm_payload_near_dup_capped": mm_payload_near_dup_capped,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "text_quality_gate": text_quality_gate,

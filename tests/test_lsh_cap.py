@@ -109,3 +109,76 @@ def test_wide_signatures_equal_long(spark):
         tuple(r) for r in _band_keys_wide(wide_sigs, "doc_id", RPB, NH).collect()
     )
     assert bk_long == bk_wide
+
+
+def _payloads(spark, n_degenerate: int):
+    """Payload corpus with one degenerate aligned block: docs 0 and 1 are
+    byte-identical (4 unique 64-byte blocks — a genuine exact near-dup
+    pair), docs 2..n+1 all START with the same 64-byte zero-run block
+    (the shared-header / zero-padding class) followed by unique bytes."""
+    uniq = " ".join(f"tok{i:04d}" for i in range(20))[:256].ljust(256, "x")
+    rows = [(0, uniq), (1, uniq)]
+    zeros = "\x00" * 64
+    for i in range(2, n_degenerate + 2):
+        rows.append((i, zeros + f"doc{i:08d}".ljust(64, "y")))
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+    )
+
+    return attach_payload(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    )
+
+
+def test_payload_cap_skips_hot_block_keeps_healthy_pairs(spark):
+    """r10 (VERDICT r9's weak flag): a corpus-sized bucket of identical
+    aligned blocks (zero-padding) must be skipped BEFORE the self-join —
+    uncapped, 5k copies of one block emit ~12.5M pairs; capped, the join
+    stays bounded and the genuine byte-identical pair (whose similarity
+    comes from its own non-degenerate blocks) survives at sim 1.0."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        payload_near_dups,
+    )
+
+    mm = _payloads(spark, 5_000)
+    got = payload_near_dups(
+        mm, block_bytes=64, threshold=0.5, max_bucket_size=100
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["block_sim_r"]) for r in got] == [
+        (0, 1, 1.0)
+    ]
+
+
+def test_payload_dropped_buckets_audit_names_the_block(spark):
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        payload_dropped_buckets,
+    )
+
+    mm = _payloads(spark, 500)
+    dropped = payload_dropped_buckets(
+        mm, block_bytes=64, max_bucket_size=100
+    ).collect()
+    assert len(dropped) == 1
+    assert dropped[0]["block_no"] == 0 and dropped[0]["bsz"] == 500
+
+
+def test_payload_capped_equals_uncapped_on_fixture(spark):
+    """On the mm payload fixture (no degenerate common block) the capped
+    probe is bit-identical to exact mode — the dedup_minhash_lsh_capped
+    treatment; mm_payload_near_dup_capped shares the exact oracle on the
+    strength of this pin."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        payload_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_mm_payload_aug,
+    )
+
+    mm = build_mm_payload_aug(spark, "/root/testdata/sf0.001")
+    exact = payload_near_dups(mm, block_bytes=64, threshold=0.5)
+    capped = payload_near_dups(
+        mm, block_bytes=64, threshold=0.5, max_bucket_size=1000
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
