@@ -324,6 +324,37 @@ def kmeans_fit(
     return cents
 
 
+def save_centroids(spark, cents: list[list[float]], path: str) -> None:
+    """Persist a fitted centroid table to parquet — the vector-side model
+    artifact (r10, the ``bpe_save_merges`` treatment): a real pipeline
+    fits ONCE and assigns/probes many corpora and ingest waves from the
+    stored table, instead of re-running Lloyd per job. Schema is
+    (cid int, c array<double>); parquet stores the doubles bit-exactly,
+    so fit → save → load → assign is bit-identical to fit-then-assign
+    (property-pinned). The table is nlist rows — driver/broadcast scale
+    by construction (see ``auto_nlist``'s √n cap)."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(rows, "cid int, c array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    """Load a :func:`save_centroids` artifact back into the k×dim list the
+    assignment kernels close over. The collect is nlist rows — the same
+    driver-scale round-trip ``kmeans_fit`` itself performs per Lloyd
+    round, not a data collect."""
+    rows = spark.read.parquet(path).orderBy("cid").collect()
+    if not rows:
+        raise ValueError(f"load_centroids: no centroid rows at {path}")
+    if [r["cid"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"load_centroids: non-contiguous cid sequence at {path} — "
+            "the artifact is corrupt or was written by something else"
+        )
+    return [list(r["c"]) for r in rows]
+
+
 def auto_nlist(
     emb: DataFrame, target_block_rows: int = 1024, cap: int = 65536
 ) -> int:
@@ -828,6 +859,7 @@ def knn_join_multiprobe(
     target_block_rows: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """:func:`knn_join` over FITTED multi-probe blocks: every vector's
     top-k cosine neighbors among vectors sharing ANY of its ``nprobe``
@@ -835,6 +867,11 @@ def knn_join_multiprobe(
     (probe sets are nested in ``nprobe``, so the candidate pair set only
     grows — property-pinned in tests), catching boundary-straddling
     neighbors single-block blocking misses.
+
+    ``cents`` (r10): pass a pre-fitted centroid list (typically
+    :func:`load_centroids` of a persisted artifact) to skip the in-
+    session Lloyd fit — the fit-once/assign-many production shape;
+    nlist/n_iter are ignored when given.
 
     Scale shape: k-means fit (k×dim driver rows only) → map-only probe
     assignment → blocked self-join bounded by (nprobe × block size) → pair
@@ -846,8 +883,11 @@ def knn_join_multiprobe(
     explode of the narrow scored row — halving the fold work relative to
     scoring both directions (measured ~25% faster end-to-end at sf0.1)
     with bit-identical values."""
-    nlist = _resolve_nlist(nlist, emb, target_block_rows)
-    cents = kmeans_fit(emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    if cents is None:
+        nlist = _resolve_nlist(nlist, emb, target_block_rows)
+        cents = kmeans_fit(
+            emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
     blocked = probe_assignments(
         emb, cents, nprobe, id_col, vec_col
     ).localCheckpoint(eager=False)
@@ -910,15 +950,21 @@ def semantic_dedup_fitted(
     target_block_rows: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """:func:`semantic_dedup` over FITTED multi-probe blocks: a vector is
     dropped iff some lower-id vector shares ANY of its ``nprobe`` nearest
     clusters with cosine ≥ ``threshold``. The real-corpus form (no label
     column exists at 100 TB) with the boundary-blindness of single-block
     blocking reduced: near-duplicates split across a cluster edge still
-    meet through their second probe. Returns surviving ids."""
-    nlist = _resolve_nlist(nlist, emb, target_block_rows)
-    cents = kmeans_fit(emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    meet through their second probe. Returns surviving ids. ``cents``
+    (r10): a pre-fitted centroid list skips the in-session fit — see
+    :func:`knn_join_multiprobe`."""
+    if cents is None:
+        nlist = _resolve_nlist(nlist, emb, target_block_rows)
+        cents = kmeans_fit(
+            emb, k=nlist, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
     blocked = probe_assignments(
         emb, cents, nprobe, id_col, vec_col
     ).localCheckpoint(eager=False)

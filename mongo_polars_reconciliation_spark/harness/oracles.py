@@ -2804,3 +2804,8 @@ ORACLES["stream_ingest_neardup"] = ORACLES["dedup_ingest_neardup"]
 # and the query shares the exact oracle — the dedup_minhash_lsh_capped
 # treatment.
 ORACLES["mm_payload_near_dup_capped"] = ORACLES["mm_payload_near_dup"]
+
+# Centroid artifact round-trip (r10): fit -> parquet -> load -> assign is
+# bit-identical to fit-then-assign (parquet doubles are exact; property-
+# pinned), so the query shares the in-session multiprobe oracle.
+ORACLES["sim_centroid_roundtrip"] = ORACLES["sim_knn_join_multiprobe"]

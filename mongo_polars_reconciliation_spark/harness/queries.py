@@ -1348,6 +1348,38 @@ def sim_knn_join_multiprobe(spark, sf_dir) -> DataFrame:
     )
 
 
+def sim_centroid_roundtrip(spark, sf_dir) -> DataFrame:
+    """Centroid artifact round-trip (r10): fit the multiprobe k-means
+    ONCE, persist the centroid table to parquet, load it back, and build
+    the k-NN graph from the LOADED centroids — the fit-once/assign-many
+    production shape (the vector-side mirror of
+    ``text_bpe_vocab_roundtrip``). Parquet stores doubles bit-exactly,
+    so the result is bit-identical to fit-then-use (property-pinned in
+    tests/test_properties.py) and the query shares
+    sim_knn_join_multiprobe's oracle."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        kmeans_fit,
+        knn_join_multiprobe,
+        load_centroids,
+        save_centroids,
+    )
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        MULTIPROBE_ORACLE_N_ITER,
+        MULTIPROBE_ORACLE_NLIST,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(
+        emb, k=MULTIPROBE_ORACLE_NLIST, n_iter=MULTIPROBE_ORACLE_N_ITER
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = scratch_path(tag, "centroid_artifact")
+    save_centroids(spark, cents, path)
+    return knn_join_multiprobe(
+        emb, k=3, nprobe=2, cents=load_centroids(spark, path)
+    )
+
+
 def sim_recall_probe(spark, sf_dir) -> DataFrame:
     """ANN quality gate (r8): per-vector recall@10 of the fitted
     multi-probe k-NN graph (nprobe=2, the pinned IVF constants) against
@@ -2186,6 +2218,7 @@ QUERIES = {
     "mm_payload_dedup": mm_payload_dedup,
     "mm_payload_near_dup": mm_payload_near_dup,
     "mm_payload_near_dup_capped": mm_payload_near_dup_capped,
+    "sim_centroid_roundtrip": sim_centroid_roundtrip,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "text_quality_gate": text_quality_gate,

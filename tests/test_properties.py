@@ -1734,3 +1734,67 @@ def test_greedy_admit_matches_python_sequential_model(spark, edges):
         if not any((u, v) in set(norm) for u in admitted if u < v):
             admitted.add(v)
     assert got == sorted(admitted), (norm, got, sorted(admitted))
+
+
+def test_centroid_artifact_roundtrip_bitmatches_fit_use(spark):
+    """r10 artifact round-trip (the BPE pin's vector-side mirror): a
+    centroid table written to parquet and loaded back is the EXACT float
+    list the fit returned (parquet doubles are bit-exact), and the k-NN
+    graph built from the loaded centroids equals fit-then-use row for
+    row — including every 6-dp cosine."""
+    import shutil
+
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        kmeans_fit,
+        knn_join_multiprobe,
+        load_centroids,
+        save_centroids,
+    )
+    from mongo_polars_reconciliation_spark.scratch import scratch_path
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, n_iter=1)
+    path = scratch_path("test_centroid_roundtrip", "centroids.parquet")
+    shutil.rmtree(path, ignore_errors=True)
+    save_centroids(spark, cents, path)
+    loaded = load_centroids(spark, path)
+    assert loaded == cents  # exact float equality, not approx
+    direct = sorted(
+        tuple(r)
+        for r in knn_join_multiprobe(emb, k=3, nprobe=2, cents=cents).collect()
+    )
+    via_artifact = sorted(
+        tuple(r)
+        for r in knn_join_multiprobe(
+            emb, k=3, nprobe=2, cents=loaded
+        ).collect()
+    )
+    # and the cents=None in-session fit with the same constants agrees
+    fit_inline = sorted(
+        tuple(r)
+        for r in knn_join_multiprobe(
+            emb, k=3, nprobe=2, nlist=8, n_iter=1
+        ).collect()
+    )
+    assert via_artifact == direct == fit_inline
+
+
+def test_load_centroids_rejects_corrupt_artifact(spark):
+    import shutil
+
+    import pytest as _pytest
+
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        load_centroids,
+        save_centroids,
+    )
+    from mongo_polars_reconciliation_spark.scratch import scratch_path
+
+    path = scratch_path("test_centroid_roundtrip", "gappy.parquet")
+    shutil.rmtree(path, ignore_errors=True)
+    save_centroids(spark, [[1.0, 2.0], [3.0, 4.0]], path)
+    spark.read.parquet(path).where("cid = 1").write.mode(
+        "overwrite"
+    ).parquet(path + "_gap")
+    with _pytest.raises(ValueError, match="non-contiguous"):
+        load_centroids(spark, path + "_gap")
