@@ -995,6 +995,173 @@ def semantic_dedup_fitted(
     return emb.select(id_col).join(dropped, id_col, "left_anti")
 
 
+def assignment_state(
+    emb: DataFrame,
+    cents: list[list[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(blk, vec_id) probe-assignment rows of a corpus under PERSISTED
+    centroids — the vector-side analog of the text pipeline's
+    ``band_state`` (r10): the accumulated assignment table the
+    incremental semantic ingest probes, BUCKETED by blk in production
+    (``write_bucketed_state(..., key='blk')``; plan-pinned in
+    tests/test_bucketing.py) so the (huge) state side of the collision
+    join never reshuffles. Map-only projection — the assignment kernel
+    closes over the loaded centroid artifact, no joins."""
+    return probe_assignments(emb, cents, nprobe, id_col, vec_col).select(
+        F.col("__blk").alias("blk"), F.col(id_col)
+    )
+
+
+def ingest_novel_semantic(
+    new_vecs: DataFrame,
+    state_assign: DataFrame,
+    state_vecs: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mis_max_iter: int = 25,
+) -> DataFrame:
+    """Incremental SEMANTIC ingest (r10) — the near-dup ingest family
+    (extensions/dedup.py:ingest_novel_neardup) extended to embedding
+    space: of an arriving batch of vectors, admit those that are not
+    semantic duplicates (cosine ≥ ``threshold``, the SemDeDup rule) of
+    (a) the persisted corpus or (b) an already-admitted batch member.
+    Returns the admitted (vec_id) rows; the caller appends their
+    :func:`assignment_state` rows to ``state_assign`` and the vectors
+    themselves to ``state_vecs``. Exact re-uploads are cos 1.0, so no
+    separate digest phase is needed.
+
+    State contract: ``cents`` is the PERSISTED centroid artifact
+    (:func:`load_centroids` — fitted once, never refit per batch, or
+    probe keys would drift between waves exactly like mismatched MinHash
+    geometry); ``state_assign`` = accumulated (blk, vec_id) table under
+    those centroids, bucketed by blk in production; ``state_vecs`` = the
+    vector store, read ONLY for the docs whose probe blocks collide with
+    the batch, via a semi-join — history is never rescanned, and
+    duplicate state rows (a crash-replayed streaming append) are deduped
+    after that semi-join, bounded by collision count. Ids must be unique
+    across state and batch, arrival order = id order.
+
+    Pipeline: (1) batch probe assignments (map-only kernel projection);
+    (2) block collisions vs the assignment STATE → candidate (batch,
+    history) pairs, cosine-verified against only the colliding history
+    vectors; (3) survivors' within-batch block pairs verified the same
+    way feed the sequential-arrival greedy admission (_greedy_admit —
+    see there for why per-pair/per-cluster keep-lowest break redelivery
+    idempotence and batch-split equivalence; both properties pinned in
+    tests/test_properties.py for this operator too).
+
+    Scale shape: phase 2's collision join hits a state table bucketed by
+    blk (plan pin in tests/test_bucketing.py), so the accumulated
+    assignment state never reshuffles and verification touches
+    |candidates| history vectors, not |history|; phase 3 is bounded by
+    nprobe × block size like every fitted-block self-join. The Arrow
+    pair-dot kernel scores each pair once; all cosines are 6-dp rounded
+    before thresholding, so the DuckDB oracle replays every decision."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        _greedy_admit,
+    )
+
+    ba = probe_assignments(
+        new_vecs, cents, nprobe, id_col, vec_col
+    ).localCheckpoint(eager=False)
+
+    # phase 2: history collisions → cosine-verify against the few
+    # colliding history vectors only
+    cand_hist = (
+        ba.select(F.col("__blk").alias("blk"), F.col(id_col).alias("__bid"))
+        .join(
+            state_assign.select("blk", F.col(id_col).alias("__hid")), "blk"
+        )
+        .select("__bid", "__hid")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hist_vecs = _with_norm(
+        state_vecs.select(id_col, vec_col)
+        .join(cand_hist.select(F.col("__hid").alias(id_col)).distinct(), id_col)
+        .distinct(),
+        vec_col,
+        "__h",
+    ).select(
+        F.col(id_col).alias("__hid"),
+        F.col("__hv"),
+        F.col("__hn"),
+    )
+    bv = ba.select(
+        F.col(id_col).alias("__bid"), "__v", "__n"
+    ).distinct()  # one row per batch vector (nprobe assignment rows each)
+    dropped_hist = (
+        cand_hist.join(bv, "__bid")
+        .join(hist_vecs, "__hid")
+        .select(
+            F.col("__bid"),
+            F.round(
+                _pair_dot(F.col("__v"), F.col("__hv"))
+                / (F.col("__n") * F.col("__hn")),
+                6,
+            ).alias("__cos"),
+        )
+        .where(F.col("__cos") >= threshold)
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    kept = (
+        new_vecs.select(id_col)
+        .join(dropped_hist, id_col, "left_anti")
+        .localCheckpoint(eager=False)
+    )
+
+    # phase 3: within-batch block pairs among the history-clean vectors
+    # only (a history-dropped vector is never admitted, so it cannot
+    # block anyone — sequential semantics), then greedy admission
+    ba2 = ba.join(kept, id_col)
+    l = ba2.select(
+        F.col("__blk"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    r = ba2.select(
+        F.col("__blk"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    edges = (
+        l.join(r, "__blk")
+        .where(F.col("__ida") < F.col("__idb"))
+        .select("__ida", "__idb", "va", "vb", "na", "nb")
+        .distinct()
+        .select(
+            "__ida",
+            "__idb",
+            F.round(
+                _pair_dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("__cos"),
+        )
+        .where(F.col("__cos") >= threshold)
+        .select(F.col("__ida").alias("lo"), F.col("__idb").alias("hi"))
+        .localCheckpoint(eager=False)
+    )
+    paired = (
+        edges.select(F.col("lo").alias(id_col))
+        .unionByName(edges.select(F.col("hi").alias(id_col)))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    admitted_mis = _greedy_admit(paired, edges, id_col, mis_max_iter)
+    unpaired = kept.join(paired, id_col, "left_anti")
+    return unpaired.unionByName(admitted_mis)
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.9,

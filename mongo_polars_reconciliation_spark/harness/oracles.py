@@ -100,17 +100,22 @@ _SQDIST = (
 )
 
 
-def _kmeans_assign_topn(src_cents: str, name: str, n: int) -> str:
+def _kmeans_assign_topn(
+    src_cents: str, name: str, n: int, src_vecs: str = "ev"
+) -> str:
     """Each vector's ``n`` nearest centroids — (sqdist, cid) ascending, the
     same argmin-with-cid-tie-break as similarity.cluster_assign /
-    probe_assignments; n=1 is the plain assignment."""
+    probe_assignments; n=1 is the plain assignment. ``src_vecs`` (r10)
+    assigns a frame OTHER than the fit input — the persisted-centroid
+    ingest oracle assigns both the history and the arriving batch under
+    the one fitted centroid set."""
     return f"""
 {name} AS (
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY {_SQDIST}, c.cid) AS rn
-    FROM ev e CROSS JOIN {src_cents} c) t
+    FROM {src_vecs} e CROSS JOIN {src_cents} c) t
   WHERE rn <= {n}
 )"""
 
@@ -2809,3 +2814,88 @@ ORACLES["mm_payload_near_dup_capped"] = ORACLES["mm_payload_near_dup"]
 # bit-identical to fit-then-assign (parquet doubles are exact; property-
 # pinned), so the query shares the in-session multiprobe oracle.
 ORACLES["sim_centroid_roundtrip"] = ORACLES["sim_knn_join_multiprobe"]
+
+
+# Incremental SEMANTIC ingest (r10): the near-dup ingest family in
+# embedding space. History (vec_id%3<2) is the k-means fit input AND the
+# persisted corpus; the batch (the %3==2 slice + exact re-uploads of the
+# %10==1 slice under +100000 ids + zeroed-first-8-dims variants of the
+# %10==4 slice under +200000 ids) is admitted only where no persisted or
+# already-admitted vector shares a probe block with cosine >= 0.9. The
+# greedy rounds unroll 8x; the query pins mis_max_iter=8 in lockstep.
+ORACLES["sim_ingest_semantic"] = (
+    """
+WITH allv AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ev AS MATERIALIZED (SELECT vec_id, v FROM allv WHERE vec_id % 3 < 2),
+batch AS MATERIALIZED (
+  SELECT vec_id, v FROM allv WHERE vec_id % 3 = 2
+  UNION ALL
+  SELECT vec_id + 100000, v FROM allv WHERE vec_id % 10 = 1
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_transform(generate_series(1, len(v)),
+                        i -> CASE WHEN i <= 8 THEN 0.0 ELSE v[i] END)
+  FROM allv WHERE vec_id % 10 = 4
+),
+"""
+    + KMEANS_CTES_MULTIPROBE
+    + ","
+    + _kmeans_assign_topn("cents_final", "hist_assign", 2)
+    + ","
+    + _kmeans_assign_topn("cents_final", "batch_assign", 2, src_vecs="batch")
+    + """,
+cand_hist AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id AS bid, h.vec_id AS hid
+  FROM batch_assign b JOIN hist_assign h ON b.cid = h.cid
+),
+hist_drop AS MATERIALIZED (
+  SELECT DISTINCT c.bid FROM cand_hist c
+  JOIN batch bb ON bb.vec_id = c.bid
+  JOIN ev hh ON hh.vec_id = c.hid
+  WHERE ROUND(
+    list_reduce(list_transform(generate_series(1, len(bb.v)),
+                i -> bb.v[i]*hh.v[i]), (x,y) -> x+y)
+    / (sqrt(list_reduce(list_transform(generate_series(1, len(bb.v)),
+             i -> bb.v[i]*bb.v[i]), (x,y) -> x+y))
+     * sqrt(list_reduce(list_transform(generate_series(1, len(hh.v)),
+             i -> hh.v[i]*hh.v[i]), (x,y) -> x+y))), 6) >= 0.9
+),
+kept2 AS MATERIALIZED (
+  SELECT b.vec_id FROM batch b LEFT JOIN hist_drop d ON d.bid = b.vec_id
+  WHERE d.bid IS NULL
+),
+cand_batch AS MATERIALIZED (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM batch_assign l JOIN batch_assign r
+    ON l.cid = r.cid AND l.vec_id < r.vec_id
+  WHERE l.vec_id IN (SELECT vec_id FROM kept2)
+    AND r.vec_id IN (SELECT vec_id FROM kept2)
+),
+mis_edges AS MATERIALIZED (
+  SELECT c.id_a AS lo, c.id_b AS hi FROM cand_batch c
+  JOIN batch a ON a.vec_id = c.id_a
+  JOIN batch b ON b.vec_id = c.id_b
+  WHERE ROUND(
+    list_reduce(list_transform(generate_series(1, len(a.v)),
+                i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+    / (sqrt(list_reduce(list_transform(generate_series(1, len(a.v)),
+             i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+     * sqrt(list_reduce(list_transform(generate_series(1, len(b.v)),
+             i -> b.v[i]*b.v[i]), (x,y) -> x+y))), 6) >= 0.9
+),
+mis_nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT lo AS node FROM mis_edges UNION ALL SELECT hi FROM mis_edges) u
+),
+s0 AS MATERIALIZED (SELECT node, 'U' AS st FROM mis_nodes),
+"""
+    + ",\n".join(_greedy_mis_round(f"s{i}", f"s{i + 1}") for i in range(8))
+    + """
+SELECT k.vec_id FROM kept2 k
+WHERE k.vec_id NOT IN (SELECT node FROM mis_nodes)
+UNION ALL
+SELECT node AS vec_id FROM s8 WHERE st = 'A'
+"""
+)

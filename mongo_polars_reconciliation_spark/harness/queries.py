@@ -1380,6 +1380,67 @@ def sim_centroid_roundtrip(spark, sf_dir) -> DataFrame:
     )
 
 
+def sim_ingest_semantic(spark, sf_dir) -> DataFrame:
+    """Incremental SEMANTIC ingest (r10): history (vec_id%3<2) fits the
+    centroid artifact once (persisted + reloaded — probe keys must never
+    drift between waves) and persists its probe-assignment state; the
+    arriving batch (the %3==2 slice, plus exact re-uploads of the
+    %10==1 slice under +100000 ids and zeroed-first-8-dims near-dup
+    variants of the %10==4 slice under +200000 ids) is admitted only
+    where no persisted or already-admitted vector shares a probe block
+    with cosine >= 0.9 (the SemDeDup threshold). mis_max_iter=8 matches
+    the oracle's unrolled greedy rounds."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        assignment_state,
+        ingest_novel_semantic,
+        kmeans_fit,
+        load_centroids,
+        save_centroids,
+    )
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        MULTIPROBE_ORACLE_N_ITER,
+        MULTIPROBE_ORACLE_NLIST,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hist = emb.where(F.col("vec_id") % 3 < 2)
+    batch = (
+        emb.where(F.col("vec_id") % 3 == 2)
+        .unionByName(
+            emb.where(F.col("vec_id") % 10 == 1).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            emb.where(F.col("vec_id") % 10 == 4).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (x, i) -> CASE WHEN i < 8 "
+                    "THEN CAST(0.0 AS FLOAT) ELSE x END)"
+                ).alias("embedding"),
+            )
+        )
+    )
+    cents = kmeans_fit(
+        hist, k=MULTIPROBE_ORACLE_NLIST, n_iter=MULTIPROBE_ORACLE_N_ITER
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = scratch_path(tag, "ingest_centroids")
+    save_centroids(spark, cents, path)
+    cents = load_centroids(spark, path)
+    return ingest_novel_semantic(
+        batch,
+        assignment_state(hist, cents, nprobe=2),
+        hist,
+        cents,
+        threshold=0.9,
+        nprobe=2,
+        mis_max_iter=8,
+    )
+
+
 def sim_recall_probe(spark, sf_dir) -> DataFrame:
     """ANN quality gate (r8): per-vector recall@10 of the fitted
     multi-probe k-NN graph (nprobe=2, the pinned IVF constants) against
@@ -2219,6 +2280,7 @@ QUERIES = {
     "mm_payload_near_dup": mm_payload_near_dup,
     "mm_payload_near_dup_capped": mm_payload_near_dup_capped,
     "sim_centroid_roundtrip": sim_centroid_roundtrip,
+    "sim_ingest_semantic": sim_ingest_semantic,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "text_quality_gate": text_quality_gate,

@@ -126,3 +126,47 @@ def test_bucketed_band_state_join_shuffle_free_on_stored_side(spark):
     assert "Bucketed: true" in final, final
     scan_side = final[final.index("corpus_band_state"):]
     assert "Exchange" not in scan_side, scan_side
+
+
+def test_bucketed_assignment_state_join_shuffle_free_on_stored_side(spark):
+    """r10 ingest_novel_semantic scale claim, pinned: the accumulated
+    probe-assignment state, stored bucketed by blk, feeds the
+    batch-vs-history block-collision join with NO exchange on the stored
+    side — only the arriving batch's assignment rows shuffle."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        assignment_state,
+        kmeans_fit,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/corpus_assign_state", ignore_errors=True)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hist = emb.where(F.col("vec_id") % 3 < 2)
+    batch = emb.where(F.col("vec_id") % 3 == 2)
+    cents = kmeans_fit(hist, k=8, n_iter=1)
+    write_bucketed_state(
+        assignment_state(hist, cents, nprobe=2),
+        "corpus_assign_state",
+        buckets=4,
+        key="blk",
+    )
+    stored = spark.table("corpus_assign_state").withColumnRenamed(
+        "vec_id", "hist_id"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = (
+            assignment_state(batch, cents, nprobe=2)
+            .join(stored, "blk")
+            .select("vec_id", "hist_id")
+            .distinct()
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in final, final
+    scan_side = final[final.index("corpus_assign_state"):]
+    assert "Exchange" not in scan_side, scan_side

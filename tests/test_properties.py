@@ -1798,3 +1798,120 @@ def test_load_centroids_rejects_corrupt_artifact(spark):
     ).parquet(path + "_gap")
     with _pytest.raises(ValueError, match="non-contiguous"):
         load_centroids(spark, path + "_gap")
+
+
+def _semantic_fixture(spark, sf_dir="/root/testdata/sf0.001"):
+    """History + arriving batch + persisted centroid/assignment state for
+    the embedding-space ingest properties — the sim_ingest_semantic
+    fixture shapes (exact re-uploads + zeroed-dim near-dup variants)."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        assignment_state,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hist = emb.where(F.col("vec_id") % 3 < 2)
+    batch = (
+        emb.where(F.col("vec_id") % 3 == 2)
+        .unionByName(
+            emb.where(F.col("vec_id") % 10 == 1).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            emb.where(F.col("vec_id") % 10 == 4).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (x, i) -> CASE WHEN i < 8 "
+                    "THEN CAST(0.0 AS FLOAT) ELSE x END)"
+                ).alias("embedding"),
+            )
+        )
+    )
+    cents = kmeans_fit(hist, k=32, n_iter=1)
+    return hist, batch, cents, assignment_state(hist, cents, nprobe=2)
+
+
+def test_semantic_ingest_batch_split_equals_one_batch(spark):
+    """r10: the embedding-space ingest inherits the greedy family's
+    batch-split property — B1 (low ids) then B2 against the updated
+    state admits exactly what one concatenated batch admits."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        assignment_state,
+        ingest_novel_semantic,
+    )
+
+    hist, batch, cents, assign = _semantic_fixture(spark)
+    one = ingest_novel_semantic(
+        batch, assign, hist, cents, mis_max_iter=8
+    )
+    one_ids = sorted(r["vec_id"] for r in one.collect())
+
+    median = 100000
+    b1 = batch.where(F.col("vec_id") < median).localCheckpoint(eager=True)
+    b2 = batch.where(F.col("vec_id") >= median).localCheckpoint(eager=True)
+    a1 = ingest_novel_semantic(
+        b1, assign, hist, cents, mis_max_iter=8
+    ).localCheckpoint(eager=True)
+    adm1 = b1.join(a1, "vec_id")
+    assign2 = assign.unionByName(assignment_state(adm1, cents, nprobe=2))
+    vecs2 = hist.unionByName(adm1)
+    a2 = ingest_novel_semantic(b2, assign2, vecs2, cents, mis_max_iter=8)
+    two_ids = sorted(
+        [r["vec_id"] for r in a1.collect()]
+        + [r["vec_id"] for r in a2.collect()]
+    )
+    assert two_ids == one_ids and len(one_ids) > 0
+
+
+def test_semantic_ingest_redelivery_admits_nothing(spark):
+    """r10: after folding an admitted batch into the assignment state and
+    the vector store, re-delivering the SAME batch admits zero vectors —
+    every rejected vector is (by the greedy rule) a semantic dup of
+    something now in state, and every admitted one now matches itself at
+    cos 1.0."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        assignment_state,
+        ingest_novel_semantic,
+    )
+
+    hist, batch, cents, assign = _semantic_fixture(spark)
+    a1 = ingest_novel_semantic(
+        batch, assign, hist, cents, mis_max_iter=8
+    ).localCheckpoint(eager=True)
+    assert a1.count() > 0
+    adm = batch.join(a1, "vec_id")
+    assign2 = assign.unionByName(assignment_state(adm, cents, nprobe=2))
+    vecs2 = hist.unionByName(adm)
+    again = ingest_novel_semantic(batch, assign2, vecs2, cents, mis_max_iter=8)
+    assert again.count() == 0
+
+
+def test_semantic_ingest_tolerates_duplicate_state_rows(spark):
+    """r10: duplicated assignment/vector state rows (a crash-replayed
+    append) change nothing — the vector store is deduped after the
+    collision semi-join, mirroring the text ingest's contract."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ingest_novel_semantic,
+    )
+
+    hist, batch, cents, assign = _semantic_fixture(spark)
+    clean = sorted(
+        r["vec_id"]
+        for r in ingest_novel_semantic(
+            batch, assign, hist, cents, mis_max_iter=8
+        ).collect()
+    )
+    dup = sorted(
+        r["vec_id"]
+        for r in ingest_novel_semantic(
+            batch,
+            assign.unionAll(assign),
+            hist.unionAll(hist),
+            cents,
+            mis_max_iter=8,
+        ).collect()
+    )
+    assert clean == dup and len(clean) > 0
