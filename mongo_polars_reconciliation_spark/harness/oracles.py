@@ -2815,6 +2815,29 @@ ORACLES["mm_payload_near_dup_capped"] = ORACLES["mm_payload_near_dup"]
 # pinned), so the query shares the in-session multiprobe oracle.
 ORACLES["sim_centroid_roundtrip"] = ORACLES["sim_knn_join_multiprobe"]
 
+# Multi-wave ingest across compaction (r10): wave-1 + wave-2 admissions
+# equal the one-batch admission of the concatenated stream (greedy
+# batch-split property — arrival respects id order), so the oracle is the
+# one-batch replay over the waves query's batch — the dedup_ingest_neardup
+# batch extended by a genuinely NOVEL wave-2 slice (token-reversed %10==6
+# docs: reversed word order shares no 3-shingle with the original, so they
+# must be ADMITTED through the compacted state). A compaction that lost a
+# digest/band/doc row admits a duplicate; one that fabricated state drops
+# the novel slice — either mismatches.
+ORACLES["dedup_ingest_waves"] = ORACLES["dedup_ingest_neardup"].replace(
+    """  SELECT doc_id + 200000, COALESCE(substr(text, strpos(text, ' ') + 1), '')
+  FROM documents WHERE doc_id % 10 = 3
+),""",
+    """  SELECT doc_id + 200000, COALESCE(substr(text, strpos(text, ' ') + 1), '')
+  FROM documents WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 300000,
+         COALESCE(array_to_string(list_reverse(string_split(text, ' ')), ' '), '')
+  FROM documents WHERE doc_id % 10 = 6
+),""",
+)
+assert ORACLES["dedup_ingest_waves"] != ORACLES["dedup_ingest_neardup"]
+
 
 # Incremental SEMANTIC ingest (r10): the near-dup ingest family in
 # embedding space. History (vec_id%3<2) is the k-means fit input AND the

@@ -1710,6 +1710,97 @@ def dedup_ingest_neardup(spark, sf_dir) -> DataFrame:
     )
 
 
+def dedup_ingest_waves(spark, sf_dir) -> DataFrame:
+    """Multi-wave ingest ACROSS a state compaction (r10): wave 1 admits
+    the %3==2 slice against the seeded history, all three state faces
+    (digest ledger, band keys, docs) are folded into append-only dirs
+    and COMPACTED into the bucketed tables the admission joins want
+    (``compact_ingest_state``), then wave 2 admits the synthetic
+    redeliveries/variants PLUS a genuinely novel slice (token-reversed
+    %10==6 docs under +300000 ids — reversed word order shares no
+    3-shingle with the original) reading ONLY the compacted tables — the
+    between-waves maintenance job a perpetual crawl pipeline runs,
+    driver-checked end to end. The union of both waves' admissions
+    equals the ONE-batch admission of the concatenated stream (arrival
+    respects id order → the greedy batch-split property), so the oracle
+    is the one-batch replay; every dup class must be REJECTED through
+    the compacted state (a lost digest/band/doc row admits a duplicate
+    and hash-mismatches) and the novel slice must be ADMITTED through it
+    (an over-eager compaction would drop it). Wave 2's plan is pinned
+    exchange-free on all three compacted faces in
+    tests/test_bucketing.py."""
+    import shutil as _shutil
+
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+    )
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        compact_ingest_state,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = docs.where(F.col("doc_id") % 3 < 2)
+    b1 = docs.where(F.col("doc_id") % 3 == 2)
+    near_text = F.expr("substring(text, instr(text, ' ') + 1)")
+    b2 = (
+        docs.where(F.col("doc_id") % 10 == 7).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        docs.where(F.col("doc_id") % 10 == 3).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            near_text.alias("text"),
+        )
+    ).unionByName(
+        docs.where(F.col("doc_id") % 10 == 6).select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias(
+                "text"
+            ),
+        )
+    )
+    seed_ledger = hist.select(
+        "doc_id",
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "text_hash"
+        ),
+    )
+    a1 = ingest_novel_neardup(
+        b1,
+        seed_ledger.select("text_hash").distinct(),
+        band_state(hist),
+        hist,
+        mis_max_iter=8,
+    ).localCheckpoint(eager=True)
+    adm1 = b1.join(a1.select("doc_id"), "doc_id")
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    root = scratch_path(tag, "ingest_waves")
+    _shutil.rmtree(root, ignore_errors=True)
+    seed_ledger.unionByName(a1).write.parquet(f"{root}/state/admitted")
+    band_state(hist).unionByName(band_state(adm1)).write.parquet(
+        f"{root}/state/bands"
+    )
+    hist.unionByName(adm1).write.parquet(f"{root}/state/docs")
+    tables = compact_ingest_state(
+        spark,
+        f"{root}/state",
+        table_prefix=f"ingest_waves_{tag.replace('.', '_')}",
+        buckets=8,
+    )
+    a2 = ingest_novel_neardup(
+        b2,
+        spark.table(tables["digests"]),
+        spark.table(tables["bands"]),
+        spark.table(tables["docs"]),
+        mis_max_iter=8,
+    )
+    return a1.unionByName(a2)
+
+
 def text_lm_score(spark, sf_dir) -> DataFrame:
     """Corpus-bigram LM quality score per document (r8): mean conditional
     bigram probability, integer-exact at 10^-6 resolution — the
@@ -2281,6 +2372,7 @@ QUERIES = {
     "mm_payload_near_dup_capped": mm_payload_near_dup_capped,
     "sim_centroid_roundtrip": sim_centroid_roundtrip,
     "sim_ingest_semantic": sim_ingest_semantic,
+    "dedup_ingest_waves": dedup_ingest_waves,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "text_quality_gate": text_quality_gate,

@@ -170,3 +170,70 @@ def test_bucketed_assignment_state_join_shuffle_free_on_stored_side(spark):
     assert "Bucketed: true" in final, final
     scan_side = final[final.index("corpus_assign_state"):]
     assert "Exchange" not in scan_side, scan_side
+
+
+def test_waves_compacted_faces_join_shuffle_free_on_stored_side(spark):
+    """r10 dedup_ingest_waves scale claim, pinned: after the between-waves
+    compaction, each of the three state faces feeds its admission join
+    with NO exchange on the stored side. The faces are pinned as the
+    three sub-joins ingest_novel_neardup actually builds — the operator
+    localCheckpoints each phase, so the final output plan legitimately
+    shows checkpoint leaves, not the table scans; the sub-join plans ARE
+    the wave-2 scans."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel,
+    )
+    from mongo_polars_reconciliation_spark.harness.queries import (
+        QUERIES,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    QUERIES["dedup_ingest_waves"](spark, sf_dir).collect()  # builds tables
+    pfx = "ingest_waves_sf0_001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = docs.where(F.col("doc_id") % 10 == 6).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+
+    def scan_side_clean(df, table):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final, (table, final)
+        scan_side = final[final.index(table):]
+        assert "Exchange" not in scan_side, (table, scan_side)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # phase 1: digest anti-join against the compacted ledger
+        scan_side_clean(
+            ingest_novel(batch, spark.table(f"{pfx}_digests")),
+            f"{pfx}_digests",
+        )
+        # phase 2: band-collision join against the compacted band state
+        scan_side_clean(
+            band_state(batch)
+            .join(
+                spark.table(f"{pfx}_bands").withColumnRenamed(
+                    "doc_id", "hist_id"
+                ),
+                "bband",
+            )
+            .select("doc_id", "hist_id")
+            .distinct(),
+            f"{pfx}_bands",
+        )
+        # phase 2b: colliding-history fetch against the compacted docs
+        # (candidate side on the left so the stored scan prints last and
+        # the slice below contains only its own subtree)
+        cand = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+        scan_side_clean(
+            cand.join(spark.table(f"{pfx}_docs"), "doc_id"),
+            f"{pfx}_docs",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
