@@ -248,6 +248,195 @@ def payload_near_dups(
     )
 
 
+def payload_block_state(
+    mm: DataFrame,
+    block_bytes: int = 1024,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(bblock, doc_id, n_blocks) block-key table of a payload corpus —
+    the persisted near-dup state of the payload ingest (r10), the binary
+    analog of the text pipeline's ``band_state``: ``bblock`` is the
+    single composite key ``block_no || ':' || block_hash`` so the state
+    table can be BUCKETED by exactly the collision join's key
+    (``write_bucketed_state(..., key='bblock')``; plan-pinned in
+    tests/test_bucketing.py). ``n_blocks`` rides along so the shared-
+    block-fraction verdict needs no payload re-read — the block
+    signature is self-verifying, unlike MinHash bands which only
+    CANDIDATE a pair and hand off to an exact-Jaccard pass."""
+    return payload_block_keys(mm, block_bytes, id_col, payload_col).select(
+        F.concat_ws(
+            ":", F.col("block_no").cast("string"), F.col("block_hash")
+        ).alias("bblock"),
+        F.col(id_col),
+        F.col("n_blocks"),
+    )
+
+
+def ingest_novel_payloads(
+    new_mm: DataFrame,
+    state_digests: DataFrame,
+    state_blocks: DataFrame,
+    block_bytes: int = 1024,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_bucket_size: int | None = None,
+    mis_max_iter: int = 25,
+) -> DataFrame:
+    """Incremental PAYLOAD ingest (r10) — the near-dup ingest family
+    (extensions/dedup.py:ingest_novel_neardup) over binary payloads: of
+    an arriving batch, admit the payloads that are neither byte-exact
+    copies (md5 digest) NOR chunked-block near-dups (shared aligned-
+    block fraction ≥ ``threshold``, the :func:`payload_near_dups` rule)
+    of the persisted corpus or an already-admitted batch member.
+    Returns (id, payload_hash) of the admitted payloads; the caller
+    appends the digests to ``state_digests`` and the admitted payloads'
+    :func:`payload_block_state` rows to ``state_blocks``. No payload
+    store face is needed: the block signature is self-verifying
+    (``n_shared`` IS the count of colliding composite keys), so history
+    bytes are never re-read at all.
+
+    State contract: ``state_digests`` = accumulated (payload_hash) set;
+    ``state_blocks`` = accumulated (bblock, doc_id, n_blocks) table,
+    both bucketed by their key in production. Ids unique across state
+    and batch; arrival order = id order. Zero-length payloads emit no
+    blocks — exact-dedup-only, like sub-``n``-token texts in the text
+    family.
+
+    ``max_bucket_size``: the hot-bucket cap, applied over the COMBINED
+    per-key population of the collision join — the batch's own keys plus
+    the state rows those keys touch. Counting the state side is scale-
+    sane precisely because the state is bucketed by bblock: the key
+    semi-join reads only the matching buckets exchange-free, never the
+    full history (capped ≡ uncapped pinned on the fixture; the text
+    ingest cannot afford this and caps only its within-batch phase,
+    because its band state would need a full re-aggregation).
+
+    Scale shape: phase 1 is the digest-bucketed anti-join; phase 2's
+    collision join hits the bblock-bucketed state (plan pin in
+    tests/test_bucketing.py) and verification is the same aggregate that
+    found the candidates; phase 3 runs on the batch only, capped the
+    same way, feeding the sequential-arrival greedy admission
+    (batch-split + redelivery properties pinned in
+    tests/test_properties.py)."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        _greedy_admit,
+    )
+
+    dg = F.md5(F.col(payload_col)).alias("__dg")
+    keep1 = (
+        new_mm.select(F.col(id_col), dg)
+        .groupBy("__dg")
+        .agg(F.min(id_col).alias(id_col))
+        .join(
+            state_digests.select(F.col("payload_hash").alias("__dg")),
+            "__dg",
+            "left_anti",
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept = new_mm.join(keep1.select(id_col), id_col)
+    bk = payload_block_state(
+        kept, block_bytes, id_col, payload_col
+    ).localCheckpoint(eager=False)
+
+    # phase 2: history collisions; the state join touches only the
+    # buckets holding the batch's keys (bucketed scan, exchange-free)
+    hits = state_blocks.join(
+        bk.select("bblock").distinct(), "bblock"
+    ).localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        nb = bk.groupBy("bblock").agg(F.count(F.lit(1)).alias("__nb"))
+        nh = hits.groupBy("bblock").agg(F.count(F.lit(1)).alias("__nh"))
+        ok = (
+            nb.join(nh, "bblock", "left")
+            .where(
+                F.col("__nb") + F.coalesce(F.col("__nh"), F.lit(0))
+                <= max_bucket_size
+            )
+            .select("bblock")
+        )
+        bk = bk.join(ok, "bblock").localCheckpoint(eager=False)
+        hits = hits.join(ok, "bblock")
+    dropped_hist = (
+        bk.select(
+            "bblock",
+            F.col(id_col).alias("__bid"),
+            F.col("n_blocks").alias("__nbb"),
+        )
+        .join(
+            hits.select(
+                "bblock",
+                F.col(id_col).alias("__hid"),
+                F.col("n_blocks").alias("__nbh"),
+            ),
+            "bblock",
+        )
+        .groupBy("__bid", "__hid", "__nbb", "__nbh")
+        .agg(F.count(F.lit(1)).alias("__nsh"))
+        .where(
+            F.floor(
+                F.col("__nsh")
+                / F.greatest(F.col("__nbb"), F.col("__nbh"))
+                * 10000
+            )
+            / 10000
+            >= threshold
+        )
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    kept2 = (
+        keep1.select(id_col)
+        .join(dropped_hist, id_col, "left_anti")
+        .localCheckpoint(eager=False)
+    )
+
+    # phase 3: within-batch pairs among the history-clean payloads, then
+    # greedy admission (a history-dropped payload never blocks anyone)
+    bk2 = bk.join(kept2, id_col)
+    l = bk2.select(
+        "bblock",
+        F.col(id_col).alias("__ida"),
+        F.col("n_blocks").alias("__nba"),
+    )
+    r = bk2.select(
+        "bblock",
+        F.col(id_col).alias("__idb"),
+        F.col("n_blocks").alias("__nbb"),
+    )
+    edges = (
+        l.join(r, "bblock")
+        .where(F.col("__ida") < F.col("__idb"))
+        .groupBy("__ida", "__idb", "__nba", "__nbb")
+        .agg(F.count(F.lit(1)).alias("__nsh"))
+        .where(
+            F.floor(
+                F.col("__nsh")
+                / F.greatest(F.col("__nba"), F.col("__nbb"))
+                * 10000
+            )
+            / 10000
+            >= threshold
+        )
+        .select(F.col("__ida").alias("lo"), F.col("__idb").alias("hi"))
+        .localCheckpoint(eager=False)
+    )
+    paired = (
+        edges.select(F.col("lo").alias(id_col))
+        .unionByName(edges.select(F.col("hi").alias(id_col)))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    admitted_mis = _greedy_admit(paired, edges, id_col, mis_max_iter)
+    unpaired = kept2.join(paired, id_col, "left_anti")
+    admitted = unpaired.unionByName(admitted_mis)
+    return keep1.join(admitted, id_col).select(
+        F.col(id_col), F.col("__dg").alias("payload_hash")
+    )
+
+
 def payload_dropped_buckets(
     mm: DataFrame,
     block_bytes: int = 1024,

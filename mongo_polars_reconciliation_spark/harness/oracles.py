@@ -2922,3 +2922,100 @@ UNION ALL
 SELECT node AS vec_id FROM s8 WHERE st = 'A'
 """
 )
+
+
+# Incremental PAYLOAD ingest (r10): the near-dup ingest family over binary
+# payloads (texts are ASCII, so the oracle mirrors byte slicing with
+# substr, the mm_payload_near_dup treatment). History digests + composite
+# block-key state; batch = fresh slice + byte-exact re-uploads + appended-
+# tail variants; phase 1 exact (min-id keeper, digest anti-join), phase 2
+# shared-block-fraction >= 0.5 vs history (the collision aggregate IS the
+# verification — no payload re-read), phase 3 within-batch pairs under the
+# sequential-arrival greedy admission unrolled 8 rounds (the query pins
+# mis_max_iter=8).
+ORACLES["mm_payload_ingest"] = (
+    """
+WITH hist AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 < 2
+),
+batch AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 300000,
+         text || ' extra appended tail content for payload variant'
+  FROM documents WHERE doc_id % 10 = 5
+),
+hist_dg AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM hist),
+keep1 AS MATERIALIZED (
+  SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM batch GROUP BY md5(text)
+),
+keep1n AS MATERIALIZED (
+  SELECT k.h, k.doc_id FROM keep1 k LEFT JOIN hist_dg s ON s.h = k.h
+  WHERE s.h IS NULL
+),
+kept AS MATERIALIZED (
+  SELECT b.doc_id, b.text FROM batch b JOIN keep1n k ON k.doc_id = b.doc_id
+),
+b_keys AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_no,
+         md5(substr(text, (i - 1) * 64 + 1, 64)) AS block_hash,
+         CAST(ceil(length(text) / 64) AS BIGINT) AS n_blocks
+  FROM kept, unnest(generate_series(1,
+       CAST(ceil(length(text) / 64) AS INT))) AS u(i)
+  WHERE length(text) > 0
+),
+h_keys AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS block_no,
+         md5(substr(text, (i - 1) * 64 + 1, 64)) AS block_hash,
+         CAST(ceil(length(text) / 64) AS BIGINT) AS n_blocks
+  FROM hist, unnest(generate_series(1,
+       CAST(ceil(length(text) / 64) AS INT))) AS u(i)
+  WHERE length(text) > 0
+),
+hist_drop AS MATERIALIZED (
+  SELECT DISTINCT bid FROM (
+    SELECT b.doc_id AS bid, h.doc_id AS hid,
+           FLOOR(CAST(COUNT(*) AS DOUBLE)
+                 / GREATEST(b.n_blocks, h.n_blocks) * 10000) / 10000 AS sim
+    FROM b_keys b JOIN h_keys h
+      ON b.block_no = h.block_no AND b.block_hash = h.block_hash
+    GROUP BY b.doc_id, h.doc_id, b.n_blocks, h.n_blocks
+  ) v WHERE sim >= 0.5
+),
+kept2 AS MATERIALIZED (
+  SELECT k.doc_id FROM keep1n k LEFT JOIN hist_drop d ON d.bid = k.doc_id
+  WHERE d.bid IS NULL
+),
+mis_edges AS MATERIALIZED (
+  SELECT id_a AS lo, id_b AS hi FROM (
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           FLOOR(CAST(COUNT(*) AS DOUBLE)
+                 / GREATEST(l.n_blocks, r.n_blocks) * 10000) / 10000 AS sim
+    FROM b_keys l JOIN b_keys r
+      ON l.block_no = r.block_no AND l.block_hash = r.block_hash
+     AND l.doc_id < r.doc_id
+    WHERE l.doc_id IN (SELECT doc_id FROM kept2)
+      AND r.doc_id IN (SELECT doc_id FROM kept2)
+    GROUP BY l.doc_id, r.doc_id, l.n_blocks, r.n_blocks
+  ) v WHERE sim >= 0.5
+),
+mis_nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT lo AS node FROM mis_edges UNION ALL SELECT hi FROM mis_edges) u
+),
+s0 AS MATERIALIZED (SELECT node, 'U' AS st FROM mis_nodes),
+"""
+    + ",\n".join(_greedy_mis_round(f"s{i}", f"s{i + 1}") for i in range(8))
+    + """,
+admitted AS (
+  SELECT k.doc_id FROM kept2 k
+  WHERE k.doc_id NOT IN (SELECT node FROM mis_nodes)
+  UNION ALL
+  SELECT node AS doc_id FROM s8 WHERE st = 'A'
+)
+SELECT k.doc_id, k.h AS payload_hash
+FROM keep1n k JOIN admitted a ON a.doc_id = k.doc_id
+"""
+)

@@ -1970,6 +1970,57 @@ def mm_payload_near_dup_capped(spark, sf_dir) -> DataFrame:
     )
 
 
+def mm_payload_ingest(spark, sf_dir) -> DataFrame:
+    """Incremental PAYLOAD ingest (r10): history (doc_id%3<2) persists a
+    payload-digest set and a composite block-key state; the arriving
+    batch (the %3==2 slice, plus byte-exact re-uploads of the %10==7
+    slice under +100000 ids and appended-tail variants of the %10==5
+    slice under +300000 ids) is admitted only where it is neither an
+    exact copy nor a chunked-block near-dup (shared aligned-block
+    fraction >= 0.5) of history or of an already-admitted batch member.
+    mis_max_iter=8 matches the oracle's unrolled greedy rounds."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        ingest_novel_payloads,
+        payload_block_state,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        MM_PAYLOAD_TAIL,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = attach_payload(docs.where(F.col("doc_id") % 3 < 2))
+    batch = attach_payload(
+        docs.where(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(MM_PAYLOAD_TAIL)).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    state_digests = hist.select(
+        F.md5(F.col("payload")).alias("payload_hash")
+    ).distinct()
+    return ingest_novel_payloads(
+        batch,
+        state_digests,
+        payload_block_state(hist, block_bytes=64),
+        block_bytes=64,
+        threshold=0.5,
+        mis_max_iter=8,
+    )
+
+
 def mm_frame_sample(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.multimodal import (
         attach_payload,
@@ -2373,6 +2424,7 @@ QUERIES = {
     "sim_centroid_roundtrip": sim_centroid_roundtrip,
     "sim_ingest_semantic": sim_ingest_semantic,
     "dedup_ingest_waves": dedup_ingest_waves,
+    "mm_payload_ingest": mm_payload_ingest,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "text_quality_gate": text_quality_gate,

@@ -237,3 +237,47 @@ def test_waves_compacted_faces_join_shuffle_free_on_stored_side(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_payload_block_state_join_shuffle_free_on_stored_side(spark):
+    """r10 ingest_novel_payloads scale claim, pinned: the accumulated
+    composite block-key state, stored bucketed by bblock, feeds the
+    batch-vs-history collision join with NO exchange on the stored side."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        payload_block_state,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/corpus_payload_state", ignore_errors=True)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = attach_payload(docs.where(F.col("doc_id") % 3 < 2))
+    batch = attach_payload(docs.where(F.col("doc_id") % 3 == 2))
+    write_bucketed_state(
+        payload_block_state(hist, block_bytes=64),
+        "corpus_payload_state",
+        buckets=4,
+        key="bblock",
+    )
+    stored = spark.table("corpus_payload_state").withColumnRenamed(
+        "doc_id", "hist_id"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = (
+            payload_block_state(batch, block_bytes=64)
+            .join(stored.select("bblock", "hist_id"), "bblock")
+            .select("doc_id", "hist_id")
+            .distinct()
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Bucketed: true" in final, final
+    scan_side = final[final.index("corpus_payload_state"):]
+    assert "Exchange" not in scan_side, scan_side

@@ -1915,3 +1915,129 @@ def test_semantic_ingest_tolerates_duplicate_state_rows(spark):
         ).collect()
     )
     assert clean == dup and len(clean) > 0
+
+
+def _payload_fixture(spark, sf_dir="/root/testdata/sf0.001"):
+    """History + arriving batch + persisted digest/block state for the
+    payload ingest properties — the mm_payload_ingest fixture shapes
+    (byte-exact re-uploads + appended-tail variants, 64-byte blocks)."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        payload_block_state,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        MM_PAYLOAD_TAIL,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = attach_payload(docs.where(F.col("doc_id") % 3 < 2))
+    batch = attach_payload(
+        docs.where(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(MM_PAYLOAD_TAIL)).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    digests = hist.select(
+        F.md5(F.col("payload")).alias("payload_hash")
+    ).distinct()
+    return hist, batch, digests, payload_block_state(hist, block_bytes=64)
+
+
+def test_payload_ingest_batch_split_equals_one_batch(spark):
+    """r10: the payload ingest inherits the greedy family's batch-split
+    property — B1 (low ids) then B2 against the updated state admits
+    exactly what one concatenated batch admits."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        ingest_novel_payloads,
+        payload_block_state,
+    )
+
+    hist, batch, digests, blocks = _payload_fixture(spark)
+    one = ingest_novel_payloads(
+        batch, digests, blocks, block_bytes=64, mis_max_iter=8
+    )
+    one_ids = sorted(r["doc_id"] for r in one.collect())
+
+    median = 100000
+    b1 = batch.where(F.col("doc_id") < median).localCheckpoint(eager=True)
+    b2 = batch.where(F.col("doc_id") >= median).localCheckpoint(eager=True)
+    a1 = ingest_novel_payloads(
+        b1, digests, blocks, block_bytes=64, mis_max_iter=8
+    ).localCheckpoint(eager=True)
+    adm1 = b1.join(a1.select("doc_id"), "doc_id")
+    digests2 = digests.unionByName(
+        a1.select(F.col("payload_hash"))
+    ).distinct()
+    blocks2 = blocks.unionByName(payload_block_state(adm1, block_bytes=64))
+    a2 = ingest_novel_payloads(
+        b2, digests2, blocks2, block_bytes=64, mis_max_iter=8
+    )
+    two_ids = sorted(
+        [r["doc_id"] for r in a1.collect()]
+        + [r["doc_id"] for r in a2.collect()]
+    )
+    assert two_ids == one_ids and len(one_ids) > 0
+
+
+def test_payload_ingest_redelivery_admits_nothing(spark):
+    """r10: after folding an admitted batch into both state faces,
+    re-delivering the SAME batch admits zero payloads."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        ingest_novel_payloads,
+        payload_block_state,
+    )
+
+    hist, batch, digests, blocks = _payload_fixture(spark)
+    a1 = ingest_novel_payloads(
+        batch, digests, blocks, block_bytes=64, mis_max_iter=8
+    ).localCheckpoint(eager=True)
+    assert a1.count() > 0
+    adm = batch.join(a1.select("doc_id"), "doc_id")
+    digests2 = digests.unionByName(a1.select("payload_hash")).distinct()
+    blocks2 = blocks.unionByName(payload_block_state(adm, block_bytes=64))
+    again = ingest_novel_payloads(
+        batch, digests2, blocks2, block_bytes=64, mis_max_iter=8
+    )
+    assert again.count() == 0
+
+
+def test_payload_ingest_capped_equals_uncapped_on_fixture(spark):
+    """r10: with no degenerate block bucket on the fixture, the combined
+    batch+state hot-bucket cap changes nothing — and the state-side count
+    it pays touches only the buckets the batch's keys hit (the bucketed
+    semi-join), never full history."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        ingest_novel_payloads,
+    )
+
+    hist, batch, digests, blocks = _payload_fixture(spark)
+    exact = sorted(
+        tuple(r)
+        for r in ingest_novel_payloads(
+            batch, digests, blocks, block_bytes=64, mis_max_iter=8
+        ).collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in ingest_novel_payloads(
+            batch,
+            digests,
+            blocks,
+            block_bytes=64,
+            max_bucket_size=1000,
+            mis_max_iter=8,
+        ).collect()
+    )
+    assert exact == capped and len(exact) > 0
