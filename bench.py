@@ -105,6 +105,12 @@ SECONDARY = [
     "mm_payload_dedup",
     "mm_payload_near_dup",
     "stream_ingest_neardup",
+    # r10 additions
+    "mm_payload_near_dup_capped",
+    "sim_centroid_roundtrip",
+    "sim_ingest_semantic",
+    "dedup_ingest_waves",
+    "mm_payload_ingest",
 ]
 
 

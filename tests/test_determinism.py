@@ -40,7 +40,10 @@ def _sorted_rows(df):
      # r9 operators
      "dedup_ingest_neardup", "sim_recall_probe_sampled",
      "text_bpe_vocab_roundtrip", "text_quality_c4",
-     "mm_payload_dedup", "mm_payload_near_dup"],
+     "mm_payload_dedup", "mm_payload_near_dup",
+     # r10 operators
+     "mm_payload_near_dup_capped", "sim_centroid_roundtrip",
+     "sim_ingest_semantic", "dedup_ingest_waves", "mm_payload_ingest"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")

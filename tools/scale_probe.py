@@ -146,6 +146,57 @@ def _probe_recall(nlist):
     return run
 
 
+def probe_semantic_ingest(spark, emb):
+    """The r10 vector-side ingest: probe assignment under persisted
+    centroids + block-collision admission. nlist scales with the corpus
+    (auto) so block sizes — and the collision join's pair work — stay
+    bounded as the blow-up grows."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        assignment_state,
+        auto_nlist,
+        ingest_novel_semantic,
+        kmeans_fit,
+    )
+
+    emb = emb.localCheckpoint(eager=True)
+    hist = emb.where(F.col("vec_id") % 3 < 2)
+    batch = emb.where(F.col("vec_id") % 3 == 2)
+    cents = kmeans_fit(hist, k=auto_nlist(hist), n_iter=1)
+    assign = assignment_state(hist, cents, nprobe=2).localCheckpoint(
+        eager=True
+    )
+    t0 = time.perf_counter()
+    ingest_novel_semantic(batch, assign, hist, cents).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_payload_ingest(spark, docs):
+    """The r10 payload ingest: digest anti-join + block-key collision
+    admission. Block buckets hold copies of identical aligned blocks —
+    the prefix-salted blow-up keeps them constant-size, so the probe
+    should track the data ratio, not square it."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        ingest_novel_payloads,
+        payload_block_state,
+    )
+
+    mm = attach_payload(docs).localCheckpoint(eager=True)
+    hist = mm.where(F.col("doc_id") % 3 < 2)
+    batch = mm.where(F.col("doc_id") % 3 == 2)
+    digests = hist.select(F.md5(F.col("payload")).alias("payload_hash"))
+    blocks = payload_block_state(hist, block_bytes=64).localCheckpoint(
+        eager=True
+    )
+    t0 = time.perf_counter()
+    ingest_novel_payloads(
+        batch, digests, blocks, block_bytes=64, max_bucket_size=1000
+    ).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 # The recall probe runs twice on purpose — the contrast IS the finding
 # (measured at factor 4 on sf0.1 embeddings, 2k -> 8k vectors):
 #   fixed nlist=32 (the oracle-pinned test constant): 3.5 -> 22.6 s,
@@ -172,6 +223,9 @@ def main() -> None:
         ("minhash_near_dups", docs_at, probe_minhash),
         ("recall_sampled_fixed_nlist", emb_at, _probe_recall(32)),
         ("recall_sampled_auto_nlist", emb_at, _probe_recall("auto")),
+        # r10 ingest family extensions
+        ("semantic_ingest", emb_at, probe_semantic_ingest),
+        ("payload_ingest", docs_at, probe_payload_ingest),
     ]
     for name, mk, run in probes:
         run(spark, mk(spark, 1))  # warm: JVM/codegen/scan caches
