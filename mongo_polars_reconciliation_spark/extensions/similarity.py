@@ -332,10 +332,16 @@ def save_centroids(spark, cents: list[list[float]], path: str) -> None:
     (cid int, c array<double>); parquet stores the doubles bit-exactly,
     so fit → save → load → assign is bit-identical to fit-then-assign
     (property-pinned). The table is nlist rows — driver/broadcast scale
-    by construction (see ``auto_nlist``'s √n cap)."""
+    by construction (see ``auto_nlist``'s √n cap).
+
+    The local relation is parallelized as ONE slice: the default
+    createDataFrame splits driver rows across defaultParallelism python
+    partitions and the write then pays a Python-worker round trip per
+    slice — measured ~4 s for 32 rows at local[32] vs 0.3 s single-slice
+    (and one slice means one output file, no coalesce needed)."""
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-    spark.createDataFrame(rows, "cid int, c array<double>").coalesce(
-        1
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "cid int, c array<double>"
     ).write.mode("overwrite").parquet(path)
 
 
@@ -1093,9 +1099,13 @@ def ingest_novel_semantic(
         F.col("__hv"),
         F.col("__hn"),
     )
-    bv = ba.select(
+    # one row per batch vector: recomputed map-only from the batch (same
+    # projection probe_assignments starts from, so identical doubles) —
+    # cheaper than DISTINCTing the nprobe-exploded assignment rows, which
+    # would shuffle the vector arrays themselves
+    bv = _with_norm(new_vecs.select(id_col, vec_col), vec_col, "__").select(
         F.col(id_col).alias("__bid"), "__v", "__n"
-    ).distinct()  # one row per batch vector (nprobe assignment rows each)
+    )
     dropped_hist = (
         cand_hist.join(bv, "__bid")
         .join(hist_vecs, "__hid")

@@ -1742,7 +1742,10 @@ def dedup_ingest_waves(spark, sf_dir) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    hist = docs.where(F.col("doc_id") % 3 < 2)
+    # hist feeds 4 consumers (seed bands, ledger, wave-1 corpus arg, docs
+    # face write) and seed_ledger / seed_bands 2 each — checkpoint so the
+    # shingle→signature seed pipeline runs once, not per consumer
+    hist = docs.where(F.col("doc_id") % 3 < 2).localCheckpoint(eager=False)
     b1 = docs.where(F.col("doc_id") % 3 == 2)
     near_text = F.expr("substring(text, instr(text, ' ') + 1)")
     b2 = (
@@ -1767,11 +1770,12 @@ def dedup_ingest_waves(spark, sf_dir) -> DataFrame:
         F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
             "text_hash"
         ),
-    )
+    ).localCheckpoint(eager=False)
+    seed_bands = band_state(hist).localCheckpoint(eager=False)
     a1 = ingest_novel_neardup(
         b1,
         seed_ledger.select("text_hash").distinct(),
-        band_state(hist),
+        seed_bands,
         hist,
         mis_max_iter=8,
     ).localCheckpoint(eager=True)
@@ -1781,7 +1785,7 @@ def dedup_ingest_waves(spark, sf_dir) -> DataFrame:
     root = scratch_path(tag, "ingest_waves")
     _shutil.rmtree(root, ignore_errors=True)
     seed_ledger.unionByName(a1).write.parquet(f"{root}/state/admitted")
-    band_state(hist).unionByName(band_state(adm1)).write.parquet(
+    seed_bands.unionByName(band_state(adm1)).write.parquet(
         f"{root}/state/bands"
     )
     hist.unionByName(adm1).write.parquet(f"{root}/state/docs")
