@@ -2351,101 +2351,32 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # touch only queries inside the driver's ~50-position budget, so their
 # fresh rows still verify final code. The r9 ledger is inside the dict.
 QUERIES = {
-    # ================= r9 DRIVER-VERIFICATION LEDGER =================
+    # ================= r10 DRIVER-VERIFICATION LEDGER =================
     # The driver checks the FIRST ~50 entries each round (budget exactly
-    # 50 in r5-r8). Ordering discipline (r5-r8 verdicts): this reorder is
+    # 50 in r5-r9). Ordering discipline (r5-r9 verdicts): this reorder is
     # the round's LAST semantics-touching commit; any later change may
     # touch only queries inside the 50-position budget.
     #
-    # -- 1-26: the 26 r6-row rotation queries (r8 positions 51-76) --
-    #    VERDICT r8 ask #1: these MUST lead r9 (3 rounds stale
-    #    otherwise). Order preserved from the r8 overflow listing.
-    # -- 27-33: the 7 NEW r9 queries --
-    #    near-dup ingest (batch + streaming face), sampled recall probe,
-    #    BPE artifact round-trip, C4 quality signals, payload dedup
-    #    (exact + block near-dup).
-    # -- 34-40: the 7 CHANGED r9 queries --
-    #    text_bpe_merges/encode (try_element_at ANSI fix + shared-step
-    #    refactor), text_quality_gate (null-text coalesce - oracle
-    #    updated in lockstep), curation_pipeline{,_v2,_v3} + text_datacard
-    #    (fused_doc_scores gained the optional c4 face and v2/v3 the
-    #    optional C4 floors - defaults off, outputs unchanged, demoted
-    #    conservatively).
-    # -- 41-50: the 10 oldest r7-row queries --
-    #    pulled forward so the r7 tail ages evenly instead of going
-    #    3-rounds-stale en masse in r10.
-    # -- 51-71: remaining r7-row tail (21) - next round's rotation
-    #    leads with these. -- 72-115: r8-row tail (44, freshest). --
-    #
-    # POST-ORDERING CHANGES (positional invariant, r6-r8 precedent -
-    # every touched query is inside the 50-position budget, so its
-    # driver row verifies final code):
-    # (1) stream_ingest_neardup (position 28): harness-side only -
-    #     coalesce(1) on the feed writer (2 intended triggers instead
-    #     of one per part-FILE) and eager-checkpointed seed frames;
-    #     value-identical, re-parity-checked at sf0.001 + sf0.01,
-    #     warm min 21.5 -> 14.2 s at sf0.1; plus an explicit utime pin
-    #     of the trigger order (this query's drained-==-one-batch
-    #     contract is order-sensitive, unlike the commutative streams).
-    # (2) ingest_novel_neardup (positions 27-28): localCheckpoint the
-    #     combined shingle frame and the verified edge set (each
-    #     consumed 3x) - value-identical, parity re-checked both SFs.
+    # -- 1-21: the 21 r7-row rotation queries (r9 positions 51-71) --
+    #    VERDICT r9 ask #1: these MUST lead r10 (the reconciliation
+    #    semantic core, 3 rounds stale otherwise). Order preserved from
+    #    the r9 overflow listing.
+    # -- 22-26: the 5 NEW r10 queries --
+    #    centroid artifact round-trip, embedding-space ingest,
+    #    multi-wave ingest across compaction, payload ingest, capped
+    #    payload near-dup.
+    # -- 27-31: the 5 CHANGED r10 queries --
+    #    dedup_ingest_neardup + stream_ingest_neardup (history-docs
+    #    dedup after the candidate semi-join + crawl-loop geometry/write-
+    #    order fixes), mm_payload_near_dup (cap param + singleton-bucket
+    #    prune), sim_knn_join_multiprobe + sim_semantic_dedup_fitted
+    #    (optional pre-fitted cents parameter - demoted conservatively;
+    #    the default path is value-identical).
+    # -- 32-50: the 19 oldest r8-row queries --
+    #    pulled forward so the r8 tail ages evenly (r9 precedent).
+    # -- 51-73: remaining r8-row tail (23) - next round's rotation
+    #    leads with these. -- 74-120: r9-row tail (47, freshest). --
     # ==================================================================
-    "sim_topk_lsh": sim_topk_lsh,
-    "sim_contamination": sim_contamination,
-    "events_hourly": events_hourly,
-    "events_sessionize": events_sessionize,
-    "mm_decode_features": mm_decode_features,
-    "mm_frame_sample": mm_frame_sample,
-    "text_mix_epochs": text_mix_epochs,
-    "events_retention": events_retention,
-    "events_daily_type_pivot": events_daily_type_pivot,
-    "events_rollup": events_rollup,
-    "events_user_running_value": events_user_running_value,
-    "events_asof_last_view": events_asof_last_view,
-    "events_daily_rollup2": events_hourly_from_daily_rollup,
-    "events_top_users_per_type": events_top_users_per_type,
-    "text_tfidf_top_terms": text_tfidf_top_terms,
-    "text_pack_sequences": text_pack_sequences,
-    "events_salted_agg": events_salted_agg,
-    "events_hist_quantiles": events_hist_quantiles,
-    "text_scrub_terms": text_scrub_terms,
-    "text_chunk": text_chunk,
-    "text_repetition": text_repetition,
-    "text_contamination": text_contamination,
-    "text_fingerprint": text_fingerprint,
-    "text_ngram_freq": text_ngram_freq,
-    "recon_match_exact": recon_match_exact,
-    "recon_duplicate_losers": recon_duplicate_losers,
-    "dedup_ingest_neardup": dedup_ingest_neardup,
-    "stream_ingest_neardup": stream_ingest_neardup,
-    "sim_recall_probe_sampled": sim_recall_probe_sampled,
-    "text_bpe_vocab_roundtrip": text_bpe_vocab_roundtrip,
-    "text_quality_c4": text_quality_c4,
-    "mm_payload_dedup": mm_payload_dedup,
-    "mm_payload_near_dup": mm_payload_near_dup,
-    "mm_payload_near_dup_capped": mm_payload_near_dup_capped,
-    "sim_centroid_roundtrip": sim_centroid_roundtrip,
-    "sim_ingest_semantic": sim_ingest_semantic,
-    "dedup_ingest_waves": dedup_ingest_waves,
-    "mm_payload_ingest": mm_payload_ingest,
-    "text_bpe_merges": text_bpe_merges,
-    "text_bpe_encode": text_bpe_encode,
-    "text_quality_gate": text_quality_gate,
-    "curation_pipeline": curation_pipeline,
-    "curation_pipeline_v2": curation_pipeline_v2,
-    "curation_pipeline_v3": curation_pipeline_v3,
-    "text_datacard": text_datacard,
-    "text_ngram_novelty": text_ngram_novelty,
-    "text_split_cluster_safe": text_split_cluster_safe,
-    "text_dup_spans": text_dup_spans,
-    "text_dup_spans_trim": text_dup_spans_trim,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_embedding_cosine": dedup_embedding_cosine,
-    "sim_knn_join": sim_knn_join,
-    "sim_semantic_dedup": sim_semantic_dedup,
-    "recon_residual_internal": recon_residual_internal,
-    "recon_residual_external": recon_residual_external,
     "recon_zero_effect_pairs": recon_zero_effect_pairs,
     "recon_zero_effect_clean": recon_zero_effect_clean,
     "recon_tolerance_match": recon_tolerance_match,
@@ -2467,6 +2398,16 @@ QUERIES = {
     "text_lang_confusion": text_lang_confusion,
     "events_user_kmv": events_user_kmv,
     "events_kmv_merge": events_kmv_merge,
+    "sim_centroid_roundtrip": sim_centroid_roundtrip,
+    "sim_ingest_semantic": sim_ingest_semantic,
+    "dedup_ingest_waves": dedup_ingest_waves,
+    "mm_payload_ingest": mm_payload_ingest,
+    "mm_payload_near_dup_capped": mm_payload_near_dup_capped,
+    "dedup_ingest_neardup": dedup_ingest_neardup,
+    "stream_ingest_neardup": stream_ingest_neardup,
+    "mm_payload_near_dup": mm_payload_near_dup,
+    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
+    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
     "sim_recall_probe": sim_recall_probe,
     "text_sample_fixed_k": text_sample_fixed_k,
     "dedup_ingest_incremental": dedup_ingest_incremental,
@@ -2480,8 +2421,6 @@ QUERIES = {
     "text_split_leakage_safe": text_split_leakage_safe,
     "dedup_source_overlap": dedup_source_overlap,
     "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
-    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
-    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
     "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
     "recon_persist_roundtrip": recon_persist_roundtrip,
     "recon_csv_roundtrip": recon_csv_roundtrip,
@@ -2511,6 +2450,53 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_ivf": sim_topk_ivf,
+    "sim_topk_lsh": sim_topk_lsh,
+    "sim_contamination": sim_contamination,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
+    "text_mix_epochs": text_mix_epochs,
+    "events_retention": events_retention,
+    "events_daily_type_pivot": events_daily_type_pivot,
+    "events_rollup": events_rollup,
+    "events_user_running_value": events_user_running_value,
+    "events_asof_last_view": events_asof_last_view,
+    "events_daily_rollup2": events_hourly_from_daily_rollup,
+    "events_top_users_per_type": events_top_users_per_type,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_pack_sequences": text_pack_sequences,
+    "events_salted_agg": events_salted_agg,
+    "events_hist_quantiles": events_hist_quantiles,
+    "text_scrub_terms": text_scrub_terms,
+    "text_chunk": text_chunk,
+    "text_repetition": text_repetition,
+    "text_contamination": text_contamination,
+    "text_fingerprint": text_fingerprint,
+    "text_ngram_freq": text_ngram_freq,
+    "recon_match_exact": recon_match_exact,
+    "recon_duplicate_losers": recon_duplicate_losers,
+    "sim_recall_probe_sampled": sim_recall_probe_sampled,
+    "text_bpe_vocab_roundtrip": text_bpe_vocab_roundtrip,
+    "text_quality_c4": text_quality_c4,
+    "mm_payload_dedup": mm_payload_dedup,
+    "text_bpe_merges": text_bpe_merges,
+    "text_bpe_encode": text_bpe_encode,
+    "text_quality_gate": text_quality_gate,
+    "curation_pipeline": curation_pipeline,
+    "curation_pipeline_v2": curation_pipeline_v2,
+    "curation_pipeline_v3": curation_pipeline_v3,
+    "text_datacard": text_datacard,
+    "text_ngram_novelty": text_ngram_novelty,
+    "text_split_cluster_safe": text_split_cluster_safe,
+    "text_dup_spans": text_dup_spans,
+    "text_dup_spans_trim": text_dup_spans_trim,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "sim_knn_join": sim_knn_join,
+    "sim_semantic_dedup": sim_semantic_dedup,
+    "recon_residual_internal": recon_residual_internal,
+    "recon_residual_external": recon_residual_external,
 }
 
 
