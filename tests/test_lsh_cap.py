@@ -182,3 +182,54 @@ def test_payload_capped_equals_uncapped_on_fixture(spark):
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, capped.collect())
     )
+
+
+def test_payload_ingest_cap_bounds_degenerate_history_collisions(spark):
+    """r10: the payload ingest's hot-bucket cap guards the HISTORY
+    collision join too — 2k history payloads sharing one zero-run block
+    would fan every zero-padded batch doc out to all of them; with the
+    cap the degenerate key is dropped from both sides BEFORE the join
+    (the combined batch+touched-state count), the join stays bounded,
+    and admission decisions fall back to the docs' discriminative
+    blocks: the byte-exact re-upload is still rejected (digest phase),
+    the genuinely novel zero-padded doc still admits."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        ingest_novel_payloads,
+        payload_block_state,
+    )
+
+    zeros = "\x00" * 64
+    hist_rows = [
+        (i, zeros + f"hist{i:08d}".ljust(64, "h")) for i in range(2000)
+    ]
+    hist = attach_payload(
+        spark.createDataFrame(hist_rows, "doc_id long, text string")
+    )
+    batch = attach_payload(
+        spark.createDataFrame(
+            [
+                # byte-exact re-upload of hist doc 7 → digest rejection
+                (100000, zeros + "hist00000007".ljust(64, "h")),
+                # novel zero-padded payload → must admit despite sharing
+                # the (capped) degenerate block with all 2000 hist docs
+                (100001, zeros + "novel".ljust(64, "n")),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    digests = hist.select(
+        F.md5(F.col("payload")).alias("payload_hash")
+    ).distinct()
+    got = sorted(
+        r["doc_id"]
+        for r in ingest_novel_payloads(
+            batch,
+            digests,
+            payload_block_state(hist, block_bytes=64),
+            block_bytes=64,
+            max_bucket_size=100,
+            mis_max_iter=8,
+        ).collect()
+    )
+    assert got == [100001], got
