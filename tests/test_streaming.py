@@ -380,3 +380,28 @@ def test_neardup_ingest_tolerates_duplicate_state_rows(spark):
         ).collect()
     )
     assert clean == dup and len(clean) > 0
+
+
+def test_compact_ingest_state_refuses_remote_warehouse(spark):
+    """r10 (advice): the compaction's stale-location cleanup shells out
+    to the local filesystem; a non-file: warehouse URI must fail loudly
+    BEFORE any table drop, not rmtree a stripped-scheme path."""
+    import pytest as _pytest
+
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        compact_ingest_state,
+    )
+
+    class _Conf:
+        def get(self, key):
+            assert key == "spark.sql.warehouse.dir"
+            return "s3a://bucket/warehouse"
+
+    class _FakeSpark:
+        conf = _Conf()
+
+        def sql(self, *_a, **_k):  # pragma: no cover - must not be reached
+            raise AssertionError("guard must fire before any catalog op")
+
+    with _pytest.raises(ValueError, match="local .file:. warehouse"):
+        compact_ingest_state(_FakeSpark(), "/tmp/nowhere")

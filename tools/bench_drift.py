@@ -171,11 +171,16 @@ def main() -> None:
 
     def ratio(q: str) -> float:
         r = b[q] / a[q]
-        if handicap is not None and q != "q1_pricing_summary":
+        if handicap is not None:
             r /= handicap
         return r
 
     common = sorted(q for q in set(a) & set(b) if a[q] > 0 and b[q] > 0)
+    if handicap is not None:
+        # the control's own movement IS the handicap line above — its
+        # normalized ratio is 1 by construction, so listing it raw would
+        # just restate the handicap as a spurious flag
+        common = [q for q in common if q != "q1_pricing_summary"]
     up = [(q, ratio(q)) for q in common if ratio(q) > THRESHOLD]
     down = [(q, ratio(q)) for q in common if 1 / ratio(q) > THRESHOLD]
     print(f"bench_drift: {old} -> {new}: {len(common)} comparable query mins"
