@@ -2041,3 +2041,73 @@ def test_payload_ingest_capped_equals_uncapped_on_fixture(spark):
         ).collect()
     )
     assert exact == capped and len(exact) > 0
+
+
+def test_semantic_ingest_cold_start_empty_state(spark):
+    """r10: a first-wave ingest against EMPTY state reduces to pure
+    within-batch greedy admission — exact copies collapse to the lower
+    id, unrelated vectors all admit."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ingest_novel_semantic,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") < 40)
+    copies = base.where(F.col("vec_id") % 4 == 1).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    batch = base.unionByName(copies)
+    cents = kmeans_fit(base, k=4, n_iter=1)
+    empty_assign = spark.createDataFrame([], "blk int, vec_id long")
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in ingest_novel_semantic(
+            batch, empty_assign, empty_vecs, cents, mis_max_iter=8
+        ).collect()
+    )
+    n_base = base.count()
+    # every original admits (natural vectors are far apart), every exact
+    # copy rejects against its lower-id original
+    assert got == sorted(r["vec_id"] for r in base.collect()), got
+    assert len(got) == n_base
+
+
+def test_payload_ingest_cold_start_and_zero_length(spark):
+    """r10: cold start against empty state + zero-length payloads, which
+    emit no blocks and are exact-dedup-only by construction — two empty
+    payloads are exact copies of each other (one admits), and a
+    zero-length payload can never be a block near-dup of anything."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        ingest_novel_payloads,
+    )
+
+    batch = attach_payload(
+        spark.createDataFrame(
+            [
+                (1, "a" * 200),
+                (2, ""),          # zero-length
+                (3, ""),          # exact copy of 2 → rejected
+                (4, "a" * 200),   # exact copy of 1 → rejected
+                (5, "b" * 200),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    empty_dg = spark.createDataFrame([], "payload_hash string")
+    empty_blocks = spark.createDataFrame(
+        [], "bblock string, doc_id long, n_blocks long"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in ingest_novel_payloads(
+            batch, empty_dg, empty_blocks, block_bytes=64, mis_max_iter=8
+        ).collect()
+    )
+    assert got == [1, 2, 5], got
