@@ -2111,3 +2111,217 @@ def test_payload_ingest_cold_start_and_zero_length(spark):
         ).collect()
     )
     assert got == [1, 2, 5], got
+
+
+# Payload-ingest randomized model: texts composed from a small pool of
+# block-sized chunks so shared aligned blocks (and exact copies) occur
+# often. The pure-Python model replays the whole admission — digest
+# keeper/anti-join, shared-block fraction vs history, doc-at-a-time
+# sequential greedy — with the engine's exact floor4 arithmetic.
+_CHUNKS = [c * 64 for c in "abcdefgh"]
+_doc_strategy = st.lists(st.integers(0, 7), min_size=0, max_size=4).map(
+    lambda idx: "".join(_CHUNKS[i] for i in idx)
+)
+
+
+def _payload_model(hist, batch, block_bytes=64, threshold=0.5):
+    import hashlib
+    import math
+
+    def md5(t):
+        return hashlib.md5(t.encode()).hexdigest()
+
+    def blocks(t):
+        return [
+            (i // block_bytes, md5(t[i : i + block_bytes]))
+            for i in range(0, len(t), block_bytes)
+        ]
+
+    def sim(ta, tb):
+        ba, bb = set(blocks(ta)), set(blocks(tb))
+        if not ba or not bb:
+            return 0.0
+        nsh = len(ba & bb)
+        return math.floor(
+            nsh / max(len(ba), len(bb)) * 10000
+        ) / 10000
+
+    hist_dg = {md5(t) for t in hist.values()}
+    # phase 1: min-id keeper per digest, digest not in history
+    keeper: dict[str, int] = {}
+    texts = dict(batch)
+    for i in sorted(texts):
+        keeper.setdefault(md5(texts[i]), i)
+    kept = [i for h, i in keeper.items() if h not in hist_dg]
+    # phase 2: block near-dup vs history
+    kept2 = [
+        i
+        for i in sorted(kept)
+        if not any(sim(texts[i], ht) >= threshold for ht in hist.values())
+    ]
+    # phase 3: sequential greedy within batch
+    admitted: list[int] = []
+    for i in kept2:  # ascending id = arrival order
+        if not any(sim(texts[i], texts[j]) >= threshold for j in admitted):
+            admitted.append(i)
+    return sorted(admitted)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    hist_docs=st.lists(_doc_strategy, min_size=0, max_size=3),
+    batch_docs=st.lists(_doc_strategy, min_size=1, max_size=6),
+)
+def test_payload_ingest_matches_python_model(spark, hist_docs, batch_docs):
+    """r10 randomized end-to-end pin, independent of the DuckDB oracle:
+    on arbitrary chunk-composed corpora the engine's payload admission
+    equals the doc-at-a-time Python model."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        ingest_novel_payloads,
+        payload_block_state,
+    )
+    from pyspark.sql import functions as SF
+
+    hist = {i: t for i, t in enumerate(hist_docs)}
+    batch = {100 + i: t for i, t in enumerate(batch_docs)}
+    expected = _payload_model(hist, batch)
+
+    hist_df = attach_payload(
+        spark.createDataFrame(
+            list(hist.items()) or [(None, None)], "doc_id long, text string"
+        ).where(SF.col("doc_id").isNotNull())
+    )
+    batch_df = attach_payload(
+        spark.createDataFrame(list(batch.items()), "doc_id long, text string")
+    )
+    digests = hist_df.select(
+        SF.md5(SF.col("payload")).alias("payload_hash")
+    ).distinct()
+    got = sorted(
+        r["doc_id"]
+        for r in ingest_novel_payloads(
+            batch_df,
+            digests,
+            payload_block_state(hist_df, block_bytes=64),
+            block_bytes=64,
+            mis_max_iter=10,
+        ).collect()
+    )
+    assert got == expected, (hist, batch, got, expected)
+
+
+# Semantic-ingest randomized model: vectors drawn from 4 axis-aligned
+# prototypes (cross-prototype cosine ≈ 0, far below threshold) plus
+# optional perturbed variants (cos ≈ 0.9487, above it) and exact copies
+# (cos 1.0) — decisions sit far from the 0.9 boundary, so the model's
+# Python floats and the engine's doubles can never disagree through the
+# 6-dp rounding. Centroids are the prototypes themselves, passed
+# explicitly (the persisted-artifact contract), so the model needs no
+# Lloyd replay — just the same left-fold distance/probe/cosine math.
+_PROTOS = [
+    [3.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    [0.0, 3.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, 3.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, 0.0, 3.0, 0.0, 0.0, 0.0, 0.0],
+]
+
+
+def _vec_of(proto: int, variant: int) -> list:
+    v = list(_PROTOS[proto])
+    if variant:
+        v[4 + proto] = 1.0  # cos(v, proto) = 9/(3*sqrt(10)) ≈ 0.9487
+    return v
+
+
+def _semantic_model(hist, batch, cents, threshold=0.9, nprobe=2):
+    import math
+
+    def probes(v):
+        ds = []
+        for cid, c in enumerate(cents):
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc = acc + (x - y) * (x - y)
+            ds.append((acc, cid))
+        ds.sort()
+        return {cid for _, cid in ds[:nprobe]}
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    hp = {i: probes(v) for i, v in hist.items()}
+    bp = {i: probes(v) for i, v in batch.items()}
+    kept = [
+        i
+        for i in sorted(batch)
+        if not any(
+            bp[i] & hp[h] and cos(batch[i], hv) >= threshold
+            for h, hv in hist.items()
+        )
+    ]
+    admitted = []
+    for i in kept:
+        if not any(
+            bp[i] & bp[j] and cos(batch[i], batch[j]) >= threshold
+            for j in admitted
+        ):
+            admitted.append(i)
+    return sorted(admitted)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    hist_spec=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1)),
+        min_size=0,
+        max_size=3,
+    ),
+    batch_spec=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1)),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_semantic_ingest_matches_python_model(spark, hist_spec, batch_spec):
+    """r10 randomized end-to-end pin, independent of the DuckDB oracle:
+    on prototype-composed corpora the engine's semantic admission under
+    explicit centroids equals the doc-at-a-time Python model (same
+    left-fold IEEE arithmetic, same probe blocking, same greedy)."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        assignment_state,
+        ingest_novel_semantic,
+    )
+
+    hist = {i: _vec_of(p, f) for i, (p, f) in enumerate(hist_spec)}
+    batch = {100 + i: _vec_of(p, f) for i, (p, f) in enumerate(batch_spec)}
+    expected = _semantic_model(hist, batch, _PROTOS)
+
+    hist_df = spark.createDataFrame(
+        [(i, v) for i, v in hist.items()] or [(-1, _PROTOS[0])],
+        "vec_id long, embedding array<double>",
+    ).where(F.col("vec_id") >= 0)
+    batch_df = spark.createDataFrame(
+        [(i, v) for i, v in batch.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        r["vec_id"]
+        for r in ingest_novel_semantic(
+            batch_df,
+            assignment_state(hist_df, _PROTOS, nprobe=2),
+            hist_df,
+            _PROTOS,
+            threshold=0.9,
+            nprobe=2,
+            mis_max_iter=10,
+        ).collect()
+    )
+    assert got == expected, (hist_spec, batch_spec, got, expected)
