@@ -309,9 +309,10 @@ def ingest_novel_payloads(
     the state rows those keys touch. Counting the state side is scale-
     sane precisely because the state is bucketed by bblock: the key
     semi-join reads only the matching buckets exchange-free, never the
-    full history (capped ≡ uncapped pinned on the fixture; the text
-    ingest cannot afford this and caps only its within-batch phase,
-    because its band state would need a full re-aggregation).
+    full history (capped ≡ uncapped pinned on the fixture). The text
+    ingest currently caps only its within-batch phase; this
+    restrict-to-touched-buckets-then-count pattern applies to its band
+    state just as well and is the natural follow-up there.
 
     Scale shape: phase 1 is the digest-bucketed anti-join; phase 2's
     collision join hits the bblock-bucketed state (plan pin in
