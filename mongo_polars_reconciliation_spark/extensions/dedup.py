@@ -245,6 +245,22 @@ def ingest_novel_neardup(
     break idempotence). Docs with no shingles (< n tokens) are
     exact-dedup-only by construction.
 
+    ``max_bucket_size`` (r10: extended from within-batch-only to BOTH
+    collision joins, the ``ingest_novel_payloads`` treatment): a
+    boilerplate band key shared corpus-wide — the canonical LSH hot
+    bucket — would fan every batch doc carrying it out to all its
+    history holders. With the cap set, the per-key population is counted
+    over the batch's keys plus the state rows those keys TOUCH (the
+    bucketed key semi-join reads only matching buckets, never full
+    history) and over-cap keys are dropped from the history join; the
+    within-batch phase keeps its batch-side count via
+    :func:`_pairs_from_band_keys`. A bucket that common is boilerplate
+    collision — genuinely similar docs still meet in their other bands —
+    and a dropped bucket's candidates would have failed the Jaccard
+    verify anyway in that case (pinned capped ≡ uncapped on a
+    boilerplate-header corpus in tests/test_lsh_cap.py). Default None =
+    exact, all driver queries' current behavior.
+
     Scale shape: phase 1 is the digest-bucketed anti-join (plan pin in
     tests/test_bucketing.py); phase 2's band join hits a state table
     bucketed by the composite bband key, so the accumulated band state
@@ -291,11 +307,30 @@ def ingest_novel_neardup(
 
     # phase 2: history collisions → exact-Jaccard verify against the few
     # colliding history docs only
-    cand_hist = (
-        bk.select("bband", F.col(id_col).alias("__bid"))
-        .join(
-            state_bands.select("bband", F.col(id_col).alias("__hid")), "bband"
+    bk_h = bk.select("bband", F.col(id_col).alias("__bid"))
+    hits = state_bands.select("bband", F.col(id_col).alias("__hid"))
+    if max_bucket_size is not None:
+        # combined batch + touched-state population per key; the state
+        # count reads only the buckets the batch's keys hit (bucketed
+        # semi-join — exchange-free on the stored side, never a full
+        # state re-aggregation)
+        hits = hits.join(
+            bk_h.select("bband").distinct(), "bband"
+        ).localCheckpoint(eager=False)
+        nb = bk_h.groupBy("bband").agg(F.count(F.lit(1)).alias("__nb"))
+        nh = hits.groupBy("bband").agg(F.count(F.lit(1)).alias("__nh"))
+        ok = (
+            nb.join(nh, "bband", "left")
+            .where(
+                F.col("__nb") + F.coalesce(F.col("__nh"), F.lit(0))
+                <= max_bucket_size
+            )
+            .select("bband")
         )
+        bk_h = bk_h.join(ok, "bband")
+        hits = hits.join(ok, "bband")
+    cand_hist = (
+        bk_h.join(hits, "bband")
         .select("__bid", "__hid")
         .distinct()
         .localCheckpoint(eager=False)

@@ -233,3 +233,75 @@ def test_payload_ingest_cap_bounds_degenerate_history_collisions(spark):
         ).collect()
     )
     assert got == [100001], got
+
+
+def test_text_ingest_history_cap_equals_uncapped(spark):
+    """r10: the text ingest's history collision join now honors the
+    hot-bucket cap with the combined batch+touched-state count. Two
+    pins: (a) on the standard ingest fixture (no hot bucket) capped ≡
+    uncapped exactly; (b) on a boilerplate-header corpus — 400 history
+    docs sharing a 3-token header whose band key goes corpus-hot while
+    every doc's tail is unique — the cap drops the hot key from the
+    join, and the admission answer is STILL identical to uncapped,
+    because hot-bucket candidates share only boilerplate (Jaccard far
+    under threshold) and fail verification anyway."""
+    from pyspark.sql import functions as F
+
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+    )
+    from tests.test_properties import _neardup_fixture
+
+    hist, batch, digests, bands = _neardup_fixture(spark)
+    exact = sorted(
+        tuple(r)
+        for r in ingest_novel_neardup(
+            batch, digests, bands, hist, mis_max_iter=8
+        ).collect()
+    )
+    capped = sorted(
+        tuple(r)
+        for r in ingest_novel_neardup(
+            batch, digests, bands, hist, max_bucket_size=1000, mis_max_iter=8
+        ).collect()
+    )
+    assert exact == capped and len(exact) > 0
+
+    boiler = "common0 common1 common2"
+    hist2 = spark.createDataFrame(
+        [(i, f"{boiler} u{i:05d}a u{i:05d}b u{i:05d}c") for i in range(400)],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (1000, f"{boiler} v00001a v00001b v00001c"),  # novel tail
+            # true near-dup of hist doc 7 (drops the last tail token:
+            # J = 4/6 >= 0.6) — must still be caught through a
+            # NON-boilerplate shared band or, if its only collisions ride
+            # the capped key, the capped answer documents the miss; both
+            # engines/paths must simply AGREE
+            (1001, f"{boiler} u00007a u00007b"),
+        ],
+        "doc_id long, text string",
+    )
+    dg2 = hist2.select(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "text_hash"
+        )
+    ).distinct()
+    bands2 = band_state(hist2)
+    got_exact = sorted(
+        r["doc_id"]
+        for r in ingest_novel_neardup(
+            batch2, dg2, bands2, hist2, mis_max_iter=8
+        ).collect()
+    )
+    got_capped = sorted(
+        r["doc_id"]
+        for r in ingest_novel_neardup(
+            batch2, dg2, bands2, hist2, max_bucket_size=100, mis_max_iter=8
+        ).collect()
+    )
+    assert got_exact == got_capped, (got_exact, got_capped)
+    assert 1000 in got_capped  # the novel doc always admits
