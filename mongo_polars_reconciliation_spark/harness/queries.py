@@ -2376,6 +2376,17 @@ QUERIES = {
     #    pulled forward so the r8 tail ages evenly (r9 precedent).
     # -- 51-73: remaining r8-row tail (23) - next round's rotation
     #    leads with these. -- 74-120: r9-row tail (47, freshest). --
+    #
+    # POST-ORDERING CHANGES (positional invariant, r6-r9 precedent -
+    # every touched query is inside the 50-position budget, so its
+    # driver row verifies final code):
+    # (1) ingest_novel_neardup gained the combined batch+touched-state
+    #     hot-bucket cap on its HISTORY collision join (default None -
+    #     behavior unchanged for every query; affects positions 24, 27,
+    #     28: dedup_ingest_waves, dedup_ingest_neardup,
+    #     stream_ingest_neardup). Parity re-checked at sf0.001 AND
+    #     sf0.01 for all three after the change; capped==uncapped pinned
+    #     on the standard fixture and a boilerplate-header corpus.
     # ==================================================================
     "recon_zero_effect_pairs": recon_zero_effect_pairs,
     "recon_zero_effect_clean": recon_zero_effect_clean,
