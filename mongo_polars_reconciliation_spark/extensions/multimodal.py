@@ -302,7 +302,11 @@ def ingest_novel_payloads(
     both bucketed by their key in production. Ids unique across state
     and batch; arrival order = id order. Zero-length payloads emit no
     blocks — exact-dedup-only, like sub-``n``-token texts in the text
-    family.
+    family. NULL payloads digest as the EMPTY payload (the shared
+    null-content rule): a NULL digest would never match the anti-join
+    (NULL <> NULL in join equality), so a null-payload doc would
+    re-admit on every redelivery — the r8 null-text lesson, applied
+    here from the start.
 
     ``max_bucket_size``: the hot-bucket cap, applied over the COMBINED
     per-key population of the collision join — the batch's own keys plus
@@ -325,7 +329,8 @@ def ingest_novel_payloads(
         _greedy_admit,
     )
 
-    dg = F.md5(F.col(payload_col)).alias("__dg")
+    empty_bin = F.lit("").cast("binary")
+    dg = F.md5(F.coalesce(F.col(payload_col), empty_bin)).alias("__dg")
     keep1 = (
         new_mm.select(F.col(id_col), dg)
         .groupBy("__dg")

@@ -2947,9 +2947,12 @@ batch AS MATERIALIZED (
          text || ' extra appended tail content for payload variant'
   FROM documents WHERE doc_id % 10 = 5
 ),
-hist_dg AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM hist),
+hist_dg AS MATERIALIZED (
+  SELECT DISTINCT md5(COALESCE(text, '')) AS h FROM hist
+),
 keep1 AS MATERIALIZED (
-  SELECT md5(text) AS h, MIN(doc_id) AS doc_id FROM batch GROUP BY md5(text)
+  SELECT md5(COALESCE(text, '')) AS h, MIN(doc_id) AS doc_id FROM batch
+  GROUP BY md5(COALESCE(text, ''))
 ),
 keep1n AS MATERIALIZED (
   SELECT k.h, k.doc_id FROM keep1 k LEFT JOIN hist_dg s ON s.h = k.h

@@ -2013,7 +2013,9 @@ def mm_payload_ingest(spark, sf_dir) -> DataFrame:
         )
     )
     state_digests = hist.select(
-        F.md5(F.col("payload")).alias("payload_hash")
+        F.md5(
+            F.coalesce(F.col("payload"), F.lit("").cast("binary"))
+        ).alias("payload_hash")
     ).distinct()
     return ingest_novel_payloads(
         batch,
@@ -2387,6 +2389,12 @@ QUERIES = {
     #     stream_ingest_neardup). Parity re-checked at sf0.001 AND
     #     sf0.01 for all three after the change; capped==uncapped pinned
     #     on the standard fixture and a boilerplate-header corpus.
+    # (2) ingest_novel_payloads digests NULL payloads as the EMPTY
+    #     payload (the shared null-content rule) — a NULL digest never
+    #     matches the state anti-join, so null-payload docs re-admitted
+    #     on every redelivery. Affects position 25 (mm_payload_ingest);
+    #     query + oracle updated in lockstep, parity re-checked at both
+    #     SFs, redelivery-with-NULL pinned.
     # ==================================================================
     "recon_zero_effect_pairs": recon_zero_effect_pairs,
     "recon_zero_effect_clean": recon_zero_effect_clean,

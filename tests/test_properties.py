@@ -2325,3 +2325,38 @@ def test_semantic_ingest_matches_python_model(spark, hist_spec, batch_spec):
         ).collect()
     )
     assert got == expected, (hist_spec, batch_spec, got, expected)
+
+
+def test_payload_ingest_null_payload_redelivery_idempotent(spark):
+    """r10: a NULL payload digests as the EMPTY payload — without the
+    coalesce its NULL digest would never match the state anti-join
+    (NULL <> NULL) and the doc would re-admit on EVERY redelivery (the
+    r8 null-text lesson). First delivery admits it once (as empty
+    content); folding the digest into state makes the redelivery admit
+    zero, and an explicit empty payload is its exact copy."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        ingest_novel_payloads,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, bytearray(b"real content here")), (2, None), (3, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    empty_dg = spark.createDataFrame([], "payload_hash string")
+    empty_blocks = spark.createDataFrame(
+        [], "bblock string, doc_id long, n_blocks long"
+    )
+    a1 = ingest_novel_payloads(
+        batch, empty_dg, empty_blocks, block_bytes=64, mis_max_iter=8
+    ).localCheckpoint(eager=True)
+    # doc 3 (explicit empty) is an exact copy of doc 2 (NULL → '') —
+    # keeper min-id rule admits 1 and 2 only
+    assert sorted(r["doc_id"] for r in a1.collect()) == [1, 2]
+    again = ingest_novel_payloads(
+        batch,
+        a1.select("payload_hash").distinct(),
+        empty_blocks,
+        block_bytes=64,
+        mis_max_iter=8,
+    )
+    assert again.count() == 0
