@@ -348,10 +348,17 @@ def ingest_novel_payloads(
     ).localCheckpoint(eager=False)
 
     # phase 2: history collisions; the state join touches only the
-    # buckets holding the batch's keys (bucketed scan, exchange-free)
-    hits = state_blocks.join(
-        bk.select("bblock").distinct(), "bblock"
-    ).localCheckpoint(eager=False)
+    # buckets holding the batch's keys (bucketed scan, exchange-free).
+    # distinct AFTER the key semi-join (the ingest family's duplicate-
+    # state-row contract): a crash-replayed streaming append leaves
+    # duplicate block rows, and a duplicated row would double its
+    # pair's n_shared — inflating the similarity past the threshold.
+    # Cost is bounded by the touched-bucket rows, never full history.
+    hits = (
+        state_blocks.join(bk.select("bblock").distinct(), "bblock")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_bucket_size is not None:
         nb = bk.groupBy("bblock").agg(F.count(F.lit(1)).alias("__nb"))
         nh = hits.groupBy("bblock").agg(F.count(F.lit(1)).alias("__nh"))

@@ -2360,3 +2360,32 @@ def test_payload_ingest_null_payload_redelivery_idempotent(spark):
         mis_max_iter=8,
     )
     assert again.count() == 0
+
+
+def test_payload_ingest_tolerates_duplicate_state_rows(spark):
+    """r10: duplicated block-state rows (a crash-replayed append) change
+    nothing — without the post-semi-join distinct, a duplicated history
+    row doubles its pair's n_shared and inflates the similarity past
+    the threshold, over-dropping near-threshold batch payloads."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        ingest_novel_payloads,
+    )
+
+    hist, batch, digests, blocks = _payload_fixture(spark)
+    clean = sorted(
+        tuple(r)
+        for r in ingest_novel_payloads(
+            batch, digests, blocks, block_bytes=64, mis_max_iter=8
+        ).collect()
+    )
+    dup = sorted(
+        tuple(r)
+        for r in ingest_novel_payloads(
+            batch,
+            digests,
+            blocks.unionAll(blocks),
+            block_bytes=64,
+            mis_max_iter=8,
+        ).collect()
+    )
+    assert clean == dup and len(clean) > 0
