@@ -111,6 +111,7 @@ SECONDARY = [
     "sim_ingest_semantic",
     "dedup_ingest_waves",
     "mm_payload_ingest",
+    "dedup_clusters_quality",
 ]
 
 

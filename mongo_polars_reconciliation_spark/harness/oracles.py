@@ -897,6 +897,47 @@ walk(node, lbl) AS (
 )
 SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
 """,
+    # Quality-keeper arbitration: the CC fixpoint above + the fused
+    # quality mirror (same arithmetic as text_quality_gate — established
+    # bit-stable cross-engine) + an argmax window per cluster. The Spark
+    # side computes the argmax as a partial-aggregable struct-max; the
+    # (quality DESC, id ASC) window here is the same total order.
+    "dedup_clusters_quality": "WITH RECURSIVE " + MINHASH_PAIR_CTES + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b, id_a FROM mh_pairs
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM docs_aug
+  UNION
+  SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.node
+),
+cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node),
+q AS (
+  SELECT doc_id,
+         FLOOR((
+           0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+           + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * LEAST(1.0,
+               ((length(text) - (len(string_split(text, ' ')) - 1))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0)
+           ) * 10000) / 10000 AS quality_r
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM docs_aug) d0
+),
+ranked AS (
+  SELECT cl.cluster_id, cl.doc_id, q.quality_r,
+         ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY q.quality_r DESC, cl.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+  FROM cl JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keeper_id, quality_r AS keeper_quality_r,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rn = 1
+""",
     "dedup_simhash": """
 WITH docs_aug AS (
   SELECT doc_id, text FROM documents

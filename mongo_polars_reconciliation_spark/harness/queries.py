@@ -974,6 +974,36 @@ def dedup_clusters_star_cc(spark, sf_dir) -> DataFrame:
     return dedup_clusters_star(pairs, docs.select("doc_id"))
 
 
+def dedup_clusters_quality(spark, sf_dir) -> DataFrame:
+    """Quality-keeper arbitration over near-dup clusters: the star-CC
+    cluster labels joined to the fused single-pass quality scores, each
+    cluster collapsed to its argmax-quality member (MIN-id tie-break) —
+    the curation decision production pipelines make (keep the BEST copy,
+    not the first), and the corpus face of the reference's deterministic
+    duplicate-winner arbitration (src/reconciliatior.py:141-160).
+
+    Scale shape: the cluster labels cost the O(log n) star rounds the
+    cluster queries already pay; the arbitration itself is one id-key
+    equi-join plus one partial-aggregable struct-max on cluster_id — no
+    window sort, no member-list shuffle. NULL text scores as '' (the
+    shared null-content rule)."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        cluster_keepers_by_quality,
+        dedup_clusters_star,
+        minhash_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.extensions.text import fused_doc_scores
+    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
+
+    docs = build_documents_aug(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    pairs = minhash_near_dups(docs, hash_mode="poly")
+    clusters = dedup_clusters_star(pairs, docs.select("doc_id"))
+    scores = fused_doc_scores(docs)
+    return cluster_keepers_by_quality(clusters, scores)
+
+
 def dedup_ngram_jaccard(spark, sf_dir) -> DataFrame:
     from mongo_polars_reconciliation_spark.extensions.dedup import ngram_jaccard_pairs
     from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
@@ -2516,6 +2546,7 @@ QUERIES = {
     "sim_semantic_dedup": sim_semantic_dedup,
     "recon_residual_internal": recon_residual_internal,
     "recon_residual_external": recon_residual_external,
+    "dedup_clusters_quality": dedup_clusters_quality,
 }
 
 

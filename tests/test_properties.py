@@ -2389,3 +2389,47 @@ def test_payload_ingest_tolerates_duplicate_state_rows(spark):
         ).collect()
     )
     assert clean == dup and len(clean) > 0
+
+
+def test_cluster_keepers_by_quality_argmax_and_ties(spark):
+    """r10: the struct-max arbitration equals the obvious per-cluster
+    Python argmax, including the MIN-id tie-break on equal quality and
+    singleton clusters keeping themselves."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        cluster_keepers_by_quality,
+    )
+
+    rows = [
+        # cluster 1: clear winner 11
+        (10, 1, 0.5), (11, 1, 0.75), (12, 1, 0.7),
+        # cluster 2: quality tie -> min id 20 wins
+        (20, 2, 0.6), (21, 2, 0.6),
+        # singleton
+        (30, 30, 0.1),
+        # tie at 0.0 and negative-ish ids ordering
+        (40, 4, 0.0), (41, 4, 0.0), (42, 4, 0.0),
+    ]
+    clusters = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id long, cluster_id long"
+    )
+    scores = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], "doc_id long, quality_r double"
+    )
+    got = sorted(
+        tuple(r)
+        for r in cluster_keepers_by_quality(clusters, scores).collect()
+    )
+
+    by_cluster = {}
+    for did, cid, q in rows:
+        by_cluster.setdefault(cid, []).append((did, q))
+    want = sorted(
+        (
+            cid,
+            max(members, key=lambda m: (m[1], -m[0]))[0],
+            max(members, key=lambda m: (m[1], -m[0]))[1],
+            len(members),
+        )
+        for cid, members in by_cluster.items()
+    )
+    assert got == want
