@@ -329,8 +329,19 @@ def ingest_novel_neardup(
         )
         bk_h = bk_h.join(ok, "bband")
         hits = hits.join(ok, "bband")
+    # Self-pairs (__bid == __hid) are impossible for legitimate input (ids
+    # are unique across state and batch) — they arise ONLY from ghost state
+    # rows a crash-replayed streaming trigger left behind (bands/docs
+    # written, digest ledger not — streaming/corpus.py's write order).
+    # Without this filter a replayed batch doc meets its own ghost band
+    # rows at Jaccard 1.0 and is silently dropped, so the ledger is never
+    # backfilled — the admitted doc vanishes from the drained output
+    # permanently. Filtering self-pairs (plus excluding batch ids from the
+    # history DOC side below) makes every crash window replay to exactly
+    # the original admitted set (pinned in tests/test_properties.py).
     cand_hist = (
         bk_h.join(hits, "bband")
+        .where(F.col("__bid") != F.col("__hid"))
         .select("__bid", "__hid")
         .distinct()
         .localCheckpoint(eager=False)
@@ -342,11 +353,23 @@ def ingest_novel_neardup(
     # Jaccard size and intersection counts and shifting jacc_r. Deduping
     # here costs a shuffle of |collision candidates| rows only (never the
     # corpus), making duplicate state rows semantics-free by construction.
+    # Exclude phase-1 SURVIVOR ids from the history DOC side (legitimately
+    # a no-op — state and batch ids are disjoint): a ghost history doc
+    # that is also a digest-novel batch doc would otherwise contribute a
+    # second copy of its shingles to sh_all (sh_b already carries every
+    # survivor), doubling its sizes and distorting every jacc_r it appears
+    # in — over-dropping near the threshold on replay. Pairs whose __hid
+    # is a survivor are still verified, against the single batch-side
+    # copy, which is exactly the true Jaccard. Survivors, NOT all batch
+    # ids: a redelivered doc whose digest is already ledgered is dropped
+    # in phase 1 and absent from sh_b, so its history copy is the only
+    # one — excluding it would un-verify its pairs and re-admit its
+    # near-dups (the redelivery-admits-nothing property).
     hist_docs = state_docs.select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     ).join(
         cand_hist.select(F.col("__hid").alias(id_col)).distinct(), id_col
-    ).distinct()
+    ).join(keep1.select(id_col), id_col, "left_anti").distinct()
     # checkpoint the combined shingle frame: jaccard_verify consumes it
     # three times (sizes + both intersection joins) and the history side
     # would otherwise re-run its semi-join + shingle explode per

@@ -386,6 +386,16 @@ def ingest_novel_payloads(
             ),
             "bblock",
         )
+        # Self-pairs are impossible for legitimate input (ids unique across
+        # state and batch) — they arise only from ghost block rows a
+        # crash-replayed streaming trigger left behind (blocks/ written,
+        # digest ledger not). Unfiltered, a replayed payload meets its own
+        # ghost blocks at shared fraction 1.0 and is silently dropped, so
+        # the ledger is never backfilled. With the filter, every crash
+        # window replays to exactly the original admitted set (pinned in
+        # tests/test_properties.py); pairs against OTHER ghosts still
+        # verify at the true fraction (block rows are distinct-deduped).
+        .where(F.col("__bid") != F.col("__hid"))
         .groupBy("__bid", "__hid", "__nbb", "__nbh")
         .agg(F.count(F.lit(1)).alias("__nsh"))
         .where(

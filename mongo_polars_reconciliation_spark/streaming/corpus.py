@@ -163,16 +163,18 @@ def incremental_neardup_ingest(
     posture (r10, advice): the admitted/ digest ledger is written LAST —
     a crash between the bands/docs writes and the ledger write means the
     replayed trigger re-derives the SAME admitted set (the state digests
-    it anti-joins are unchanged) and re-appends bands/docs, leaving
-    duplicate rows there; ``ingest_novel_neardup`` tolerates duplicate
-    state rows by construction (bands feed a DISTINCT candidate set,
-    docs are deduped after the candidate semi-join), so the blind spot
-    the old ledger-first order created (replay admits nothing → bands/
-    docs never backfilled → permanent near-dup hole) cannot occur. A
-    production transactional sink (sources/state.py capability gate)
-    would put all three faces in one transaction; until then this
-    ordering makes every crash window replay-idempotent rather than
-    merely the ledger.
+    it anti-joins are unchanged; the operator filters the self-pairs and
+    double-counted shingles its own ghost rows would otherwise create —
+    the crash-window pins in tests/test_properties.py) and re-appends
+    bands/docs, leaving duplicate rows there; ``ingest_novel_neardup``
+    tolerates duplicate state rows by construction (bands feed a DISTINCT
+    candidate set, docs are deduped after the candidate semi-join), so
+    the blind spot the old ledger-first order created (replay admits
+    nothing → bands/docs never backfilled → permanent near-dup hole)
+    cannot occur. A production transactional sink (sources/state.py
+    capability gate) would put all three faces in one transaction; until
+    then this ordering makes every crash window replay-idempotent rather
+    than merely the ledger.
 
     ``neardup_kwargs`` are forwarded BOTH to the admission operator and
     to the ``band_state`` rows persisted for admitted docs (r10, advice:

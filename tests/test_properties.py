@@ -2433,3 +2433,138 @@ def test_cluster_keepers_by_quality_argmax_and_ties(spark):
         for cid, members in by_cluster.items()
     )
     assert got == want
+
+
+def test_neardup_ingest_crash_window_replay_idempotent(spark):
+    """r10 hardening: the crash window BETWEEN the bands/docs state writes
+    and the digest-ledger write must replay to exactly the original
+    admitted set. The trap is a replayed batch doc meeting its own ghost
+    state rows: unfiltered self-pairs drop it outright, and a ghost doc's
+    shingles double-counted next to its sh_b copy distort jacc_r for its
+    neighbors — this fixture puts two admitted docs at true J = 7/13
+    (< 0.6, no edge, both admitted) whose doubled-size distortion
+    2*7/(2*10+10-2*7) = 0.875 would cross the threshold and silently
+    drop BOTH on replay."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+        jaccard_verify,
+        shingles,
+    )
+
+    toks = [f"w{i:02d}" for i in range(1, 16)]
+    b_text = " ".join(toks[0:12])   # 10 shingles (starts 0..9)
+    c_text = " ".join(toks[3:15])   # 10 shingles (starts 3..12) -> 7 shared
+    df = spark.createDataFrame(
+        [(1, b_text), (2, c_text)], "doc_id long, text string"
+    )
+    # fixture sanity: true J = 7/13 < 0.6 -> the pair must NOT verify
+    sh = shingles(df)
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert jaccard_verify(pairs, sh, threshold=0.6).count() == 0
+    # ... but the pair DOES collide in at least one 1-hash band, so the
+    # replay actually reaches the verification stage (a checked fact)
+    bs = band_state(df, num_hashes=12, bands=12)
+    b_bands = {r["bband"] for r in bs.where("doc_id = 1").collect()}
+    c_bands = {r["bband"] for r in bs.where("doc_id = 2").collect()}
+    assert b_bands & c_bands, "fixture lost its band collision"
+
+    empty_dg = spark.createDataFrame([], "text_hash string")
+    empty_bands = spark.createDataFrame([], "bband string, doc_id long")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    original = sorted(
+        r["doc_id"]
+        for r in ingest_novel_neardup(
+            df, empty_dg, empty_bands, empty_docs,
+            num_hashes=12, bands=12, mis_max_iter=8,
+        ).collect()
+    )
+    assert original == [1, 2], original
+    # crash window: bands/ and docs/ hold the admitted ghosts, the digest
+    # ledger was never written -> the replayed trigger must re-derive the
+    # SAME admissions (and would re-append, which the duplicate-state-row
+    # contract absorbs)
+    replay = sorted(
+        r["doc_id"]
+        for r in ingest_novel_neardup(
+            df,
+            empty_dg,
+            band_state(df, num_hashes=12, bands=12),
+            df,
+            num_hashes=12, bands=12, mis_max_iter=8,
+        ).collect()
+    )
+    assert replay == original, (replay, original)
+
+
+def test_neardup_ingest_crash_window_replay_on_fixture(spark):
+    """The crash-window replay pin over the real driver fixture: fold the
+    admitted docs into bands/ and docs/ but NOT the digest ledger, replay
+    the full batch, and require the original admitted set back."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        band_state,
+        ingest_novel_neardup,
+    )
+
+    hist, batch, digests, bands = _neardup_fixture(spark)
+    a1 = ingest_novel_neardup(
+        batch, digests, bands, hist, mis_max_iter=8
+    ).localCheckpoint(eager=True)
+    original = sorted(r["doc_id"] for r in a1.collect())
+    assert len(original) > 0
+    adm_docs = batch.join(a1.select("doc_id"), "doc_id")
+    bands2 = bands.unionByName(band_state(adm_docs))
+    docs2 = hist.unionByName(adm_docs)
+    replay = ingest_novel_neardup(
+        batch, digests, bands2, docs2, mis_max_iter=8
+    )
+    assert sorted(r["doc_id"] for r in replay.collect()) == original
+
+
+def test_payload_ingest_crash_window_replay_idempotent(spark):
+    """r10 hardening, payload face: blocks/ written, digest ledger not —
+    without the self-pair filter every admitted payload meets its own
+    ghost blocks at shared fraction 1.0 and is silently dropped, so the
+    ledger is never backfilled. Replay must admit the original set."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        ingest_novel_payloads,
+        payload_block_state,
+    )
+
+    hist, batch, digests, blocks = _payload_fixture(spark)
+    a1 = ingest_novel_payloads(
+        batch, digests, blocks, block_bytes=64, mis_max_iter=8
+    ).localCheckpoint(eager=True)
+    original = sorted(r["doc_id"] for r in a1.collect())
+    assert len(original) > 0
+    adm = batch.join(a1.select("doc_id"), "doc_id")
+    blocks2 = blocks.unionByName(payload_block_state(adm, block_bytes=64))
+    replay = ingest_novel_payloads(
+        batch, digests, blocks2, block_bytes=64, mis_max_iter=8
+    )
+    assert sorted(r["doc_id"] for r in replay.collect()) == original
+
+
+def test_semantic_ingest_crash_window_replay_idempotent(spark):
+    """r10 hardening, vector face: vecs/ written, assign/ not (the skin's
+    write order) — the ghost vectors are unreachable without assignment
+    rows (the store is only read through the collision semi-join), so the
+    replay re-derives the original admissions. The other window (both
+    faces written) is the redelivery-admits-nothing pin: cos-1.0
+    self-match IS the semantic family's ledger."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ingest_novel_semantic,
+    )
+
+    hist, batch, cents, assign = _semantic_fixture(spark)
+    a1 = ingest_novel_semantic(
+        batch, assign, hist, cents, mis_max_iter=8
+    ).localCheckpoint(eager=True)
+    original = sorted(r["vec_id"] for r in a1.collect())
+    assert len(original) > 0
+    adm = batch.join(a1, "vec_id")
+    vecs2 = hist.unionByName(adm)
+    replay = ingest_novel_semantic(
+        batch, assign, vecs2, cents, mis_max_iter=8
+    )
+    assert sorted(r["vec_id"] for r in replay.collect()) == original
