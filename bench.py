@@ -112,6 +112,8 @@ SECONDARY = [
     "dedup_ingest_waves",
     "mm_payload_ingest",
     "dedup_clusters_quality",
+    "stream_ingest_semantic",
+    "stream_ingest_payloads",
 ]
 
 

@@ -3063,3 +3063,10 @@ SELECT k.doc_id, k.h AS payload_hash
 FROM keep1n k JOIN admitted a ON a.doc_id = k.doc_id
 """
 )
+
+
+# Streaming faces of the r10 ingest families (r10): the drained admitted
+# sets equal the one-batch admissions (greedy batch-split property,
+# property-pinned for both operators), so each shares its batch oracle.
+ORACLES["stream_ingest_semantic"] = ORACLES["sim_ingest_semantic"]
+ORACLES["stream_ingest_payloads"] = ORACLES["mm_payload_ingest"]

@@ -2134,6 +2134,22 @@ def stream_ingest_novel(spark, sf_dir) -> DataFrame:
     )
 
 
+def _pin_feed_trigger_order(feed: str) -> None:
+    """Pin micro-batch ORDER for an order-sensitive ingest stream: the file
+    source orders triggers by modification time, and the drained-≡-one-
+    batch contract of the ingest loops requires originals to precede the
+    synthetic redeliveries. Same-millisecond part writes would leave the
+    order to luck; a monotone utime per part makes it a fact."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    for i, part in enumerate(sorted(_glob.glob(f"{feed}/part*"))):
+        for f in _glob.glob(f"{part}/*.parquet"):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+
 def stream_ingest_neardup(spark, sf_dir) -> DataFrame:
     """Streaming crawl loop (r9): the dedup_ingest_neardup batch arrives
     as TWO micro-batches in id order (originals first, redelivered/
@@ -2194,21 +2210,7 @@ def stream_ingest_neardup(spark, sf_dir) -> DataFrame:
         name=f"neardup_{tag}",
         split_expr=(F.col("doc_id") >= 100000).cast("int"),
     )
-    # Pin trigger ORDER explicitly: the file source orders micro-batches
-    # by modification time, and unlike the commutative-aggregation
-    # streams this query's drained-≡-one-batch contract is order-
-    # SENSITIVE (originals must precede the synthetic redeliveries).
-    # Same-millisecond part writes would leave the order to luck; a
-    # monotone utime per part makes it a fact.
-    import glob as _glob
-    import os as _os
-    import time as _time
-
-    feed = scratch_path("corpus", f"neardup_{tag}", "feed")
-    now = _time.time()
-    for i, part in enumerate(sorted(_glob.glob(f"{feed}/part*"))):
-        for f in _glob.glob(f"{part}/*.parquet"):
-            _os.utime(f, (now + 10 * i, now + 10 * i))
+    _pin_feed_trigger_order(scratch_path("corpus", f"neardup_{tag}", "feed"))
     root = scratch_path(tag, "neardup_state")
     shutil.rmtree(root, ignore_errors=True)
     incremental_neardup_ingest(
@@ -2218,6 +2220,167 @@ def stream_ingest_neardup(spark, sf_dir) -> DataFrame:
         hist,
         f"{root}/state",
         f"{root}/ckpt",
+        mis_max_iter=8,
+    )
+    return spark.read.parquet(f"{root}/state/admitted")
+
+
+def stream_ingest_semantic(spark, sf_dir) -> DataFrame:
+    """Streaming embedding-space crawl loop (r10): the sim_ingest_semantic
+    batch arrives as TWO micro-batches in id order (originals first,
+    re-upload/variant synthetics second); each trigger runs the full
+    semantic admission under the PERSISTED centroid artifact against the
+    seeded history state PLUS earlier triggers' admissions, appending
+    both state faces. Drained admitted set == the one-batch answer (the
+    greedy batch-split property), so this shares sim_ingest_semantic's
+    oracle."""
+    import shutil
+
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        assignment_state,
+        kmeans_fit,
+        load_centroids,
+        save_centroids,
+    )
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        MULTIPROBE_ORACLE_N_ITER,
+        MULTIPROBE_ORACLE_NLIST,
+    )
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        incremental_semantic_ingest,
+        read_documents_stream,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hist = emb.where(F.col("vec_id") % 3 < 2).localCheckpoint(eager=True)
+    batch = (
+        emb.where(F.col("vec_id") % 3 == 2)
+        .unionByName(
+            emb.where(F.col("vec_id") % 10 == 1).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            emb.where(F.col("vec_id") % 10 == 4).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (x, i) -> CASE WHEN i < 8 "
+                    "THEN CAST(0.0 AS FLOAT) ELSE x END)"
+                ).alias("embedding"),
+            )
+        )
+    )
+    cents = kmeans_fit(
+        hist, k=MULTIPROBE_ORACLE_NLIST, n_iter=MULTIPROBE_ORACLE_N_ITER
+    )
+    path = scratch_path(tag, "stream_ingest_centroids")
+    save_centroids(spark, cents, path)
+    cents = load_centroids(spark, path)
+    seed_assign = assignment_state(hist, cents, nprobe=2).localCheckpoint(
+        eager=True
+    )
+    stream = read_documents_stream(
+        spark,
+        batch.coalesce(1),
+        name=f"sem_ingest_{tag}",
+        n_files=2,
+        id_col="vec_id",
+        split_expr=(F.col("vec_id") >= 100000).cast("int"),
+    )
+    _pin_feed_trigger_order(scratch_path("corpus", f"sem_ingest_{tag}", "feed"))
+    root = scratch_path(tag, "sem_ingest_state")
+    shutil.rmtree(root, ignore_errors=True)
+    incremental_semantic_ingest(
+        stream,
+        seed_assign,
+        hist,
+        cents,
+        f"{root}/state",
+        f"{root}/ckpt",
+        threshold=0.9,
+        nprobe=2,
+        mis_max_iter=8,
+    )
+    return spark.read.parquet(f"{root}/state/vecs").select("vec_id")
+
+
+def stream_ingest_payloads(spark, sf_dir) -> DataFrame:
+    """Streaming binary-payload crawl loop (r10): the mm_payload_ingest
+    batch arrives as TWO micro-batches in id order (originals first,
+    re-upload/appended-tail synthetics second); each trigger runs the
+    full chunked-block admission against the seeded history state PLUS
+    earlier triggers' admissions, appending the block face before the
+    digest ledger. Drained admitted ledger == the one-batch answer (the
+    greedy batch-split property), so this shares mm_payload_ingest's
+    oracle."""
+    import shutil
+
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        payload_block_state,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        MM_PAYLOAD_TAIL,
+    )
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        incremental_payload_ingest,
+        read_documents_stream,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = attach_payload(docs.where(F.col("doc_id") % 3 < 2)).localCheckpoint(
+        eager=True
+    )
+    batch = attach_payload(
+        docs.where(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(MM_PAYLOAD_TAIL)).alias(
+                    "text"
+                ),
+            )
+        )
+    ).select("doc_id", "payload")
+    seed_digests = hist.select(
+        F.md5(
+            F.coalesce(F.col("payload"), F.lit("").cast("binary"))
+        ).alias("payload_hash")
+    ).distinct().localCheckpoint(eager=True)
+    seed_blocks = payload_block_state(hist, block_bytes=64).localCheckpoint(
+        eager=True
+    )
+    stream = read_documents_stream(
+        spark,
+        batch.coalesce(1),
+        name=f"payload_ingest_{tag}",
+        n_files=2,
+        split_expr=(F.col("doc_id") >= 100000).cast("int"),
+    )
+    _pin_feed_trigger_order(
+        scratch_path("corpus", f"payload_ingest_{tag}", "feed")
+    )
+    root = scratch_path(tag, "payload_ingest_state")
+    shutil.rmtree(root, ignore_errors=True)
+    incremental_payload_ingest(
+        stream,
+        seed_digests,
+        seed_blocks,
+        f"{root}/state",
+        f"{root}/ckpt",
+        block_bytes=64,
+        threshold=0.5,
         mis_max_iter=8,
     )
     return spark.read.parquet(f"{root}/state/admitted")
@@ -2547,6 +2710,8 @@ QUERIES = {
     "recon_residual_internal": recon_residual_internal,
     "recon_residual_external": recon_residual_external,
     "dedup_clusters_quality": dedup_clusters_quality,
+    "stream_ingest_semantic": stream_ingest_semantic,
+    "stream_ingest_payloads": stream_ingest_payloads,
 }
 
 

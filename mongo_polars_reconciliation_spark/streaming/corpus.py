@@ -246,6 +246,169 @@ def incremental_neardup_ingest(
         LAST_PLANS.pop("incremental_neardup", None)
 
 
+def incremental_semantic_ingest(
+    vecs_stream: DataFrame,
+    seed_assign: DataFrame,
+    seed_vecs: DataFrame,
+    cents: "list[list[float]]",
+    state_root: str,
+    checkpoint_dir: str,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mis_max_iter: int = 25,
+) -> None:
+    """The embedding-space crawl loop as a stream (r10) — the vector face
+    of :func:`incremental_neardup_ingest`: each arriving micro-batch of
+    vectors runs the batch semantic admission
+    (extensions/similarity.py:ingest_novel_semantic) under the PERSISTED
+    centroid artifact against the seed state PLUS everything admitted by
+    earlier triggers, then appends the admitted vectors to both state
+    faces under ``state_root`` (vecs/ = the vector store, assign/ =
+    their probe-assignment rows).
+
+    ``cents`` and ``nprobe`` are shared between the admission join and
+    the appended :func:`assignment_state` rows — the MinHash-geometry
+    lesson applied to probe keys: a per-trigger refit (or a different
+    nprobe) would make later triggers probe the accumulated state with
+    mismatched blocks and silently miss semantic dups of earlier
+    admissions.
+
+    Exactly-once posture: the semantic family has NO separate ledger
+    face — an admitted vector's own (assign, vecs) rows ARE its ledger,
+    because a redelivered copy meets itself at cos 1.0 and is dropped.
+    Write order vecs/ THEN assign/: a crash after vecs/ leaves the
+    ghosts unreachable (the store is only read through the assignment
+    collision semi-join), so the replayed trigger re-derives the same
+    admissions and re-appends — duplicate rows are deduped after the
+    semi-join; a crash after both faces means the replay admits nothing
+    and the faces are already complete. Both windows pinned in
+    tests/test_properties.py; the drained admitted set is read from the
+    vecs/ face, so every window drains to the same answer."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        assignment_state,
+        ingest_novel_semantic,
+    )
+    from mongo_polars_reconciliation_spark.streaming.recon import (
+        _has_state_files,
+    )
+
+    spark = seed_vecs.sparkSession
+    vecs_dir = f"{state_root}/vecs"
+    assign_dir = f"{state_root}/assign"
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        assign = seed_assign.select("blk", id_col)
+        vecs = seed_vecs.select(id_col, vec_col)
+        if _has_state_files(spark, vecs_dir):
+            vecs = vecs.unionByName(spark.read.parquet(vecs_dir))
+        if _has_state_files(spark, assign_dir):
+            assign = assign.unionByName(spark.read.parquet(assign_dir))
+        admitted = ingest_novel_semantic(
+            batch, assign, vecs, cents,
+            threshold=threshold, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col, mis_max_iter=mis_max_iter,
+        ).localCheckpoint(eager=True)
+        adm_vecs = batch.select(id_col, vec_col).join(
+            admitted, id_col
+        ).localCheckpoint(eager=True)
+        adm_vecs.write.mode("append").parquet(vecs_dir)
+        assignment_state(
+            adm_vecs, cents, nprobe, id_col, vec_col
+        ).write.mode("append").parquet(assign_dir)
+
+    query = (
+        vecs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    from mongo_polars_reconciliation_spark.streaming.events import LAST_PLANS
+
+    try:
+        LAST_PLANS["incremental_semantic"] = query._jsq.explainInternal(True)  # noqa: SLF001
+    except Exception:
+        LAST_PLANS.pop("incremental_semantic", None)
+
+
+def incremental_payload_ingest(
+    mm_stream: DataFrame,
+    seed_digests: DataFrame,
+    seed_blocks: DataFrame,
+    state_root: str,
+    checkpoint_dir: str,
+    block_bytes: int = 1024,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_bucket_size: "int | None" = None,
+    mis_max_iter: int = 25,
+) -> None:
+    """The binary-payload crawl loop as a stream (r10): each arriving
+    micro-batch of payloads runs the batch admission
+    (extensions/multimodal.py:ingest_novel_payloads) against the seed
+    state PLUS everything admitted by earlier triggers, then appends the
+    admitted payloads' block-key rows to blocks/ and their (id,
+    payload_hash) rows to the admitted/ digest ledger — blocks BEFORE
+    the ledger, the text loop's write order: a crash in the window means
+    the replayed trigger re-derives the SAME admissions (digests
+    unchanged; the operator filters the self-pairs its ghost block rows
+    would create — the crash-window pin in tests/test_properties.py) and
+    re-appends, with duplicate block rows deduped after the candidate
+    semi-join. ``block_bytes`` is shared between the admission join and
+    the appended :func:`payload_block_state` rows — mismatched chunk
+    geometry would make later triggers probe with foreign keys."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        ingest_novel_payloads,
+        payload_block_state,
+    )
+    from mongo_polars_reconciliation_spark.streaming.recon import (
+        _has_state_files,
+    )
+
+    spark = seed_digests.sparkSession
+    adm_dir = f"{state_root}/admitted"
+    blocks_dir = f"{state_root}/blocks"
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        digests = seed_digests.select("payload_hash")
+        blocks = seed_blocks.select("bblock", id_col, "n_blocks")
+        if _has_state_files(spark, adm_dir):
+            digests = digests.unionByName(
+                spark.read.parquet(adm_dir).select("payload_hash")
+            ).distinct()
+            blocks = blocks.unionByName(spark.read.parquet(blocks_dir))
+        admitted = ingest_novel_payloads(
+            batch, digests, blocks,
+            block_bytes=block_bytes, threshold=threshold,
+            id_col=id_col, payload_col=payload_col,
+            max_bucket_size=max_bucket_size, mis_max_iter=mis_max_iter,
+        ).localCheckpoint(eager=True)
+        adm_mm = batch.select(id_col, payload_col).join(
+            admitted.select(id_col), id_col
+        ).localCheckpoint(eager=True)
+        payload_block_state(
+            adm_mm, block_bytes, id_col, payload_col
+        ).write.mode("append").parquet(blocks_dir)
+        admitted.write.mode("append").parquet(adm_dir)
+
+    query = (
+        mm_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    from mongo_polars_reconciliation_spark.streaming.events import LAST_PLANS
+
+    try:
+        LAST_PLANS["incremental_payload"] = query._jsq.explainInternal(True)  # noqa: SLF001
+    except Exception:
+        LAST_PLANS.pop("incremental_payload", None)
+
+
 def compact_ingest_state(
     spark: SparkSession,
     state_root: str,

@@ -407,6 +407,8 @@ STREAM_TABLE_OF = {
     "stream_user_seq": "mem_stream_userseq",
     "stream_view_attribution": "mem_stream_attrib",
     "stream_incremental_match": "incremental_match",
+    "stream_ingest_semantic": "incremental_semantic",
+    "stream_ingest_payloads": "incremental_payload",
 }
 
 

@@ -405,3 +405,114 @@ def test_compact_ingest_state_refuses_remote_warehouse(spark):
 
     with _pytest.raises(ValueError, match="local .file:. warehouse"):
         compact_ingest_state(_FakeSpark(), "/tmp/nowhere")
+
+
+def test_semantic_stream_rejects_cross_trigger_dup(spark):
+    """r10: the embedding-space crawl loop must reject a trigger-2 exact
+    re-upload of a trigger-1 ADMISSION through the persisted (assign,
+    vecs) state — the cross-trigger face of the cos-1.0 ledger. The
+    drained vecs/ face is the admitted set."""
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        incremental_semantic_ingest,
+        read_documents_stream,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),
+            (20, [1.0, 0.0, 0.0]),   # batch 1: exact copy of admitted 10
+            (21, [0.0, 0.0, 1.0]),   # batch 1: genuinely novel
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    stream = read_documents_stream(
+        spark,
+        vecs.coalesce(1),
+        name="sem_cross_trigger",
+        id_col="vec_id",
+        split_expr=(F.col("vec_id") >= 20).cast("int"),
+    )
+    from mongo_polars_reconciliation_spark.harness.queries import (
+        _pin_feed_trigger_order,
+    )
+
+    _pin_feed_trigger_order(scratch_path("corpus", "sem_cross_trigger", "feed"))
+    empty_assign = spark.createDataFrame([], "blk int, vec_id long")
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    root = scratch_path("unit", "sem_cross_trigger_state")
+    shutil.rmtree(root, ignore_errors=True)
+    incremental_semantic_ingest(
+        stream,
+        empty_assign,
+        empty_vecs,
+        cents,
+        f"{root}/state",
+        f"{root}/ckpt",
+        threshold=0.9,
+        nprobe=2,
+    )
+    admitted = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(f"{root}/state/vecs").collect()
+    )
+    assert admitted == [10, 21], admitted
+    # the assign face carries nprobe rows per admitted vector
+    assign = spark.read.parquet(f"{root}/state/assign")
+    assert assign.count() == 4 and sorted(
+        {r["vec_id"] for r in assign.collect()}
+    ) == [10, 21]
+
+
+def test_payload_stream_rejects_cross_trigger_dups(spark):
+    """r10: the payload crawl loop must reject, through the persisted
+    state, BOTH a trigger-2 byte-exact re-upload of a trigger-1
+    admission (digest ledger) and a trigger-2 chunked-block near-dup of
+    it (block face, shared fraction 3/4 >= 0.5)."""
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        incremental_payload_ingest,
+        read_documents_stream,
+    )
+
+    p = b"AAAABBBBCCCCDDDD"            # 4 blocks of 4 bytes
+    near = b"AAAABBBBCCCCEEEE"         # shares 3/4 aligned blocks
+    novel = b"WWWWXXXXYYYYZZZZ"
+    mm = spark.createDataFrame(
+        [(10, p), (20, p), (21, near), (22, novel)],
+        "doc_id long, payload binary",
+    )
+    stream = read_documents_stream(
+        spark,
+        mm.coalesce(1),
+        name="payload_cross_trigger",
+        split_expr=(F.col("doc_id") >= 20).cast("int"),
+    )
+    from mongo_polars_reconciliation_spark.harness.queries import (
+        _pin_feed_trigger_order,
+    )
+
+    _pin_feed_trigger_order(
+        scratch_path("corpus", "payload_cross_trigger", "feed")
+    )
+    empty_dg = spark.createDataFrame([], "payload_hash string")
+    empty_blocks = spark.createDataFrame(
+        [], "bblock string, doc_id long, n_blocks long"
+    )
+    root = scratch_path("unit", "payload_cross_trigger_state")
+    shutil.rmtree(root, ignore_errors=True)
+    incremental_payload_ingest(
+        stream,
+        empty_dg,
+        empty_blocks,
+        f"{root}/state",
+        f"{root}/ckpt",
+        block_bytes=4,
+        threshold=0.5,
+    )
+    admitted = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{root}/state/admitted").collect()
+    )
+    assert admitted == [10, 22], admitted
