@@ -449,13 +449,93 @@ def compact_ingest_state(
         "bands": (f"{state_root}/bands", "bband"),
         "docs": (f"{state_root}/docs", id_col),
     }
+    return _compact_faces(
+        spark,
+        faces,
+        table_prefix,
+        buckets,
+        dedupe={"digests": ["text_hash"]},
+    )
+
+
+def compact_semantic_state(
+    spark: SparkSession,
+    state_root: str,
+    table_prefix: str = "semantic_ingest",
+    buckets: int = 64,
+    id_col: str = "vec_id",
+) -> "dict[str, str]":
+    """:func:`compact_ingest_state` for the embedding-space crawl loop's
+    faces (r10): ``incremental_semantic_ingest`` appends one fragment per
+    trigger to vecs/ and assign/; this rewrite lands the vector store
+    bucketed by the id (the collision verify's semi-join key) and the
+    assignment rows by blk (the collision join's key), and drops the
+    duplicate rows a crash-replayed trigger may have appended — dedup at
+    compaction is SAFE precisely because the admission joins already
+    treat duplicate state rows as semantics-free. Same consumer routing
+    as the text compactor: tables feed the batch wave path; the
+    streaming loop reads state_root dirs."""
+    faces = {
+        "vecs": (f"{state_root}/vecs", id_col),
+        "assign": (f"{state_root}/assign", "blk"),
+    }
+    return _compact_faces(
+        spark,
+        faces,
+        table_prefix,
+        buckets,
+        dedupe={"vecs": None, "assign": None},
+    )
+
+
+def compact_payload_state(
+    spark: SparkSession,
+    state_root: str,
+    table_prefix: str = "payload_ingest",
+    buckets: int = 64,
+    id_col: str = "doc_id",
+) -> "dict[str, str]":
+    """:func:`compact_ingest_state` for the binary-payload crawl loop's
+    faces (r10): the (doc_id, payload_hash) ledger bucketed by
+    payload_hash (the digest anti-join's key) and the block rows by
+    bblock (the collision join's key), crash-replay duplicates dropped.
+    Same consumer routing as the text compactor."""
+    faces = {
+        "digests": (f"{state_root}/admitted", "payload_hash"),
+        "blocks": (f"{state_root}/blocks", "bblock"),
+    }
+    return _compact_faces(
+        spark,
+        faces,
+        table_prefix,
+        buckets,
+        dedupe={"digests": None, "blocks": None},
+    )
+
+
+def _compact_faces(
+    spark: SparkSession,
+    faces: "dict[str, tuple[str, str]]",
+    table_prefix: str,
+    buckets: int,
+    dedupe: "dict[str, list[str] | None] | None" = None,
+) -> "dict[str, str]":
+    """Shared face-rewrite loop of the three state compactors: each
+    ``face -> (fragment_dir, bucket_key)`` lands as a managed bucketed
+    table ``{table_prefix}_{face}``. ``dedupe[face]`` = column subset to
+    project-and-distinct (None = full-row distinct); faces absent from
+    ``dedupe`` are rewritten verbatim."""
+    from mongo_polars_reconciliation_spark.sources.state import (
+        write_bucketed_state,
+    )
+
     # the stale-location cleanup below shells out to the local filesystem —
     # loudly refuse a non-local warehouse URI instead of rmtree'ing a
     # stripped-scheme path that doesn't mean what it says (r10, advice)
     wh_uri = spark.conf.get("spark.sql.warehouse.dir")
     if not (wh_uri.startswith("file:") or wh_uri.startswith("/")):
         raise ValueError(
-            f"compact_ingest_state only supports a local (file:) warehouse; "
+            f"state compaction only supports a local (file:) warehouse; "
             f"spark.sql.warehouse.dir={wh_uri!r} — on a remote warehouse, "
             f"drop the stale table locations with the catalog's own tooling"
         )
@@ -469,8 +549,9 @@ def compact_ingest_state(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
         df = spark.read.parquet(path)
-        if face == "digests":
-            df = df.select("text_hash").distinct()
+        if dedupe is not None and face in dedupe:
+            cols = dedupe[face]
+            df = (df.select(*cols) if cols else df).distinct()
         write_bucketed_state(df, table, buckets=buckets, key=key)
         out[face] = table
     return out

@@ -516,3 +516,143 @@ def test_payload_stream_rejects_cross_trigger_dups(spark):
         for r in spark.read.parquet(f"{root}/state/admitted").collect()
     )
     assert admitted == [10, 22], admitted
+
+
+def _bucket_spec(spark, table):
+    return {
+        r["col_name"].strip(): r["data_type"].strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+
+
+def test_compact_semantic_state_closes_the_loop(spark):
+    """r10: compacting the embedding-space crawl loop's append-only faces
+    into bucketed tables preserves the admission horizon — re-delivering
+    the SAME batch against (seeds + compacted tables) admits nothing —
+    and each face carries the bucket spec on its join key."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        assignment_state,
+        ingest_novel_semantic,
+        load_centroids,
+    )
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        compact_semantic_state,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    admitted = QUERIES["stream_ingest_semantic"](spark, sf_dir)
+    assert admitted.count() > 0
+    root = scratch_path("sf0.001", "sem_ingest_state")
+    tables = compact_semantic_state(
+        spark, f"{root}/state", table_prefix="t_sem_compact", buckets=4
+    )
+    assert set(tables) == {"vecs", "assign"}
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    hist = emb.where(F.col("vec_id") % 3 < 2)
+    batch = (
+        emb.where(F.col("vec_id") % 3 == 2)
+        .unionByName(
+            emb.where(F.col("vec_id") % 10 == 1).select(
+                (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            emb.where(F.col("vec_id") % 10 == 4).select(
+                (F.col("vec_id") + 200000).alias("vec_id"),
+                F.expr(
+                    "transform(embedding, (x, i) -> CASE WHEN i < 8 "
+                    "THEN CAST(0.0 AS FLOAT) ELSE x END)"
+                ).alias("embedding"),
+            )
+        )
+    )
+    cents = load_centroids(
+        spark, scratch_path("sf0.001", "stream_ingest_centroids")
+    )
+    again = ingest_novel_semantic(
+        batch,
+        assignment_state(hist, cents, nprobe=2).unionByName(
+            spark.table(tables["assign"])
+        ),
+        hist.unionByName(spark.table(tables["vecs"])),
+        cents,
+        mis_max_iter=8,
+    )
+    assert again.count() == 0
+    for face, key in {"vecs": "vec_id", "assign": "blk"}.items():
+        desc = _bucket_spec(spark, tables[face])
+        assert desc.get("Num Buckets") == "4", (face, desc)
+        assert key in desc.get("Bucket Columns", ""), (face, desc)
+
+
+def test_compact_payload_state_closes_the_loop(spark):
+    """r10: the payload-face mirror of the compaction pin — re-delivery
+    against (seeds + compacted tables) admits nothing, bucket specs on
+    the digest and block join keys."""
+    from mongo_polars_reconciliation_spark.extensions.multimodal import (
+        attach_payload,
+        ingest_novel_payloads,
+        payload_block_state,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        MM_PAYLOAD_TAIL,
+    )
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        compact_payload_state,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    admitted = QUERIES["stream_ingest_payloads"](spark, sf_dir)
+    assert admitted.count() > 0
+    root = scratch_path("sf0.001", "payload_ingest_state")
+    tables = compact_payload_state(
+        spark, f"{root}/state", table_prefix="t_payload_compact", buckets=4
+    )
+    assert set(tables) == {"digests", "blocks"}
+    # compacted ledger == drained admitted set
+    assert spark.table(tables["digests"]).count() == admitted.count()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    hist = attach_payload(docs.where(F.col("doc_id") % 3 < 2))
+    batch = attach_payload(
+        docs.where(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 7).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(MM_PAYLOAD_TAIL)).alias(
+                    "text"
+                ),
+            )
+        )
+    ).select("doc_id", "payload")
+    seed_digests = hist.select(
+        F.md5(
+            F.coalesce(F.col("payload"), F.lit("").cast("binary"))
+        ).alias("payload_hash")
+    ).distinct()
+    again = ingest_novel_payloads(
+        batch,
+        seed_digests.unionByName(
+            spark.table(tables["digests"]).select("payload_hash")
+        ).distinct(),
+        payload_block_state(hist, block_bytes=64).unionByName(
+            spark.table(tables["blocks"])
+        ),
+        block_bytes=64,
+        mis_max_iter=8,
+    )
+    assert again.count() == 0
+    for face, key in {"digests": "payload_hash", "blocks": "bblock"}.items():
+        desc = _bucket_spec(spark, tables[face])
+        assert desc.get("Num Buckets") == "4", (face, desc)
+        assert key in desc.get("Bucket Columns", ""), (face, desc)
