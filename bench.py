@@ -114,6 +114,7 @@ SECONDARY = [
     "dedup_clusters_quality",
     "stream_ingest_semantic",
     "stream_ingest_payloads",
+    "sim_topk_pq",
 ]
 
 

@@ -361,6 +361,179 @@ def load_centroids(spark, path: str) -> list[list[float]]:
     return [list(r["c"]) for r in rows]
 
 
+def pq_fit(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (r10): split each vector into ``m``
+    contiguous subspaces of dim/m dimensions and run the deterministic
+    :func:`kmeans_fit` independently per subspace — returns
+    ``books[m][ksub][dim/m]``. PQ is the canonical 100 TB ANN memory
+    trade (FAISS's IVF-PQ layout): a 64-dim float vector becomes m small
+    codes, so the candidate scan reads m bytes per row instead of the
+    vector, and exact vectors are touched only for the re-rank survivors.
+    Each subspace fit is the same Lloyd loop the centroid oracle replays,
+    over a sliced projection — slicing is map-only, so fitting m
+    codebooks costs m passes over an m-times-narrower column."""
+    head = emb.select(vec_col).head()
+    if head is None:
+        raise ValueError("pq_fit: input has no rows")
+    dim = len(head[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col),
+        )
+        books.append(
+            kmeans_fit(sub, k=ksub, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+        )
+    return books
+
+
+def save_pq_codebooks(
+    spark, books: list[list[list[float]]], path: str
+) -> None:
+    """Persist PQ codebooks to parquet — (sub, cid, c array<double>) rows,
+    bit-exact doubles, single-slice local relation (the
+    :func:`save_centroids` rationale). m×ksub rows — driver scale."""
+    rows = [
+        (s, i, [float(x) for x in c])
+        for s, book in enumerate(books)
+        for i, c in enumerate(book)
+    ]
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        "sub int, cid int, c array<double>",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
+    """Load a :func:`save_pq_codebooks` artifact; validates contiguous
+    (sub, cid) coverage so a torn artifact fails loudly."""
+    rows = spark.read.parquet(path).orderBy("sub", "cid").collect()
+    if not rows:
+        raise ValueError(f"load_pq_codebooks: no rows at {path}")
+    m = rows[-1]["sub"] + 1
+    ksub = rows[-1]["cid"] + 1
+    if [(r["sub"], r["cid"]) for r in rows] != [
+        (s, i) for s in range(m) for i in range(ksub)
+    ]:
+        raise ValueError(
+            f"load_pq_codebooks: non-contiguous (sub, cid) grid at {path} — "
+            "the artifact is corrupt or was written by something else"
+        )
+    return [
+        [list(r["c"]) for r in rows[s * ksub : (s + 1) * ksub]]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<int>) PQ codes: per subspace, the argmin sub-centroid
+    via the shared assignment kernel over the sliced vector — map-only,
+    zero joins/shuffles, m kernel nodes. The code table is the compact
+    scan-side representation (m small ints per row)."""
+    dsub = len(books[0][0])
+    return emb.select(
+        F.col(id_col),
+        F.array(
+            *[
+                cluster_assign(
+                    F.transform(
+                        F.slice(F.col(vec_col), s * dsub + 1, dsub),
+                        lambda x: x.cast("double"),
+                    ),
+                    book,
+                )
+                for s, book in enumerate(books)
+            ]
+        ).alias("code"),
+    )
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    query_vec: list[float],
+    books: list[list[list[float]]],
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric-distance scoring with exact
+    re-rank (r10): the query's per-subspace lookup table (ksub squared
+    distances per subspace, computed driver-side with the shared left
+    fold) turns each row's code into an approximate squared L2 distance
+    — m array lookups + m-1 additions per row, no vector arithmetic in
+    the scan — the best ``rerank`` rows by (adc_r, id) are then scored
+    exactly by cosine and the top ``k`` returned. TakeOrderedAndProject
+    both times, never a global window. Rounded ADC and cosine with id
+    tie-breaks make both ranking stages engine-reproducible; the DuckDB
+    oracle replays codebooks, codes, LUT and both cuts bit-for-bit.
+
+    Output (vec_id, rank, cos_r, adc_r): ``cos_r`` is the exact score of
+    the survivor, ``adc_r`` the approximation that put it in the
+    candidate set — the pair is the recall diagnostic."""
+    m = len(books)
+    dsub = len(books[0][0])
+    q = [float(x) for x in query_vec]
+    luts = []
+    for s, book in enumerate(books):
+        qs = q[s * dsub : (s + 1) * dsub]
+        lut = []
+        for c in book:
+            acc = 0.0
+            for x, y in zip(qs, c):
+                t = x - y
+                acc = acc + t * t
+            lut.append(acc)
+        luts.append(lut)
+
+    codes = pq_encode(emb, books, id_col, vec_col)
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in luts[s]]),
+            F.element_at(F.col("code"), s + 1) + F.lit(1),
+        )
+        adc = term if adc is None else adc + term
+    cand = (
+        codes.select(F.col(id_col), F.round(adc, 6).alias("adc_r"))
+        .orderBy(F.col("adc_r").asc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    qarr = F.array(*[F.lit(v) for v in q])
+    rescored = (
+        emb.join(F.broadcast(cand), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(_as_double(vec_col), qarr), 6).alias("cos_r"),
+            F.col("adc_r"),
+        )
+        .orderBy(F.col("cos_r").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.partitionBy(single_partition_key()).orderBy(
+        F.col("cos_r").desc(), F.col(id_col).asc()
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(id_col, "rank", "cos_r", "adc_r")
+
+
 def auto_nlist(
     emb: DataFrame, target_block_rows: int = 1024, cap: int = 65536
 ) -> int:

@@ -149,32 +149,52 @@ KMEANS_ORACLE_K = 4
 KMEANS_ORACLE_N_ITER = 2
 
 
-def kmeans_ctes(k: int = KMEANS_ORACLE_K, n_iter: int = KMEANS_ORACLE_N_ITER) -> str:
+def kmeans_ctes(
+    k: int = KMEANS_ORACLE_K,
+    n_iter: int = KMEANS_ORACLE_N_ITER,
+    prefix: str = "",
+    src_vecs: str = "ev",
+) -> str:
     """SQL mirror of similarity.kmeans_fit, unrolled for ``n_iter`` Lloyd
     iterations over ``k`` centroids. Exposes two fixed final aliases so
     downstream SQL is independent of the iteration count:
-    ``cents_final`` (cid, c) and ``assign_final`` (vec_id, v, cid)."""
+    ``{prefix}cents_final`` (cid, c) and ``{prefix}assign_final``
+    (vec_id, v, cid). ``prefix``/``src_vecs`` (r10) let several
+    independent fits coexist in one query — the PQ oracle runs one chain
+    per subspace over sliced vectors."""
+    p = prefix
     parts = [
         f"""
-c0 AS (
+{p}c0 AS (
   SELECT CAST(rn - 1 AS INT) AS cid,
          generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS cval
   FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-        FROM ev ORDER BY vec_id LIMIT {k}) t
+        FROM {src_vecs} ORDER BY vec_id LIMIT {k}) t
 ),
-c0l AS (SELECT cid, list(cval ORDER BY pos) AS c FROM c0 GROUP BY cid),"""
+{p}c0l AS (SELECT cid, list(cval ORDER BY pos) AS c FROM {p}c0 GROUP BY cid),"""
     ]
-    prev_flat, prev_list = "c0", "c0l"
+    prev_flat, prev_list = f"{p}c0", f"{p}c0l"
     for i in range(1, n_iter + 1):
-        parts.append(_kmeans_assign(prev_list, f"a{i}") + ",")
         parts.append(
-            _kmeans_means(f"a{i}", prev_flat, f"m{i}", f"c{i}f", f"c{i}l") + ","
+            _kmeans_assign_topn(prev_list, f"{p}a{i}", 1, src_vecs=src_vecs)
+            + ","
         )
-        prev_flat, prev_list = f"c{i}f", f"c{i}l"
-    parts.append(_kmeans_assign(prev_list, f"a{n_iter + 1}") + ",")
-    parts.append(f"\ncents_final AS (SELECT cid, c FROM {prev_list}),")
+        parts.append(
+            _kmeans_means(
+                f"{p}a{i}", prev_flat, f"{p}m{i}", f"{p}c{i}f", f"{p}c{i}l"
+            )
+            + ","
+        )
+        prev_flat, prev_list = f"{p}c{i}f", f"{p}c{i}l"
     parts.append(
-        f"\nassign_final AS (SELECT vec_id, v, cid FROM a{n_iter + 1})"
+        _kmeans_assign_topn(
+            prev_list, f"{p}a{n_iter + 1}", 1, src_vecs=src_vecs
+        )
+        + ","
+    )
+    parts.append(f"\n{p}cents_final AS (SELECT cid, c FROM {prev_list}),")
+    parts.append(
+        f"\n{p}assign_final AS (SELECT vec_id, v, cid FROM {p}a{n_iter + 1})"
     )
     return "".join(parts)
 
@@ -194,6 +214,16 @@ MULTIPROBE_ORACLE_N_ITER = 1
 KMEANS_CTES_MULTIPROBE = kmeans_ctes(
     k=MULTIPROBE_ORACLE_NLIST, n_iter=MULTIPROBE_ORACLE_N_ITER
 )
+
+# Product-quantization constants, shared by harness/queries.py:sim_topk_pq
+# and the oracle chain generated below — the engines cannot diverge on
+# geometry. dim=64 over m=4 subspaces of 16 dims, 8 sub-centroids per
+# book, single Lloyd refinement (the coarse-quantizer recipe), 50-row
+# ADC candidate set re-ranked exactly to k=10.
+PQ_ORACLE_M = 4
+PQ_ORACLE_KSUB = 8
+PQ_ORACLE_N_ITER = 1
+PQ_ORACLE_RERANK = 50
 
 
 MINHASH_PAIR_CTES = """docs_aug AS (
@@ -3070,3 +3100,80 @@ FROM keep1n k JOIN admitted a ON a.doc_id = k.doc_id
 # property-pinned for both operators), so each shares its batch oracle.
 ORACLES["stream_ingest_semantic"] = ORACLES["sim_ingest_semantic"]
 ORACLES["stream_ingest_payloads"] = ORACLES["mm_payload_ingest"]
+
+
+def _pq_oracle(dim: int = 64) -> str:
+    """SQL mirror of the PQ pipeline (r10): per-subspace kmeans chains
+    (one prefixed Lloyd unroll per subspace over sliced vectors — the
+    fit's own final assignment IS the code), per-subspace query-to-
+    sub-centroid squared distances in the shared left-fold order, ADC =
+    fixed-order sum of the m terms, rounded candidate cut, exact-cosine
+    re-rank. Every arithmetic step replays pq_fit/pq_encode/pq_topk_adc
+    bit-for-bit."""
+    m, ksub, n_iter = PQ_ORACLE_M, PQ_ORACLE_KSUB, PQ_ORACLE_N_ITER
+    dsub = dim // m
+    parts = [
+        "WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q "
+        "FROM embeddings WHERE vec_id = 0),\n"
+        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)"
+    ]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f",\ns{s}ev AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM ev)"
+        )
+    for s in range(m):
+        parts.append(
+            ",\n"
+            + kmeans_ctes(
+                k=ksub, n_iter=n_iter, prefix=f"s{s}", src_vecs=f"s{s}ev"
+            )
+        )
+    for s in range(m):
+        off = s * dsub
+        parts.append(
+            f""",
+d{s} AS (
+  SELECT a.vec_id,
+         list_reduce(list_transform(generate_series(1, {dsub}), i ->
+           (q[{off} + i] - c.c[i]) * (q[{off} + i] - c.c[i])),
+           (x,y) -> x + y) AS d
+  FROM s{s}assign_final a
+  JOIN s{s}cents_final c ON c.cid = a.cid
+  CROSS JOIN qv
+)"""
+        )
+    adc_sum = "d0.d"
+    joins = "FROM d0"
+    for s in range(1, m):
+        adc_sum = f"({adc_sum} + d{s}.d)"
+        joins += f" JOIN d{s} ON d{s}.vec_id = d0.vec_id"
+    parts.append(
+        f""",
+adc AS (
+  SELECT d0.vec_id, ROUND({adc_sum}, 6) AS adc_r
+  {joins}
+),
+cand AS (SELECT vec_id, adc_r FROM adc ORDER BY adc_r, vec_id LIMIT {PQ_ORACLE_RERANK}),
+rescored AS (
+  SELECT e.vec_id,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*q[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y))),
+           6) AS cos_r,
+         cand.adc_r
+  FROM ev e JOIN cand ON cand.vec_id = e.vec_id CROSS JOIN qv
+)
+SELECT vec_id, rank, cos_r, adc_r FROM (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank,
+         cos_r, adc_r
+  FROM rescored
+) r WHERE rank <= 10"""
+    )
+    return "".join(parts)
+
+
+ORACLES["sim_topk_pq"] = _pq_oracle()

@@ -1036,6 +1036,47 @@ def sim_topk_ivf(spark, sf_dir) -> DataFrame:
     return topk_ivf(emb, query_vector(spark, sf_dir), k=10, nprobe=2)
 
 
+def sim_topk_pq(spark, sf_dir) -> DataFrame:
+    """Product-quantization ANN (r10): fit per-subspace codebooks once,
+    persist them to parquet and reload (the model-artifact pattern —
+    bit-exact doubles, so fit→save→load→probe equals fit-then-probe),
+    then answer the top-10 query via ADC candidate scoring over the m
+    small codes per row plus an exact-cosine re-rank of the 50
+    survivors. The compressed-scan + re-rank split is the 100 TB ANN
+    memory trade: the candidate cut reads m ints per row, exact vectors
+    are touched only for the survivors."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        load_pq_codebooks,
+        pq_fit,
+        pq_topk_adc,
+        save_pq_codebooks,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import query_vector
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        PQ_ORACLE_KSUB,
+        PQ_ORACLE_M,
+        PQ_ORACLE_N_ITER,
+        PQ_ORACLE_RERANK,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = pq_fit(
+        emb, m=PQ_ORACLE_M, ksub=PQ_ORACLE_KSUB, n_iter=PQ_ORACLE_N_ITER
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = scratch_path(tag, "pq_codebooks")
+    save_pq_codebooks(spark, books, path)
+    return pq_topk_adc(
+        emb,
+        query_vector(spark, sf_dir),
+        load_pq_codebooks(spark, path),
+        k=10,
+        rerank=PQ_ORACLE_RERANK,
+    )
+
+
 def sim_topk_ivf_fitted(spark, sf_dir) -> DataFrame:
     """IVF over FITTED partitions: deterministic DataFrame-native k-means
     (no label column), centroid probe, pruned exact scan — the real-corpus
@@ -2712,6 +2753,7 @@ QUERIES = {
     "dedup_clusters_quality": dedup_clusters_quality,
     "stream_ingest_semantic": stream_ingest_semantic,
     "stream_ingest_payloads": stream_ingest_payloads,
+    "sim_topk_pq": sim_topk_pq,
 }
 
 

@@ -2568,3 +2568,114 @@ def test_semantic_ingest_crash_window_replay_idempotent(spark):
         batch, assign, vecs2, cents, mis_max_iter=8
     )
     assert sorted(r["vec_id"] for r in replay.collect()) == original
+
+
+def test_pq_codebooks_roundtrip_bit_exact(spark):
+    """r10: the PQ codebook artifact round-trips bit-exactly through
+    parquet (the save_centroids contract, grid edition), and a torn
+    artifact (a missing (sub, cid) cell) fails loudly on load."""
+    import shutil
+
+    import pytest as _pytest
+
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        load_pq_codebooks,
+        pq_fit,
+        save_pq_codebooks,
+    )
+    from mongo_polars_reconciliation_spark.scratch import scratch_path
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    books = pq_fit(emb, m=4, ksub=8, n_iter=1)
+    path = scratch_path("test_pq_roundtrip", "books.parquet")
+    shutil.rmtree(path, ignore_errors=True)
+    save_pq_codebooks(spark, books, path)
+    loaded = load_pq_codebooks(spark, path)
+    assert loaded == books  # exact float equality, not approx
+    spark.read.parquet(path).where(
+        "NOT (sub = 2 AND cid = 5)"
+    ).write.mode("overwrite").parquet(path + "_torn")
+    with _pytest.raises(ValueError, match="non-contiguous"):
+        load_pq_codebooks(spark, path + "_torn")
+
+
+def test_pq_encode_matches_python_model(spark):
+    """r10: PQ codes equal a doc-at-a-time Python replay (argmin of the
+    left-fold squared distance per subspace, min-cid tie-break) on
+    handcrafted vectors including an exact tie."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        pq_encode,
+    )
+
+    books = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[2.0, 2.0], [2.0, 2.0]],  # identical sub-centroids: tie -> cid 0
+    ]
+    vecs = [
+        (1, [0.1, 0.2, 2.0, 2.0]),
+        (2, [0.9, 0.8, 0.0, 0.0]),
+        (3, [0.5, 0.5, 5.0, -1.0]),  # equidistant in sub 0: tie -> cid 0
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    def model(v):
+        code = []
+        for s, book in enumerate(books):
+            sub = [float(np_x) for np_x in v[2 * s : 2 * s + 2]]
+            best = None
+            for cid, c in enumerate(book):
+                acc = 0.0
+                for x, y in zip(sub, c):
+                    t = x - y
+                    acc = acc + t * t
+                if best is None or acc < best[0]:
+                    best = (acc, cid)
+            code.append(best[1])
+        return code
+
+    got = {
+        r["vec_id"]: list(r["code"]) for r in pq_encode(df, books).collect()
+    }
+    # float32 storage: the model must see the same float32-rounded values
+    import struct as _struct
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    want = {vid: model([f32(x) for x in v]) for vid, v in vecs}
+    assert got == want
+
+
+def test_pq_topk_survivors_carry_bruteforce_scores(spark):
+    """r10: every row pq_topk_adc returns carries the SAME exact cos_r
+    the brute-force scan computes for that id (identical fold on
+    identical operands) — the re-rank stage changes the candidate SET,
+    never a survivor's score."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        pq_fit,
+        pq_topk_adc,
+        topk_bruteforce,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        query_vector,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = query_vector(spark, sf_dir)
+    books = pq_fit(emb, m=4, ksub=8, n_iter=1)
+    pq_rows = {
+        r["vec_id"]: r["cos_r"]
+        for r in pq_topk_adc(emb, q, books, k=10, rerank=50).collect()
+    }
+    bf_rows = {
+        r["vec_id"]: r["cos_r"]
+        for r in topk_bruteforce(emb, q, k=500).collect()
+    }
+    assert len(pq_rows) == 10
+    for vid, cos_r in pq_rows.items():
+        assert bf_rows[vid] == cos_r, (vid, cos_r, bf_rows[vid])
