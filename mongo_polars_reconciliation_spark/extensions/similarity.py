@@ -441,14 +441,18 @@ def pq_encode(
     books: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, code array<int>) PQ codes: per subspace, the argmin sub-centroid
     via the shared assignment kernel over the sliced vector — map-only,
     zero joins/shuffles, m kernel nodes. The code table is the compact
-    scan-side representation (m small ints per row)."""
+    scan-side representation (m small ints per row). ``keep`` carries
+    extra columns through unchanged (the IVF-PQ path keeps the coarse
+    cell id alongside each code)."""
     dsub = len(books[0][0])
     return emb.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.array(
             *[
                 cluster_assign(
@@ -532,6 +536,145 @@ def pq_topk_adc(
     return rescored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select(id_col, "rank", "cos_r", "adc_r")
+
+
+def _lut_sqdists(q_sub: list[float], book: list[list[float]]) -> list[float]:
+    """Squared distances of one query subvector to every sub-centroid, the
+    shared left-fold accumulator order (``((0.0+t0²)+t1²)+...``) so the
+    doubles match `_sq_dist` / the SQL ``list_reduce`` bit-for-bit."""
+    lut = []
+    for c in book:
+        acc = 0.0
+        for x, y in zip(q_sub, c):
+            t = x - y
+            acc = acc + t * t
+        lut.append(acc)
+    return lut
+
+
+def ivf_residuals(
+    emb: DataFrame,
+    coarse: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, residual ``vec_col``, blk) rows: each vector assigned to its
+    nearest coarse centroid and re-expressed as the residual against that
+    centroid — the IVF-PQ index-build projection (residuals are what the
+    product codebooks quantize; FAISS ``IndexIVFPQ`` layout). Assignment
+    is the shared Arrow kernel; the centroid lookup is a broadcast hash
+    join on blk (the centroid table is nlist rows by construction), and
+    the subtraction a ``zip_with`` — map-side only, zero shuffles."""
+    spark = emb.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(coarse)]
+    cents_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(cent_rows, 1),
+        "blk int, _cent array<double>",
+    )
+    assigned = emb.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("_v"),
+        cluster_assign(_as_double(vec_col), coarse).alias("blk"),
+    )
+    return assigned.join(F.broadcast(cents_df), "blk").select(
+        F.col(id_col),
+        F.zip_with("_v", "_cent", lambda x, c: x - c).alias(vec_col),
+        F.col("blk"),
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    nprobe: int = 2,
+    k: int = 10,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k (r10): coarse cells prune the scan, residual product
+    codes score the survivors, exact cosine re-ranks — the composition of
+    the two persisted artifacts (centroid table + residual codebooks) that
+    is the standard billion-scale ANN index (FAISS IVFPQ; Jégou et al.
+    2011). Per query: the ``nprobe`` nearest coarse cells are found
+    driver-side (nlist distances — model scale, not data scale), ONLY
+    those cells' rows are residual-encoded and ADC-scored under a
+    per-cell lookup table (the residual query differs per cell, so each
+    probed cell gets its own LUT — broadcast-joined on blk, m array
+    lookups + m-1 adds per row), and the best ``rerank`` rows by
+    (adc_r, id) are exactly re-scored. At 100 TB the codes would be a
+    precomputed table bucketed by blk, making the probe a partition-pruned
+    scan of m-byte codes; this one-shot form recomputes them for the
+    probed cells only — same plan shape, same answer.
+
+    Every ranking input is rounded (adc_r, cos_r) with id tie-breaks and
+    every float comes from the shared left-fold kernels, so the DuckDB
+    oracle replays both cuts bit-for-bit. Output (vec_id, rank, cos_r,
+    adc_r, blk): blk is the probed-cell provenance — the recall
+    diagnostic for nprobe tuning."""
+    spark = emb.sparkSession
+    m = len(books)
+    dsub = len(books[0][0])
+    q = [float(x) for x in query_vec]
+    dists = []
+    for cid, c in enumerate(coarse):
+        acc = 0.0
+        for x, y in zip(q, c):
+            t = x - y
+            acc = acc + t * t
+        dists.append((acc, cid))
+    probed = [cid for _, cid in sorted(dists)[:nprobe]]
+    lut_rows = []
+    for cid in probed:
+        qr = [x - y for x, y in zip(q, coarse[cid])]
+        luts = [
+            _lut_sqdists(qr[s * dsub : (s + 1) * dsub], book)
+            for s, book in enumerate(books)
+        ]
+        lut_rows.append((cid, *luts))
+    lut_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(lut_rows, 1),
+        "blk int, " + ", ".join(f"_lut{s} array<double>" for s in range(m)),
+    )
+
+    res = ivf_residuals(emb, coarse, id_col, vec_col).filter(
+        F.col("blk").isin([int(p) for p in probed])
+    )
+    codes = pq_encode(res, books, id_col, vec_col, keep=("blk",))
+    scored = codes.join(F.broadcast(lut_df), "blk")
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col(f"_lut{s}"), F.element_at(F.col("code"), s + 1) + F.lit(1)
+        )
+        adc = term if adc is None else adc + term
+    cand = (
+        scored.select(
+            F.col(id_col), F.col("blk"), F.round(adc, 6).alias("adc_r")
+        )
+        .orderBy(F.col("adc_r").asc(), F.col(id_col).asc())
+        .limit(rerank)
+    )
+    qarr = F.array(*[F.lit(v) for v in q])
+    rescored = (
+        emb.join(F.broadcast(cand), id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(_as_double(vec_col), qarr), 6).alias("cos_r"),
+            F.col("adc_r"),
+            F.col("blk"),
+        )
+        .orderBy(F.col("cos_r").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.partitionBy(single_partition_key()).orderBy(
+        F.col("cos_r").desc(), F.col(id_col).asc()
+    )
+    return rescored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(id_col, "rank", "cos_r", "adc_r", "blk")
 
 
 def auto_nlist(

@@ -225,6 +225,15 @@ PQ_ORACLE_KSUB = 8
 PQ_ORACLE_N_ITER = 1
 PQ_ORACLE_RERANK = 50
 
+# IVF-PQ constants (r10), shared by harness/queries.py:sim_topk_ivfpq and
+# the oracle chain below. A small coarse quantizer (4 cells, 1 Lloyd
+# round) keeps the 5-fit oracle chain tractable at the gate SFs; the PQ
+# geometry is the PQ_ORACLE_* set, fitted on RESIDUALS. nprobe=2 probes
+# half the cells — a real recall/read trade, not a degenerate full scan.
+IVFPQ_ORACLE_NLIST = 4
+IVFPQ_ORACLE_N_ITER = 1
+IVFPQ_ORACLE_NPROBE = 2
+
 
 MINHASH_PAIR_CTES = """docs_aug AS (
   SELECT doc_id, text FROM documents
@@ -3177,3 +3186,124 @@ SELECT vec_id, rank, cos_r, adc_r FROM (
 
 
 ORACLES["sim_topk_pq"] = _pq_oracle()
+
+
+def _ivfpq_oracle(dim: int = 64) -> str:
+    """SQL mirror of the IVF-PQ pipeline (r10): one coarse kmeans chain
+    over the full vectors, residuals against the assigned coarse centroid,
+    one PQ kmeans chain per subspace over the SLICED RESIDUALS (the fit's
+    final assignment IS the code), the nprobe nearest coarse cells by the
+    shared left-fold distance, a per-(probed cell, subspace) LUT of
+    residual-query-to-sub-centroid squared distances, ADC as the
+    fixed-order sum of the m LUT lookups over only the probed cells' rows,
+    rounded candidate cut, exact-cosine re-rank on the ORIGINAL vectors.
+    Replays similarity.ivfpq_topk bit-for-bit (same accumulator orders,
+    same (score, id) tie-breaks)."""
+    m, ksub = PQ_ORACLE_M, PQ_ORACLE_KSUB
+    nlist, nprobe = IVFPQ_ORACLE_NLIST, IVFPQ_ORACLE_NPROBE
+    dsub = dim // m
+    parts = [
+        "WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q "
+        "FROM embeddings WHERE vec_id = 0),\n"
+        "ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings),\n"
+        + kmeans_ctes(
+            k=nlist, n_iter=IVFPQ_ORACLE_N_ITER, prefix="g", src_vecs="ev"
+        )
+    ]
+    parts.append(
+        f""",
+rv AS (
+  SELECT a.vec_id,
+         list_transform(generate_series(1, {dim}), i -> a.v[i] - c.c[i]) AS v,
+         a.cid AS blk
+  FROM gassign_final a JOIN gcents_final c ON c.cid = a.cid
+)"""
+    )
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f",\ns{s}ev AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM rv)"
+        )
+    for s in range(m):
+        parts.append(
+            ",\n"
+            + kmeans_ctes(
+                k=ksub,
+                n_iter=PQ_ORACLE_N_ITER,
+                prefix=f"s{s}",
+                src_vecs=f"s{s}ev",
+            )
+        )
+    parts.append(
+        f""",
+probed AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           list_reduce(list_transform(generate_series(1, {dim}), i ->
+             (q[i] - c.c[i]) * (q[i] - c.c[i])), (x,y) -> x + y) AS d
+    FROM gcents_final c CROSS JOIN qv
+    ORDER BY d, c.cid LIMIT {nprobe}) t
+)"""
+    )
+    for s in range(m):
+        off = s * dsub
+        parts.append(
+            f""",
+lut{s} AS (
+  SELECT g.cid AS blk, b.cid AS code,
+         list_reduce(list_transform(generate_series(1, {dsub}), i ->
+           ((q[{off} + i] - g.c[{off} + i]) - b.c[i])
+           * ((q[{off} + i] - g.c[{off} + i]) - b.c[i])),
+           (x,y) -> x + y) AS d
+  FROM gcents_final g
+  JOIN probed p ON p.cid = g.cid
+  CROSS JOIN qv
+  CROSS JOIN s{s}cents_final b
+)"""
+        )
+    code_cols = ", ".join(f"a{s}.cid AS c{s}" for s in range(m))
+    code_joins = "".join(
+        f" JOIN s{s}assign_final a{s} ON a{s}.vec_id = r.vec_id"
+        for s in range(m)
+    )
+    adc_sum = "l0.d"
+    lut_joins = " JOIN lut0 l0 ON l0.blk = c.blk AND l0.code = c.c0"
+    for s in range(1, m):
+        adc_sum = f"({adc_sum} + l{s}.d)"
+        lut_joins += (
+            f" JOIN lut{s} l{s} ON l{s}.blk = c.blk AND l{s}.code = c.c{s}"
+        )
+    parts.append(
+        f""",
+codes AS (
+  SELECT r.vec_id, r.blk, {code_cols}
+  FROM rv r{code_joins}
+),
+adc AS (
+  SELECT c.vec_id, c.blk, ROUND({adc_sum}, 6) AS adc_r
+  FROM codes c{lut_joins}
+),
+cand AS (SELECT vec_id, blk, adc_r FROM adc
+         ORDER BY adc_r, vec_id LIMIT {PQ_ORACLE_RERANK}),
+rescored AS (
+  SELECT e.vec_id,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*q[i]), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(v)), i -> v[i]*v[i]), (x,y) -> x+y))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(q)), i -> q[i]*q[i]), (x,y) -> x+y))),
+           6) AS cos_r,
+         cand.adc_r, cand.blk
+  FROM ev e JOIN cand ON cand.vec_id = e.vec_id CROSS JOIN qv
+)
+SELECT vec_id, rank, cos_r, adc_r, blk FROM (
+  SELECT vec_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank,
+         cos_r, adc_r, blk
+  FROM rescored
+) r WHERE rank <= 10"""
+    )
+    return "".join(parts)
+
+
+ORACLES["sim_topk_ivfpq"] = _ivfpq_oracle()

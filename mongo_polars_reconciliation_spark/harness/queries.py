@@ -1077,6 +1077,63 @@ def sim_topk_pq(spark, sf_dir) -> DataFrame:
     )
 
 
+def sim_topk_ivfpq(spark, sf_dir) -> DataFrame:
+    """IVF-PQ ANN (r10): the composition of the two persisted artifacts —
+    a coarse centroid table pruning the scan to nprobe cells and residual
+    product codebooks scoring the survivors by ADC, exact-cosine re-rank
+    on the originals (FAISS IVFPQ; Jégou et al. 2011). Both artifacts are
+    written to parquet and RELOADED before the probe (fit once, probe
+    many — the model-artifact pattern), so the query pins the whole
+    build→persist→serve path end to end."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ivf_residuals,
+        ivfpq_topk,
+        kmeans_fit,
+        load_centroids,
+        load_pq_codebooks,
+        pq_fit,
+        save_centroids,
+        save_pq_codebooks,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import query_vector
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        IVFPQ_ORACLE_N_ITER,
+        IVFPQ_ORACLE_NLIST,
+        IVFPQ_ORACLE_NPROBE,
+        PQ_ORACLE_KSUB,
+        PQ_ORACLE_M,
+        PQ_ORACLE_N_ITER,
+        PQ_ORACLE_RERANK,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    coarse = kmeans_fit(
+        emb, k=IVFPQ_ORACLE_NLIST, n_iter=IVFPQ_ORACLE_N_ITER
+    )
+    # checkpoint: the m subspace fits and the head probe would otherwise
+    # each re-run the assignment kernel + broadcast join behind the slices
+    res = ivf_residuals(emb, coarse).localCheckpoint(eager=False)
+    books = pq_fit(
+        res, m=PQ_ORACLE_M, ksub=PQ_ORACLE_KSUB, n_iter=PQ_ORACLE_N_ITER
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    cpath = scratch_path(tag, "ivfpq_coarse")
+    bpath = scratch_path(tag, "ivfpq_books")
+    save_centroids(spark, coarse, cpath)
+    save_pq_codebooks(spark, books, bpath)
+    return ivfpq_topk(
+        emb,
+        query_vector(spark, sf_dir),
+        load_centroids(spark, cpath),
+        load_pq_codebooks(spark, bpath),
+        nprobe=IVFPQ_ORACLE_NPROBE,
+        k=10,
+        rerank=PQ_ORACLE_RERANK,
+    )
+
+
 def sim_topk_ivf_fitted(spark, sf_dir) -> DataFrame:
     """IVF over FITTED partitions: deterministic DataFrame-native k-means
     (no label column), centroid probe, pruned exact scan — the real-corpus
@@ -2754,6 +2811,7 @@ QUERIES = {
     "stream_ingest_semantic": stream_ingest_semantic,
     "stream_ingest_payloads": stream_ingest_payloads,
     "sim_topk_pq": sim_topk_pq,
+    "sim_topk_ivfpq": sim_topk_ivfpq,
 }
 
 

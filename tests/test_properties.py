@@ -2679,3 +2679,118 @@ def test_pq_topk_survivors_carry_bruteforce_scores(spark):
     assert len(pq_rows) == 10
     for vid, cos_r in pq_rows.items():
         assert bf_rows[vid] == cos_r, (vid, cos_r, bf_rows[vid])
+
+
+def test_ivf_residuals_match_python_model(spark):
+    """r10: ivf_residuals equals a doc-at-a-time Python replay — nearest
+    coarse centroid by left-fold squared distance (min-cid tie-break),
+    residual = v − centroid — on handcrafted vectors including a tie."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ivf_residuals,
+    )
+
+    coarse = [[0.0, 0.0], [1.0, 1.0], [1.0, 1.0]]  # 1 and 2 tie -> cid 1
+    vecs = [(1, [0.25, 0.25]), (2, [0.9, 0.7]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["blk"], list(r["embedding"]))
+        for r in ivf_residuals(df, coarse).collect()
+    }
+    import struct as _struct
+
+    def f32(x):
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    want = {}
+    for vid, v in vecs:
+        v = [f32(x) for x in v]
+        best = None
+        for cid, c in enumerate(coarse):
+            acc = 0.0
+            for x, y in zip(v, c):
+                t = x - y
+                acc = acc + t * t
+            if best is None or acc < best[0]:
+                best = (acc, cid)
+        cent = coarse[best[1]]
+        want[vid] = (best[1], [x - y for x, y in zip(v, cent)])
+    assert got == want
+
+
+def test_ivfpq_loaded_artifacts_probe_bit_equal(spark, tmp_path):
+    """r10: ivfpq_topk under SAVED-then-LOADED artifacts returns rows
+    bit-identical to the in-memory fit — the coarse table and the
+    residual codebooks both survive the parquet round trip exactly
+    (fit once, probe many)."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ivf_residuals,
+        ivfpq_topk,
+        kmeans_fit,
+        load_centroids,
+        load_pq_codebooks,
+        pq_fit,
+        save_centroids,
+        save_pq_codebooks,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        query_vector,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = query_vector(spark, sf_dir)
+    coarse = kmeans_fit(emb, k=4, n_iter=1)
+    books = pq_fit(ivf_residuals(emb, coarse), m=4, ksub=8, n_iter=1)
+    cpath, bpath = str(tmp_path / "coarse"), str(tmp_path / "books")
+    save_centroids(spark, coarse, cpath)
+    save_pq_codebooks(spark, books, bpath)
+    lc, lb = load_centroids(spark, cpath), load_pq_codebooks(spark, bpath)
+    assert lc == coarse and lb == books
+    mem = ivfpq_topk(emb, q, coarse, books, nprobe=2).collect()
+    loaded = ivfpq_topk(emb, q, lc, lb, nprobe=2).collect()
+    assert [tuple(r) for r in mem] == [tuple(r) for r in loaded]
+
+
+def test_ivfpq_rows_come_from_probed_cells_and_rerank_is_exact(spark):
+    """r10: every returned row's blk is one of the nprobe nearest coarse
+    cells to the query (the pruning contract — unprobed cells are never
+    scanned), the exact-hit query vector wins rank 1 with cos_r 1.0, and
+    every survivor's cos_r equals the brute-force score for that id."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ivf_residuals,
+        ivfpq_topk,
+        kmeans_fit,
+        pq_fit,
+        topk_bruteforce,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        query_vector,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = query_vector(spark, sf_dir)
+    coarse = kmeans_fit(emb, k=4, n_iter=1)
+    books = pq_fit(ivf_residuals(emb, coarse), m=4, ksub=8, n_iter=1)
+    dists = []
+    for cid, c in enumerate(coarse):
+        acc = 0.0
+        for x, y in zip(q, c):
+            t = x - y
+            acc = acc + t * t
+        dists.append((acc, cid))
+    probed = {cid for _, cid in sorted(dists)[:2]}
+    rows = ivfpq_topk(emb, q, coarse, books, nprobe=2, k=10).collect()
+    assert len(rows) == 10
+    assert all(r["blk"] in probed for r in rows)
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_r"] == 1.0
+    bf = {
+        r["vec_id"]: r["cos_r"]
+        for r in topk_bruteforce(emb, q, k=2000).collect()
+    }
+    for r in rows:
+        assert bf[r["vec_id"]] == r["cos_r"], r
