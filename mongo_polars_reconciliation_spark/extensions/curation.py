@@ -115,6 +115,8 @@ def curate_corpus_v2(
     lm_threshold_q: int | None = None,
     min_term_sent_ratio: float | None = None,
     min_mwps: float | None = None,
+    max_symbol_word_ratio: float | None = None,
+    min_alpha_word_frac: float | None = None,
 ) -> DataFrame:
     """The FULL corpus build: exact dedup → MinHash-LSH near-dup drop →
     repetition gate (Gopher rule: top-token share > 0.2 or duplicate
@@ -142,7 +144,14 @@ def curate_corpus_v2(
     falls below the floor (``fused_doc_scores(c4=True)`` signals; Raffel
     et al. 2020 §2.2). Both are row-local columns in the scorer's single
     projection and the gate is the same left_anti-on-doc-id shape as the
-    other gates — zero new shuffles beyond it. None (default) skips."""
+    other gates — zero new shuffles beyond it. None (default) skips.
+
+    ``max_symbol_word_ratio`` / ``min_alpha_word_frac`` (r10): two Gopher
+    rule gates (Rae et al. 2021 §A1.1.1) — drop docs whose '#'+'...'
+    symbol-per-word ratio exceeds the cap (Gopher uses 0.1) or whose
+    share of words containing an alphabetic character falls below the
+    floor (Gopher uses 0.8). Same row-local-signal + left_anti-on-doc-id
+    shape as the C4 gates; None (default) skips."""
     from mongo_polars_reconciliation_spark.extensions.text import (
         contamination_probe,
         repetition_signals,
@@ -190,6 +199,25 @@ def curate_corpus_v2(
             .select(id_col)
         )
         kept = kept.join(c4_flagged, id_col, "left_anti")
+
+    if max_symbol_word_ratio is not None or min_alpha_word_frac is not None:
+        gopher_cond = F.lit(False)
+        if max_symbol_word_ratio is not None:
+            gopher_cond = gopher_cond | (
+                F.col("symbol_word_ratio_r") > max_symbol_word_ratio
+            )
+        if min_alpha_word_frac is not None:
+            gopher_cond = gopher_cond | (
+                F.col("alpha_word_frac_r") < min_alpha_word_frac
+            )
+        gopher_flagged = (
+            fused_doc_scores(
+                kept, id_col=id_col, text_col=text_col, gopher=True
+            )
+            .where(gopher_cond)
+            .select(id_col)
+        )
+        kept = kept.join(gopher_flagged, id_col, "left_anti")
 
     contam_flagged = (
         contamination_probe(

@@ -666,6 +666,7 @@ def fused_doc_scores(
     text_col: str = "text",
     keep: tuple[str, ...] = (),
     c4: bool = False,
+    gopher: bool = False,
 ) -> DataFrame:
     """Single-pass row-local scorer: language argmax + quality + whitespace
     token count in ONE projection — value-identical to
@@ -695,7 +696,21 @@ def fused_doc_scores(
     "lines of at least N words" cut). All three are splits/filters inside
     the SAME projection — zero new shuffles, integer counts floor4'd, so
     the oracle replays them bit-for-bit. Default off: every existing
-    caller's output is unchanged."""
+    caller's output is unchanged.
+
+    ``gopher=True`` (r10) appends the remaining Gopher rule-filter
+    signals (Rae et al. 2021 §A1.1.1 — the non-repetition half;
+    repetition lives in :func:`repetition_signals`): ``n_lines``,
+    ``bullet_line_frac_r`` / ``ellipsis_line_frac_r`` (share of lines
+    starting '- '/'* ' or ending '...' — boilerplate-list and truncation
+    tells), ``alpha_word_frac_r`` (share of words carrying at least one
+    alphabetic char), ``symbol_word_ratio_r`` ('#' plus '...' symbol
+    count per word), ``mean_word_len_r`` (the 3–10 char band rule), and
+    ``req_stop_hits`` (how many of the 8 Gopher required stop words
+    appear — the "≥2 of them" rule). All line/word splits and filters in
+    the SAME single projection — zero new shuffles — and every ratio is
+    an integer-count division floor4'd, so the oracle replays each
+    bit-for-bit. Default off."""
     toks = F.split(F.col(text_col), " ")
     n_tok = F.size(toks).cast("long")
     def _hits(ws: list[str]):
@@ -742,6 +757,40 @@ def fused_doc_scores(
             F.when(n_sent > 0, floor4(n_tok / n_sent))
             .otherwise(F.lit(0.0))
             .alias("mwps_r"),
+        ]
+    if gopher:
+        lines = F.split(F.col(text_col), "\n")
+        n_lines = F.size(lines).cast("long")
+        n_bullet = F.size(
+            F.filter(lines, lambda ln: ln.startswith("- ") | ln.startswith("* "))
+        ).cast("long")
+        n_ellip_line = F.size(
+            F.filter(lines, lambda ln: ln.endswith("..."))
+        ).cast("long")
+        n_alpha_w = F.size(
+            F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+        ).cast("long")
+        n_hash = (
+            n_chars - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+        ).cast("long")
+        n_ellip_sym = (
+            n_chars - F.length(F.replace(F.col(text_col), F.lit("...")))
+        ) / F.lit(3)
+        req = ["the", "be", "to", "of", "and", "that", "have", "with"]
+        req_hits = None
+        for w in req:
+            term = F.array_contains(toks, w).cast("int")
+            req_hits = term if req_hits is None else req_hits + term
+        cols += [
+            n_lines.alias("n_lines"),
+            floor4(n_bullet / n_lines).alias("bullet_line_frac_r"),
+            floor4(n_ellip_line / n_lines).alias("ellipsis_line_frac_r"),
+            floor4(n_alpha_w / n_tok).alias("alpha_word_frac_r"),
+            floor4((n_hash + n_ellip_sym) / n_tok).alias(
+                "symbol_word_ratio_r"
+            ),
+            floor4(avg_len).alias("mean_word_len_r"),
+            req_hits.cast("long").alias("req_stop_hits"),
         ]
     return df.select(*cols)
 

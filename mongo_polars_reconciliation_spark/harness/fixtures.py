@@ -198,6 +198,39 @@ def build_documents_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text2.alias("text"), "lang", "source")
 
 
+def build_documents_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically injected line structure, symbols
+    and numeric words (the natural texts are single-line, symbol-free and
+    fully alphabetic, which would zero every Gopher line/symbol signal):
+    doc_id%4==0 docs get a newline+bullet before every ' join ' occurrence
+    (bullet-list boilerplate); %4==1 docs get '...'-terminated line breaks
+    before ' data ' plus a trailing ' #tag ...' (truncation tells + '#'
+    symbols); %4==2 docs get ' the ' swapped for a numeric token (drags
+    alpha_word_frac below 1); %4==3 stay untouched. Pure literal
+    replace/concat, mirrored verbatim by the oracle SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    text2 = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.replace(t, F.lit(" join "), F.lit(" join\n- ")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.replace(t, F.lit(" data "), F.lit(" data...\n")),
+                F.lit(" #tag ..."),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.replace(t, F.lit(" the "), F.lit(" 12345 ")),
+        )
+        .otherwise(t)
+    )
+    return d.select("doc_id", text2.alias("text"), "lang", "source")
+
+
 MM_PAYLOAD_TAIL = " extra appended tail content for payload variant"
 
 

@@ -2833,6 +2833,66 @@ FROM sig
 '''
 
 
+# Gopher rule-filter signals (r10): the line/symbol-injected fixture and
+# every count/division mirror harness/fixtures.py:build_documents_lines and
+# extensions/text.py:fused_doc_scores(gopher=True) verbatim — literal
+# replaces, non-overlapping left-to-right on both engines, integer counts
+# divided then floor4'd.
+ORACLES["text_quality_gopher"] = """
+WITH docs_lines AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN replace(text, ' join ', ' join' || chr(10) || '- ')
+              WHEN doc_id % 4 = 1
+              THEN replace(text, ' data ', ' data...' || chr(10))
+                   || ' #tag ...'
+              WHEN doc_id % 4 = 2
+              THEN replace(text, ' the ', ' 12345 ')
+              ELSE text END AS text
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, text,
+         string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         string_split(text, chr(10)) AS lines,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+  FROM docs_lines
+)
+SELECT doc_id,
+       n_lines,
+       FLOOR(CAST(len(list_filter(lines,
+               l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT)
+             / CAST(n_lines AS DOUBLE) * 10000) / 10000
+         AS bullet_line_frac_r,
+       FLOOR(CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+             / CAST(n_lines AS DOUBLE) * 10000) / 10000
+         AS ellipsis_line_frac_r,
+       FLOOR(CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+             / CAST(n_tok AS DOUBLE) * 10000) / 10000
+         AS alpha_word_frac_r,
+       FLOOR((CAST(n_chars - length(regexp_replace(text, '#', '', 'g'))
+                AS BIGINT)
+              + (n_chars - length(replace(text, '...', ''))) / 3)
+             / CAST(n_tok AS DOUBLE) * 10000) / 10000
+         AS symbol_word_ratio_r,
+       FLOOR(((n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE)) * 10000)
+         / 10000 AS mean_word_len_r,
+       CAST(CAST(list_contains(toks, 'the') AS INT)
+          + CAST(list_contains(toks, 'be') AS INT)
+          + CAST(list_contains(toks, 'to') AS INT)
+          + CAST(list_contains(toks, 'of') AS INT)
+          + CAST(list_contains(toks, 'and') AS INT)
+          + CAST(list_contains(toks, 'that') AS INT)
+          + CAST(list_contains(toks, 'have') AS INT)
+          + CAST(list_contains(toks, 'with') AS INT) AS BIGINT)
+         AS req_stop_hits
+FROM sig
+"""
+
+
 # Binary payload dedup (r9): payloads are UTF-8 encodings of ASCII texts,
 # so DuckDB's VARCHAR md5/substr mirror Spark's byte-level md5/substring
 # exactly (same bytes, same lowercase hex).

@@ -1976,6 +1976,34 @@ def text_quality_c4(spark, sf_dir) -> DataFrame:
     )
 
 
+def text_quality_gopher(spark, sf_dir) -> DataFrame:
+    """Gopher rule-filter signals (r10), fused into the single-projection
+    scorer: line-structure fractions (bullet starts, '...' ends),
+    alphabetic-word fraction, symbol-per-word ratio, mean word length and
+    required-stop-word hits — over the line/symbol-injected fixture (the
+    natural texts are single-line and symbol-free). Map-only: the signals
+    share the scorer's one projection, zero shuffles."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        fused_doc_scores,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_documents_lines,
+    )
+
+    return fused_doc_scores(
+        build_documents_lines(spark, sf_dir), gopher=True
+    ).select(
+        "doc_id",
+        "n_lines",
+        "bullet_line_frac_r",
+        "ellipsis_line_frac_r",
+        "alpha_word_frac_r",
+        "symbol_word_ratio_r",
+        "mean_word_len_r",
+        "req_stop_hits",
+    )
+
+
 def text_cms_merge(spark, sf_dir) -> DataFrame:
     """Mergeability pin for the CMS sketch (mirror of events_kmv_merge):
     per-split partial sketches — each from its OWN filtered scan (r8:
@@ -2789,6 +2817,7 @@ QUERIES = {
     "sim_recall_probe_sampled": sim_recall_probe_sampled,
     "text_bpe_vocab_roundtrip": text_bpe_vocab_roundtrip,
     "text_quality_c4": text_quality_c4,
+    "text_quality_gopher": text_quality_gopher,
     "mm_payload_dedup": mm_payload_dedup,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,

@@ -1612,6 +1612,123 @@ def test_curation_v2_c4_gates(spark):
     assert zeroed == base
 
 
+def test_gopher_signals_match_python_model(spark):
+    """r10: the fused gopher signals equal a doc-at-a-time Python replay
+    (same counts, same floor4'd divisions) on handcrafted texts covering
+    bullet/ellipsis lines, '#' and '...' symbols, numeric words, and the
+    required-stop-word list."""
+    import math
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        fused_doc_scores,
+    )
+
+    texts = [
+        (1, "- first\n- second\nplain tail"),
+        (2, "cut off here...\nand again...\nfinal"),
+        (3, "num 123 456 mix7 #tag #x the of and"),
+        (4, "the be to of and that have with extras"),
+        (5, "no structure at all just words"),
+        (6, "dots... inline #one more..."),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["bullet_line_frac_r"], r["ellipsis_line_frac_r"],
+            r["alpha_word_frac_r"], r["symbol_word_ratio_r"],
+            r["mean_word_len_r"], r["req_stop_hits"],
+        )
+        for r in fused_doc_scores(df, gopher=True).collect()
+    }
+
+    def floor4(x):
+        return math.floor(x * 10000) / 10000
+
+    want = {}
+    for did, t in texts:
+        lines = t.split("\n")
+        toks = t.split(" ")
+        n_lines, n_tok, n_chars = len(lines), len(toks), len(t)
+        n_bullet = sum(
+            1 for ln in lines if ln.startswith("- ") or ln.startswith("* ")
+        )
+        n_ellip_line = sum(1 for ln in lines if ln.endswith("..."))
+        n_alpha = sum(1 for w in toks if any(c.isalpha() and ord(c) < 128 for c in w))
+        n_hash = t.count("#")
+        n_ellip_sym = (n_chars - len(t.replace("...", ""))) / 3
+        req = ["the", "be", "to", "of", "and", "that", "have", "with"]
+        want[did] = (
+            n_lines,
+            floor4(n_bullet / n_lines),
+            floor4(n_ellip_line / n_lines),
+            floor4(n_alpha / n_tok),
+            floor4((n_hash + n_ellip_sym) / n_tok),
+            floor4((n_chars - (n_tok - 1)) / n_tok),
+            sum(1 for w in req if w in toks),
+        )
+    assert got == want
+
+
+def test_curation_v2_gopher_gates(spark):
+    """r10: the optional Gopher gates drop exactly the docs whose fused
+    gopher signals violate the cap/floor — same harness as the C4 gate
+    test (every other v2 stage a no-op), against independently computed
+    signal rows."""
+    from mongo_polars_reconciliation_spark.extensions.curation import (
+        curate_corpus_v2,
+    )
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        fused_doc_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "symbol heavy #a #b #c ... ... tail word"),
+            (3, "numbers 111 222 333 444 555 666 777 888 999 000"),
+            (4, "red green blue yellow purple orange cyan magenta pink"),
+            (5, "north south east west up down left right center"),
+            (6, "trailing dots everywhere... yes... more... words here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp")],
+        "doc_id long, text string",
+    )
+    gates = dict(max_symbol_word_ratio=0.2, min_alpha_word_frac=0.5)
+    base = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(docs, bench, min_quality=0.0).collect()
+    }
+    gated = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(
+            docs, bench, min_quality=0.0, **gates
+        ).collect()
+    }
+    sig = fused_doc_scores(docs, gopher=True).collect()
+    keep = [
+        r for r in sig
+        if r["symbol_word_ratio_r"] <= 0.2 and r["alpha_word_frac_r"] >= 0.5
+    ]
+    assert 0 < len(keep) < docs.count(), "gates must bite, not annihilate"
+    expect = {}
+    for r in keep:
+        n, t = expect.get(r["pred_lang"], (0, 0))
+        expect[r["pred_lang"]] = (n + 1, t + r["ws_tokens"])
+    assert gated == expect
+    # vacuous gates == baseline
+    vac = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(
+            docs, bench, min_quality=0.0,
+            max_symbol_word_ratio=1e9, min_alpha_word_frac=0.0,
+        ).collect()
+    }
+    assert vac == base
+
+
 def test_neardup_ingest_short_docs_exact_only(spark):
     """Docs shorter than the shingle width carry no band keys, so they are
     exact-dedup-only by construction: distinct short texts all admit
