@@ -115,6 +115,9 @@ SECONDARY = [
     "stream_ingest_semantic",
     "stream_ingest_payloads",
     "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "text_quality_gopher",
+    "text_lm_buckets",
 ]
 
 

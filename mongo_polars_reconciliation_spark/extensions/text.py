@@ -1020,6 +1020,76 @@ def bigram_lm_scores(
     )
 
 
+def lm_typicality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020 §4.3): per
+    language, the corpus is cut into typicality terciles by the
+    integer-exact bigram-LM score — 'head' feeds high-quality training
+    mixes, 'tail' is the review/drop pile. Docs with fewer than two
+    tokens carry no score and are absent (the bigram operators'
+    contract).
+
+    Scale shape — the cutoffs come from the score DISTRIBUTION, not a
+    corpus-wide sort: the only full-data passes are the LM scorer's own
+    aggregates plus one (lang, score) hash-groupBy; the tercile cutoffs
+    are then found on that collapsed frame (|langs| × |distinct integer
+    scores| rows — sketch-sized) with a window over the aggregate, and
+    bucketing is a broadcast join back on lang. A per-language
+    row_number over the raw corpus — the naive form — would sort 100 TB
+    inside skewed language partitions; this never ranks raw rows.
+
+    Cutoffs are nearest-rank: cut1 = the ceil(n/3)-th largest score,
+    cut2 = the ceil(2n/3)-th; buckets by score-vs-cutoff comparison, so
+    tied scores land in the same bucket regardless of shuffle order
+    (integer comparisons only — deterministic and oracle-replayable)."""
+    scores = bigram_lm_scores(df, id_col=id_col, text_col=text_col, scale=scale)
+    scored = scores.join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    ).select(F.col(id_col), F.col(lang_col), F.col("lm_score_q"))
+    dist = scored.groupBy(lang_col, "lm_score_q").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("lm_score_q").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(lang_col)
+    cum = dist.select(
+        F.col(lang_col),
+        F.col("lm_score_q"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    cuts = cum.groupBy(lang_col).agg(
+        F.max(
+            F.when(
+                F.col("cum") >= F.expr("(n + 2) div 3"), F.col("lm_score_q")
+            )
+        ).alias("cut1"),
+        F.max(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n + 2) div 3"),
+                F.col("lm_score_q"),
+            )
+        ).alias("cut2"),
+    )
+    return scored.join(F.broadcast(cuts), lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("lm_score_q"),
+        F.when(F.col("lm_score_q") >= F.col("cut1"), F.lit("head"))
+        .when(F.col("lm_score_q") >= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def ngram_frequencies(
     df: DataFrame,
     n: int = 2,

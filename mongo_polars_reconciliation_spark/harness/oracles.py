@@ -2507,6 +2507,58 @@ GROUP BY p.doc_id
 '''
 
 
+# CCNet head/middle/tail typicality terciles (r10): the lm CTE chain is
+# text_lm_score's verbatim; cutoffs are nearest-rank k-th largest scores
+# found on the collapsed (lang, score) distribution (cum is a ROWS window
+# over DISTINCT scores, so RANGE-vs-ROWS tie semantics cannot differ);
+# buckets by integer score-vs-cutoff comparison — tied scores share a
+# bucket on both engines by construction.
+ORACLES["text_lm_buckets"] = '''
+WITH pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    WHERE len(string_split(text, ' ')) >= 2
+  ), unnest(range(1, len(t))) AS u(i)
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+probs AS (
+  SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS p_q
+  FROM c2 JOIN c1 USING (w1)
+),
+lm AS (
+  SELECT p.doc_id, CAST(SUM(pr.p_q) // COUNT(*) AS BIGINT) AS lm_score_q
+  FROM pairs p JOIN probs pr ON pr.w1 = p.w1 AND pr.w2 = p.w2
+  GROUP BY p.doc_id
+),
+scored AS (
+  SELECT s.doc_id, d.lang, s.lm_score_q
+  FROM lm s JOIN documents d ON d.doc_id = s.doc_id
+),
+dist AS (
+  SELECT lang, lm_score_q, COUNT(*) AS c FROM scored GROUP BY lang, lm_score_q
+),
+cum AS (
+  SELECT lang, lm_score_q,
+         SUM(c) OVER (PARTITION BY lang ORDER BY lm_score_q DESC) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM dist
+),
+cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN cum >= (n + 2) // 3 THEN lm_score_q END) AS cut1,
+         MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_score_q END) AS cut2
+  FROM cum GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.lm_score_q,
+       CASE WHEN s.lm_score_q >= c.cut1 THEN 'head'
+            WHEN s.lm_score_q >= c.cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c ON c.lang = s.lang
+'''
+
+
 # Adaptive percentile quality gate: nearest-rank k-th smallest fused
 # quality (k = ceil(n*50/1000), integer arithmetic) as the cutoff; ties at
 # the cutoff survive. quality arithmetic mirrors fused_doc_scores exactly

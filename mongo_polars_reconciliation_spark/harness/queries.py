@@ -1943,6 +1943,20 @@ def text_lm_score(spark, sf_dir) -> DataFrame:
     return bigram_lm_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_lm_buckets(spark, sf_dir) -> DataFrame:
+    """CCNet-style per-language head/middle/tail typicality terciles
+    (r10) over the integer-exact bigram-LM score — cutoffs from the
+    collapsed (lang, score) distribution, never a raw-corpus sort;
+    bucketing is a broadcast join on lang."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        lm_typicality_buckets,
+    )
+
+    return lm_typicality_buckets(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def text_quality_gate(spark, sf_dir) -> DataFrame:
     """Adaptive percentile quality gate (r8): survivors after dropping
     the corpus's worst 5%% (permille = 50) by fused quality — the
@@ -2750,6 +2764,7 @@ QUERIES = {
     "text_sample_fixed_k": text_sample_fixed_k,
     "dedup_ingest_incremental": dedup_ingest_incremental,
     "text_lm_score": text_lm_score,
+    "text_lm_buckets": text_lm_buckets,
     "stream_ingest_novel": stream_ingest_novel,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,

@@ -1729,6 +1729,61 @@ def test_curation_v2_gopher_gates(spark):
     assert vac == base
 
 
+def test_lm_buckets_match_python_model(spark):
+    """r10: the per-language tercile bucketing equals a Python replay of
+    the nearest-rank cutoff rule on the engine's own scores — including
+    tied scores (which must share a bucket) and a language whose docs
+    all tie (everything lands in head: cut1 == cut2 == the one score)."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        bigram_lm_scores,
+        lm_typicality_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # lang a: 6 scored docs with a designed score spread + a tie
+            (1, "x y x y x y", "a"),
+            (2, "x y x y z q", "a"),
+            (3, "z q z q z q", "a"),
+            (4, "x y x y x y", "a"),  # exact tie with doc 1
+            (5, "q z q z q z", "a"),
+            (6, "x z y q x z", "a"),
+            # lang b: all docs identical -> single score, all head
+            (7, "m n m n", "b"),
+            (8, "m n m n", "b"),
+            (9, "m n m n", "b"),
+            # unscored: single token, must be absent
+            (10, "solo", "a"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: (r["lang"], r["lm_score_q"], r["bucket"])
+        for r in lm_typicality_buckets(docs).collect()
+    }
+    scores = {
+        r["doc_id"]: r["lm_score_q"]
+        for r in bigram_lm_scores(docs).collect()
+    }
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    want = {}
+    for lg in ("a", "b"):
+        members = [d for d in scores if langs[d] == lg]
+        vals = sorted((scores[d] for d in members), reverse=True)
+        n = len(vals)
+        cut1 = vals[(n + 2) // 3 - 1]
+        cut2 = vals[(2 * n + 2) // 3 - 1]
+        for d in members:
+            s = scores[d]
+            b = "head" if s >= cut1 else ("middle" if s >= cut2 else "tail")
+            want[d] = (lg, s, b)
+    assert 10 not in got and 10 not in want  # no bigrams -> absent
+    assert got == want
+    # ties share a bucket; the all-tied language is entirely head
+    assert got[1][2] == got[4][2]
+    assert {got[d][2] for d in (7, 8, 9)} == {"head"}
+
+
 def test_neardup_ingest_short_docs_exact_only(spark):
     """Docs shorter than the shingle width carry no band keys, so they are
     exact-dedup-only by construction: distinct short texts all admit

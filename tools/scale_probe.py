@@ -146,6 +146,35 @@ def _probe_recall(nlist):
     return run
 
 
+def probe_ivfpq(spark, emb):
+    """The r10 IVF-PQ serve path: fit coarse + residual codebooks once
+    per corpus size, then time ONLY the probe (assign → residual-encode
+    probed cells → ADC → exact re-rank). Probe work is (n/nlist)·nprobe
+    rows of m-lookup scoring — with fixed nlist=4 it grows linearly in n
+    (the scan is the assignment kernel over all rows; the ADC/LUT side
+    is cell-bounded), which is what the ratio should show."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ivf_residuals,
+        ivfpq_topk,
+        kmeans_fit,
+        pq_fit,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        query_vector,
+    )
+
+    emb = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    q = query_vector(spark, SF_DIR)
+    coarse = kmeans_fit(emb, k=4, n_iter=1)
+    res = ivf_residuals(emb, coarse).localCheckpoint(eager=False)
+    books = pq_fit(res, m=4, ksub=8, n_iter=1)
+    t0 = time.perf_counter()
+    ivfpq_topk(emb, q, coarse, books, nprobe=2, k=10).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def probe_semantic_ingest(spark, emb):
     """The r10 vector-side ingest: probe assignment under persisted
     centroids + block-collision admission. nlist scales with the corpus
@@ -237,6 +266,7 @@ def main() -> None:
         # r10 ingest family extensions
         ("semantic_ingest", emb_at, probe_semantic_ingest),
         ("payload_ingest", docs_at, probe_payload_ingest),
+        ("ivfpq_probe", emb_at, probe_ivfpq),
     ]
     for name, mk, run in probes:
         run(spark, mk(spark, 1))  # warm: JVM/codegen/scan caches
