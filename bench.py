@@ -118,6 +118,7 @@ SECONDARY = [
     "sim_topk_ivfpq",
     "text_quality_gopher",
     "text_lm_buckets",
+    "text_datacard_merge",
 ]
 
 

@@ -1621,6 +1621,161 @@ def corpus_datacard(
     )
 
 
+def datacard_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The EXACT mergeable sufficient statistic behind
+    :func:`corpus_datacard` (r10): one row per (source, lang, ws_tokens)
+    carrying the doc count and the DECIMAL quality sum. Because
+    ``ws_tokens`` is a small integer, this histogram is sketch-sized
+    (groups × distinct lengths) yet loses NOTHING: counts and decimal
+    sums fold by addition, and nearest-rank quantiles are recoverable
+    exactly from cumulative counts — so per-shard/per-day states merge
+    into a release-level card bit-identical to a full rescan (pinned by
+    ``datacard_merge_check``). The 100 TB reporting shape: each
+    ingestion wave computes its own state (one scoring projection + one
+    hash-aggregate with map-side combine), the release card folds
+    states, and the raw corpus is never rescanned."""
+    scored = fused_doc_scores(
+        df, id_col=id_col, text_col=text_col, keep=(source_col, lang_col)
+    )
+    return scored.groupBy(source_col, lang_col, "ws_tokens").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("quality_r").cast("decimal(18,4)")).alias("q_sum"),
+    )
+
+
+def merge_datacard_states(
+    states: list[DataFrame],
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Fold per-shard datacard states by addition — counts and decimal
+    sums are plain associative/commutative sums, so fold order cannot
+    change a bit."""
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(source_col, lang_col, "ws_tokens").agg(
+        F.sum("c").alias("c"), F.sum("q_sum").alias("q_sum")
+    )
+
+
+def datacard_from_state(
+    state: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Derive the exact data card from a (merged) state: counts/totals by
+    summation, mean quality through the same DECIMAL route as
+    :func:`corpus_datacard`, and nearest-rank p50/p90 as the smallest
+    ws_tokens whose cumulative count reaches the rank — identical to the
+    per-row window form because the k-th smallest value IS the first
+    histogram bin whose cumulative count covers k. The windows here run
+    over the collapsed histogram (sketch-sized), never raw rows."""
+    w_cum = (
+        Window.partitionBy(source_col, lang_col)
+        .orderBy(F.col("ws_tokens").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = Window.partitionBy(source_col, lang_col)
+    cum = state.select(
+        F.col(source_col),
+        F.col(lang_col),
+        F.col("ws_tokens"),
+        F.col("c"),
+        F.col("q_sum"),
+        F.sum("c").over(w_cum).alias("__cum"),
+        F.sum("c").over(grp).alias("__n"),
+    )
+    k50 = F.expr("(1 * __n + 1) DIV 2")
+    k90 = F.expr("(9 * __n + 9) DIV 10")
+    return cum.groupBy(source_col, lang_col).agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("ws_tokens") * F.col("c")).alias("total_ws_tokens"),
+        (
+            F.floor(
+                F.sum("q_sum").cast("double") / F.sum("c") * 10000
+            )
+            / 10000
+        ).alias("avg_quality_r"),
+        F.min(F.when(F.col("__cum") >= k50, F.col("ws_tokens"))).alias(
+            "p50_tokens"
+        ),
+        F.min(F.when(F.col("__cum") >= k90, F.col("ws_tokens"))).alias(
+            "p90_tokens"
+        ),
+    )
+
+
+def datacard_merge_check(
+    df: DataFrame,
+    n_splits: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Pin of the datacard's exact-mergeability claim (the
+    ``cms_merge_check`` treatment): one state per corpus split — each
+    from its OWN filtered scan (``pmod(doc_id, n_splits)``, a total
+    never-null partition) — folded and derived into a card, FULL OUTER
+    joined against the card :func:`corpus_datacard` re-derives from an
+    unfiltered scan. Every metric appears twice (merged_* / global_*);
+    the oracle pins them equal bit-for-bit. A rewrite whose state stops
+    being sufficient (lossy binning, float quality sums) diverges here
+    before it ships."""
+    states = [
+        datacard_state(
+            df.filter(F.pmod(F.col(id_col), F.lit(n_splits)) == k),
+            id_col,
+            text_col,
+            source_col,
+            lang_col,
+        )
+        for k in range(n_splits)
+    ]
+    merged = datacard_from_state(
+        merge_datacard_states(states, source_col, lang_col),
+        source_col,
+        lang_col,
+    )
+    global_card = corpus_datacard(df, id_col, text_col, source_col, lang_col)
+    m = merged.select(
+        F.col(source_col),
+        F.col(lang_col),
+        *[
+            F.col(c).alias(f"merged_{c}")
+            for c in (
+                "n_docs",
+                "total_ws_tokens",
+                "avg_quality_r",
+                "p50_tokens",
+                "p90_tokens",
+            )
+        ],
+    )
+    g = global_card.select(
+        F.col(source_col),
+        F.col(lang_col),
+        *[
+            F.col(c).alias(f"global_{c}")
+            for c in (
+                "n_docs",
+                "total_ws_tokens",
+                "avg_quality_r",
+                "p50_tokens",
+                "p90_tokens",
+            )
+        ],
+    )
+    return m.join(g, [source_col, lang_col], "full_outer")
+
+
 def bpe_pair_stats(
     df: DataFrame,
     min_count: int = 50,

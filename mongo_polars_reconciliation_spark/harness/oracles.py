@@ -1648,6 +1648,92 @@ SELECT source, lang,
        MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN ws_tokens END) AS p90_tokens
 FROM ranked GROUP BY source, lang
 """,
+    # Mergeable datacard audit (r10): the merged side replays the per-split
+    # state fold (histogram + DECIMAL quality sums per split, summed, then
+    # cumulative-count nearest-rank quantiles); the global side is the
+    # text_datacard SQL verbatim. FULL OUTER join so a group present on only
+    # one side surfaces as NULLs instead of vanishing.
+    "text_datacard_merge": """
+WITH scored AS (
+  SELECT source, lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+         FLOOR((
+           0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+           + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * LEAST(1.0,
+               ((length(text) - (len(string_split(text, ' ')) - 1))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 8.0)
+           ) * 10000) / 10000 AS quality_r
+  FROM documents
+),
+state0 AS (
+  SELECT source, lang, ws_tokens, COUNT(*) AS c,
+         SUM(CAST(quality_r AS DECIMAL(18,4))) AS q_sum
+  FROM scored WHERE doc_id % 2 = 0 GROUP BY source, lang, ws_tokens
+),
+state1 AS (
+  SELECT source, lang, ws_tokens, COUNT(*) AS c,
+         SUM(CAST(quality_r AS DECIMAL(18,4))) AS q_sum
+  FROM scored WHERE doc_id % 2 = 1 GROUP BY source, lang, ws_tokens
+),
+folded AS (
+  SELECT source, lang, ws_tokens, SUM(c) AS c, SUM(q_sum) AS q_sum
+  FROM (SELECT * FROM state0 UNION ALL SELECT * FROM state1) u
+  GROUP BY source, lang, ws_tokens
+),
+cum AS (
+  SELECT source, lang, ws_tokens, c, q_sum,
+         SUM(c) OVER (PARTITION BY source, lang
+                      ORDER BY ws_tokens
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY source, lang) AS n
+  FROM folded
+),
+merged AS (
+  SELECT source, lang,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(SUM(ws_tokens * c) AS BIGINT) AS total_ws_tokens,
+         FLOOR(CAST(SUM(q_sum) AS DOUBLE) / SUM(c) * 10000) / 10000
+           AS avg_quality_r,
+         MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN ws_tokens END)
+           AS p50_tokens,
+         MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN ws_tokens END)
+           AS p90_tokens
+  FROM cum GROUP BY source, lang
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY ws_tokens, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source, lang) AS n
+  FROM scored
+),
+gcard AS (
+  SELECT source, lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         FLOOR(CAST(SUM(CAST(quality_r AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) * 10000) / 10000 AS avg_quality_r,
+         MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN ws_tokens END) AS p50_tokens,
+         MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN ws_tokens END) AS p90_tokens
+  FROM ranked GROUP BY source, lang
+)
+SELECT COALESCE(m.source, g.source) AS source,
+       COALESCE(m.lang, g.lang) AS lang,
+       m.n_docs AS merged_n_docs,
+       m.total_ws_tokens AS merged_total_ws_tokens,
+       m.avg_quality_r AS merged_avg_quality_r,
+       m.p50_tokens AS merged_p50_tokens,
+       m.p90_tokens AS merged_p90_tokens,
+       g.n_docs AS global_n_docs,
+       g.total_ws_tokens AS global_total_ws_tokens,
+       g.avg_quality_r AS global_avg_quality_r,
+       g.p50_tokens AS global_p50_tokens,
+       g.p90_tokens AS global_p90_tokens
+FROM merged m FULL OUTER JOIN gcard g
+  ON g.source = m.source AND g.lang = m.lang
+""",
     "text_mix_epochs": """
 WITH h AS (
   SELECT doc_id, lang, {POLY_HASH_DOC} % 10000 AS hv FROM documents

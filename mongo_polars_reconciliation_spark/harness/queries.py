@@ -2053,6 +2053,24 @@ def text_datacard(spark, sf_dir) -> DataFrame:
     return corpus_datacard(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def text_datacard_merge(spark, sf_dir) -> DataFrame:
+    """Mergeability pin for the corpus data card (r10, the cms/kmv/hist
+    merge family): per-split exact states — (source, lang, ws_tokens)
+    histogram + DECIMAL quality sums, each from its own filtered scan —
+    folded and derived into a card next to the full-rescan card; every
+    metric (counts, totals, mean quality, nearest-rank p50/p90) must
+    match bit-for-bit. The shard-fold reporting shape of a 100 TB
+    corpus: waves compute states, releases fold them, raw data is never
+    rescanned."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        datacard_merge_check,
+    )
+
+    return datacard_merge_check(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def text_sample_stratified(spark, sf_dir) -> DataFrame:
     """Deterministic hash-based stratified downsample of documents by
     language (en 50%, es 25%, everything else 10%) — the reproducible
@@ -2841,6 +2859,7 @@ QUERIES = {
     "curation_pipeline_v2": curation_pipeline_v2,
     "curation_pipeline_v3": curation_pipeline_v3,
     "text_datacard": text_datacard,
+    "text_datacard_merge": text_datacard_merge,
     "text_ngram_novelty": text_ngram_novelty,
     "text_split_cluster_safe": text_split_cluster_safe,
     "text_dup_spans": text_dup_spans,

@@ -1729,6 +1729,43 @@ def test_curation_v2_gopher_gates(spark):
     assert vac == base
 
 
+def test_datacard_state_fold_equals_full_rescan(spark):
+    """r10: the datacard state is an exact sufficient statistic — folding
+    per-split states (any split count) and deriving the card equals
+    corpus_datacard's full rescan on every metric, column-wise, and the
+    merge-check query's merged_*/global_* pairs are equal row-wise."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        corpus_datacard,
+        datacard_from_state,
+        datacard_merge_check,
+        datacard_state,
+        merge_datacard_states,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r["source"], r["lang"]): tuple(r)[2:]
+        for r in corpus_datacard(docs).collect()
+    }
+    for n_splits in (2, 3):
+        states = [
+            datacard_state(docs.filter(F.pmod(F.col("doc_id"), F.lit(n_splits)) == k))
+            for k in range(n_splits)
+        ]
+        merged = {
+            (r["source"], r["lang"]): tuple(r)[2:]
+            for r in datacard_from_state(
+                merge_datacard_states(states)
+            ).collect()
+        }
+        assert merged == full, f"n_splits={n_splits}"
+    for r in datacard_merge_check(docs).collect():
+        for m in ("n_docs", "total_ws_tokens", "avg_quality_r",
+                  "p50_tokens", "p90_tokens"):
+            assert r[f"merged_{m}"] == r[f"global_{m}"], (r["source"], r["lang"], m)
+
+
 def test_lm_buckets_match_python_model(spark):
     """r10: the per-language tercile bucketing equals a Python replay of
     the nearest-rank cutoff rule on the engine's own scores — including
