@@ -119,6 +119,7 @@ SECONDARY = [
     "text_quality_gopher",
     "text_lm_buckets",
     "text_datacard_merge",
+    "text_pack_shards_roundtrip",
 ]
 
 

@@ -153,6 +153,44 @@ def pack_sequences(
     )
 
 
+def write_packed_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    token_budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Training-shard writer — the sink half of sequence packing: lay the
+    corpus out with :func:`pack_sequences`, co-locate every batch's docs
+    in one shard (``shard = batch_id mod n_shards`` — round-robin keeps
+    shard token counts within one batch of each other, and a data loader
+    consumes shard files independently, no cross-file coordination), and
+    write parquet partitioned by shard with exactly one file per shard
+    (the loader contract). The text rides along so shards are
+    self-contained training input.
+
+    Scale shape: the pack is the two-pass prefix sum, the text join is
+    one hash join on the id, and ``repartition(n_shards, shard)`` makes
+    each shard one task writing one file — at 100 TB ``n_shards`` is
+    thousands, so the write keeps full cluster parallelism while small
+    corpora avoid the 8-files-per-task spray ``partitionBy`` alone
+    produces."""
+    packed = pack_sequences(df, token_budget, id_col, text_col)
+    full = packed.join(df.select(F.col(id_col), F.col(text_col)), id_col)
+    out = full.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("start_offset"),
+        F.col("batch_id"),
+        F.pmod(F.col("batch_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        F.col(text_col),
+    )
+    out.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(out_dir)
+
+
 SCRUB_DEFAULT_TERMS = ("customer", "stream")
 
 

@@ -1918,6 +1918,31 @@ SELECT doc_id, n_tokens, start_offset,
        CAST(start_offset // 512 AS BIGINT) AS batch_id
 FROM p
 """,
+    # Training-shard writer round trip (r10): the pack CTE verbatim, plus
+    # the round-robin shard assignment and the text digest — the Spark side
+    # returns these FROM THE RE-READ shard files, so equality checks the
+    # write->read path. Texts are ASCII, so DuckDB's VARCHAR md5 mirrors
+    # Spark's binary md5 byte-for-byte (the mm_payload precedent).
+    "text_pack_shards_roundtrip": """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         text
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens, text,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS batch_id,
+       CAST((start_offset // 512) % 8 AS INT) AS shard,
+       md5(text) AS text_md5
+FROM p
+""",
     "events_salted_agg": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum

@@ -2071,6 +2071,33 @@ def text_datacard_merge(spark, sf_dir) -> DataFrame:
     )
 
 
+def text_pack_shards_roundtrip(spark, sf_dir) -> DataFrame:
+    """Training-shard writer round trip (r10, the persist_roundtrip
+    treatment for the training sink): pack the corpus, write one parquet
+    file per shard (whole batches co-located, round-robin over shards),
+    RE-READ the shard files and return every doc's packing coordinates +
+    shard + text digest from what actually landed on disk — the oracle
+    recomputes the layout independently, so the write→read path is what
+    is being checked."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        write_packed_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = scratch_path(tag, "pack_shards")
+    write_packed_shards(docs, out, n_shards=8, token_budget=512)
+    rr = spark.read.parquet(out)
+    return rr.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        "batch_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
 def text_sample_stratified(spark, sf_dir) -> DataFrame:
     """Deterministic hash-based stratified downsample of documents by
     language (en 50%, es 25%, everything else 10%) — the reproducible
@@ -2860,6 +2887,7 @@ QUERIES = {
     "curation_pipeline_v3": curation_pipeline_v3,
     "text_datacard": text_datacard,
     "text_datacard_merge": text_datacard_merge,
+    "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
     "text_ngram_novelty": text_ngram_novelty,
     "text_split_cluster_safe": text_split_cluster_safe,
     "text_dup_spans": text_dup_spans,

@@ -1729,6 +1729,37 @@ def test_curation_v2_gopher_gates(spark):
     assert vac == base
 
 
+def test_packed_shards_one_file_per_shard_and_balanced(spark, tmp_path):
+    """r10: the shard writer's loader contract — exactly one parquet data
+    file per shard directory, every batch wholly inside one shard, and
+    round-robin balance (shard batch counts differ by at most 1)."""
+    import glob as _glob
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        write_packed_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_packed_shards(docs, out, n_shards=4, token_budget=256)
+    dirs = sorted(_glob.glob(f"{out}/shard=*"))
+    assert [d.rsplit("=", 1)[1] for d in dirs] == ["0", "1", "2", "3"]
+    for d in dirs:
+        files = [f for f in _glob.glob(f"{d}/*") if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    rr = spark.read.parquet(out).select("batch_id", "shard").collect()
+    by_batch = {}
+    for r in rr:
+        by_batch.setdefault(r["batch_id"], set()).add(r["shard"])
+    assert all(len(s) == 1 for s in by_batch.values()), "batch split across shards"
+    per_shard = {}
+    for b, s in by_batch.items():
+        sh = next(iter(s))
+        per_shard[sh] = per_shard.get(sh, 0) + 1
+        assert sh == b % 4
+    assert max(per_shard.values()) - min(per_shard.values()) <= 1
+
+
 def test_datacard_state_fold_equals_full_rescan(spark):
     """r10: the datacard state is an exact sufficient statistic — folding
     per-split states (any split count) and deriving the card equals
