@@ -120,6 +120,7 @@ SECONDARY = [
     "text_lm_buckets",
     "text_datacard_merge",
     "text_pack_shards_roundtrip",
+    "stream_datacard",
 ]
 
 

@@ -3333,6 +3333,12 @@ FROM keep1n k JOIN admitted a ON a.doc_id = k.doc_id
 ORACLES["stream_ingest_semantic"] = ORACLES["sim_ingest_semantic"]
 ORACLES["stream_ingest_payloads"] = ORACLES["mm_payload_ingest"]
 
+# Streaming datacard (r10): commutative counts + DECIMAL sums make the
+# drained state bit-equal to the batch state in any arrival order, and the
+# card derivation is the property-pinned datacard_from_state — so the
+# drained card IS the batch card.
+ORACLES["stream_datacard"] = ORACLES["text_datacard"]
+
 
 def _pq_oracle(dim: int = 64) -> str:
     """SQL mirror of the PQ pipeline (r10): per-subspace kmeans chains

@@ -2592,6 +2592,35 @@ def stream_cms_counters(spark, sf_dir) -> DataFrame:
     )
 
 
+def stream_datacard(spark, sf_dir) -> DataFrame:
+    """Streaming corpus reporting (r10): documents arrive as micro-batches
+    and a native streaming aggregation maintains the exact datacard STATE
+    (the mergeable sufficient statistic of text_datacard_merge);
+    deriving the card from the drained state is a batch epilogue over
+    sketch-sized rows. Commutative counts + DECIMAL sums make the drained
+    state — and therefore the card — bit-equal to the batch
+    corpus_datacard whatever the arrival order, so the query shares
+    text_datacard's oracle."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        datacard_from_state,
+    )
+    from mongo_polars_reconciliation_spark.streaming.corpus import (
+        datacard_stream_state,
+        read_documents_stream,
+    )
+    from mongo_polars_reconciliation_spark.streaming.events import run_to_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = read_documents_stream(spark, docs, name=f"datacard_{tag}")
+    state = run_to_table(
+        datacard_stream_state(stream),
+        "mem_stream_datacard",
+        output_mode="complete",
+    )
+    return datacard_from_state(state)
+
+
 def events_hist_merge(spark, sf_dir) -> DataFrame:
     """Mergeable-sketch pattern, histogram edition: per-split partial
     histograms of events.value (split on hashed event_type — each partial
@@ -2888,6 +2917,7 @@ QUERIES = {
     "text_datacard": text_datacard,
     "text_datacard_merge": text_datacard_merge,
     "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
+    "stream_datacard": stream_datacard,
     "text_ngram_novelty": text_ngram_novelty,
     "text_split_cluster_safe": text_split_cluster_safe,
     "text_dup_spans": text_dup_spans,

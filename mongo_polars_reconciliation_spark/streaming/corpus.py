@@ -135,6 +135,37 @@ def cms_counter_state(
     )
 
 
+def datacard_stream_state(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Streaming maintenance of the exact datacard state
+    (``extensions/text.py:datacard_state``): the fused scoring projection
+    is map-only, so the one stateful operator is the
+    (source, lang, ws_tokens) aggregate — counts and DECIMAL quality
+    sums, both commutative, so the drained complete-mode state is
+    bit-identical to the batch state whatever the micro-batch order.
+    State is |groups × distinct lengths| rows however many documents
+    stream through (the bounded-state property); the card itself is a
+    batch epilogue over the drained state (``datacard_from_state`` —
+    chained streaming aggregations are unsupported, and the derivation
+    is a window over sketch-sized rows, not data)."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        fused_doc_scores,
+    )
+
+    scored = fused_doc_scores(
+        stream, id_col=id_col, text_col=text_col, keep=(source_col, lang_col)
+    )
+    return scored.groupBy(source_col, lang_col, "ws_tokens").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("quality_r").cast("decimal(18,4)")).alias("q_sum"),
+    )
+
+
 def incremental_neardup_ingest(
     docs_stream: DataFrame,
     seed_digests: DataFrame,

@@ -409,6 +409,7 @@ STREAM_TABLE_OF = {
     "stream_incremental_match": "incremental_match",
     "stream_ingest_semantic": "incremental_semantic",
     "stream_ingest_payloads": "incremental_payload",
+    "stream_datacard": "mem_stream_datacard",
 }
 
 

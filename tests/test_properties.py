@@ -1729,6 +1729,28 @@ def test_curation_v2_gopher_gates(spark):
     assert vac == base
 
 
+def test_stream_datacard_equals_batch_card(spark):
+    """r10: the drained streaming datacard equals the batch
+    corpus_datacard row-for-row — counts and DECIMAL sums commute with
+    micro-batching, and the card derivation runs on the drained state."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        corpus_datacard,
+    )
+    from mongo_polars_reconciliation_spark.harness.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = sorted(
+        tuple(r) for r in QUERIES["stream_datacard"](spark, sf_dir).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in corpus_datacard(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).collect()
+    )
+    assert streamed == batch
+
+
 def test_packed_shards_one_file_per_shard_and_balanced(spark, tmp_path):
     """r10: the shard writer's loader contract — exactly one parquet data
     file per shard directory, every batch wholly inside one shard, and
