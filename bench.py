@@ -121,6 +121,7 @@ SECONDARY = [
     "text_datacard_merge",
     "text_pack_shards_roundtrip",
     "stream_datacard",
+    "sim_knn_join_ivfpq",
 ]
 
 

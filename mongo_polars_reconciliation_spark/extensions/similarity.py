@@ -677,6 +677,145 @@ def ivfpq_topk(
     ).select(id_col, "rank", "cos_r", "adc_r", "blk")
 
 
+def knn_join_ivfpq(
+    emb: DataFrame,
+    coarse: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ k-NN GRAPH build (r10): every vector, as a query, probes its
+    ``nprobe`` nearest coarse cells and meets those cells' members — but
+    unlike :func:`knn_join_multiprobe`, the blocked pair scoring is ADC
+    (m integer-code lookups into the query's per-cell LUT, no vector
+    arithmetic), and the exact cosine fold runs ONLY on each query's
+    ``rerank`` ADC survivors. At 100 TB the blocked self-join's pair
+    count is the dominant cost of an ANN-graph build; swapping the
+    64-dim fold for m array lookups on those pairs — paying the fold on
+    n·rerank survivor pairs instead — is precisely the IVFPQ trade
+    (Jégou et al. 2011).
+
+    Plan shape: residual-encode (map + one broadcast join) → probe
+    assignment (Arrow kernel, map-only) → LUT projection (m·ksub literal
+    folds per probe row — model-scale expression count) → blocked
+    equi-join on the cell id → per-query ADC cut (window over the
+    blocked pairs) → exact re-rank join on the survivor ids. A pair
+    (q, x) arises at most once (x lives in ONE cell; q probes it or
+    not), so no pair dedup is needed. Every ranking input is rounded
+    with id tie-breaks; all folds share the engine accumulator order, so
+    the DuckDB oracle replays both cuts bit-for-bit.
+
+    Output (vec_id, rank, neighbor_id, cos_r, adc_r)."""
+    m = len(books)
+    dsub = len(books[0][0])
+    spark = emb.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(coarse)]
+    cents_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(cent_rows, 1),
+        "__blk int, _cent array<double>",
+    )
+
+    codes = pq_encode(
+        ivf_residuals(emb, coarse, id_col, vec_col),
+        books,
+        id_col,
+        vec_col,
+        keep=("blk",),
+    ).select(
+        F.col(id_col).alias("__xid"), F.col("blk").alias("__blk"), "code"
+    )
+
+    probes = probe_assignments(emb, coarse, nprobe, id_col, vec_col)
+    qr = F.zip_with("__v", "_cent", lambda x, c: x - c)
+    lut_cols = []
+    for s, book in enumerate(books):
+        qs = F.slice(qr, s * dsub + 1, dsub)
+        lut_cols.append(
+            F.array(
+                *[
+                    _fold_sum(
+                        F.zip_with(
+                            qs,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda x, y: (x - y) * (x - y),
+                        )
+                    )
+                    for c in book
+                ]
+            ).alias(f"__lut{s}")
+        )
+    luts = probes.join(F.broadcast(cents_df), "__blk").select(
+        F.col(id_col).alias("__qid"), F.col("__blk"), *lut_cols
+    )
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col(f"__lut{s}"), F.element_at(F.col("code"), s + 1) + F.lit(1)
+        )
+        adc = term if adc is None else adc + term
+    pairs = (
+        luts.join(codes, "__blk")
+        .where(F.col("__qid") != F.col("__xid"))
+        .select(
+            F.col("__qid"),
+            F.col("__xid"),
+            F.round(adc, 6).alias("adc_r"),
+        )
+    )
+    w_adc = Window.partitionBy("__qid").orderBy(
+        F.col("adc_r").asc(), F.col("__xid").asc()
+    )
+    cand = (
+        pairs.withColumn("__arn", F.row_number().over(w_adc))
+        .where(F.col("__arn") <= rerank)
+        .drop("__arn")
+    )
+
+    base = _with_norm(emb.select(id_col, vec_col), vec_col, "__")
+    qside = base.select(
+        F.col(id_col).alias("__qid"),
+        F.col("__v").alias("qv"),
+        F.col("__n").alias("qn"),
+    )
+    xside = base.select(
+        F.col(id_col).alias("__xid"),
+        F.col("__v").alias("xv"),
+        F.col("__n").alias("xn"),
+    )
+    rescored = (
+        cand.join(qside, "__qid")
+        .join(xside, "__xid")
+        .select(
+            F.col("__qid"),
+            F.col("__xid"),
+            F.round(
+                _pair_dot(F.col("qv"), F.col("xv"))
+                / (F.col("qn") * F.col("xn")),
+                6,
+            ).alias("cos_r"),
+            F.col("adc_r"),
+        )
+    )
+    w_cos = Window.partitionBy("__qid").orderBy(
+        F.col("cos_r").desc(), F.col("__xid").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_cos).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(id_col),
+            "rank",
+            F.col("__xid").alias("neighbor_id"),
+            "cos_r",
+            "adc_r",
+        )
+    )
+
+
 def auto_nlist(
     emb: DataFrame, target_block_rows: int = 1024, cap: int = 65536
 ) -> int:

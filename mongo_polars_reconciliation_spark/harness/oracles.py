@@ -234,6 +234,11 @@ IVFPQ_ORACLE_NLIST = 4
 IVFPQ_ORACLE_N_ITER = 1
 IVFPQ_ORACLE_NPROBE = 2
 
+# IVF-PQ k-NN graph constants (r10): k=5 matches the other knn-join
+# queries; rerank=20 exact-scored survivors per query.
+IVFPQ_ORACLE_KJOIN = 5
+IVFPQ_ORACLE_RERANK_JOIN = 20
+
 
 MINHASH_PAIR_CTES = """docs_aug AS (
   SELECT doc_id, text FROM documents
@@ -3536,3 +3541,137 @@ SELECT vec_id, rank, cos_r, adc_r, blk FROM (
 
 
 ORACLES["sim_topk_ivfpq"] = _ivfpq_oracle()
+
+
+def _ivfpq_knn_oracle(dim: int = 64) -> str:
+    """SQL mirror of the IVF-PQ k-NN graph (r10): the coarse/residual/
+    per-subspace chains of the single-query oracle, then EVERY vector as
+    a query — nprobe probe rows via the shared top-n assignment helper,
+    per-(query, probed-cell, subspace) LUTs over the query residual,
+    blocked pairs on the cell id scored by the fixed-order ADC sum,
+    per-query (adc_r, xid) cut to the rerank set, exact-cosine re-rank.
+    Replays similarity.knn_join_ivfpq bit-for-bit."""
+    m, ksub = PQ_ORACLE_M, PQ_ORACLE_KSUB
+    nlist, nprobe = IVFPQ_ORACLE_NLIST, IVFPQ_ORACLE_NPROBE
+    k, rerank = IVFPQ_ORACLE_KJOIN, IVFPQ_ORACLE_RERANK_JOIN
+    dsub = dim // m
+    parts = [
+        "WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings),\n"
+        + kmeans_ctes(
+            k=nlist, n_iter=IVFPQ_ORACLE_N_ITER, prefix="g", src_vecs="ev"
+        )
+    ]
+    parts.append(
+        f""",
+rv AS (
+  SELECT a.vec_id,
+         list_transform(generate_series(1, {dim}), i -> a.v[i] - c.c[i]) AS v,
+         a.cid AS blk
+  FROM gassign_final a JOIN gcents_final c ON c.cid = a.cid
+)"""
+    )
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(
+            f",\ns{s}ev AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM rv)"
+        )
+    for s in range(m):
+        parts.append(
+            ",\n"
+            + kmeans_ctes(
+                k=ksub,
+                n_iter=PQ_ORACLE_N_ITER,
+                prefix=f"s{s}",
+                src_vecs=f"s{s}ev",
+            )
+        )
+    parts.append(
+        ",\n"
+        + _kmeans_assign_topn("gcents_final", "qprobe", nprobe, src_vecs="ev")
+    )
+    parts.append(
+        f""",
+qres AS (
+  SELECT p.vec_id AS qid, p.cid AS blk,
+         list_transform(generate_series(1, {dim}), i -> p.v[i] - c.c[i]) AS qr
+  FROM qprobe p JOIN gcents_final c ON c.cid = p.cid
+)"""
+    )
+    for s in range(m):
+        off = s * dsub
+        parts.append(
+            f""",
+lut{s} AS (
+  SELECT q.qid, q.blk, b.cid AS code,
+         list_reduce(list_transform(generate_series(1, {dsub}), i ->
+           (q.qr[{off} + i] - b.c[i]) * (q.qr[{off} + i] - b.c[i])),
+           (x,y) -> x + y) AS d
+  FROM qres q CROSS JOIN s{s}cents_final b
+)"""
+        )
+    code_cols = ", ".join(f"a{s}.cid AS c{s}" for s in range(m))
+    code_joins = "".join(
+        f" JOIN s{s}assign_final a{s} ON a{s}.vec_id = r.vec_id"
+        for s in range(m)
+    )
+    adc_sum = "l0.d"
+    lut_joins = (
+        " JOIN lut0 l0 ON l0.qid = c.qid AND l0.blk = c.blk"
+        " AND l0.code = c.c0"
+    )
+    for s in range(1, m):
+        adc_sum = f"({adc_sum} + l{s}.d)"
+        lut_joins += (
+            f" JOIN lut{s} l{s} ON l{s}.qid = c.qid AND l{s}.blk = c.blk"
+            f" AND l{s}.code = c.c{s}"
+        )
+    parts.append(
+        f""",
+codes AS (
+  SELECT r.vec_id AS xid, r.blk, {code_cols}
+  FROM rv r{code_joins}
+),
+qcells AS (SELECT DISTINCT qid, blk FROM qres),
+pairs AS (
+  SELECT q.qid, c.xid, c.blk, {', '.join(f'c.c{s}' for s in range(m))}
+  FROM qcells q JOIN codes c ON c.blk = q.blk
+  WHERE q.qid <> c.xid
+),
+adc AS (
+  SELECT c.qid, c.xid, ROUND({adc_sum}, 6) AS adc_r
+  FROM pairs c{lut_joins}
+),
+cand AS (
+  SELECT qid, xid, adc_r FROM (
+    SELECT qid, xid, adc_r,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_r, xid) AS rn
+    FROM adc) t
+  WHERE rn <= {rerank}
+),
+rescored AS (
+  SELECT cand.qid, cand.xid,
+         ROUND(
+           list_reduce(list_transform(generate_series(1, len(q.v)),
+             i -> q.v[i] * x.v[i]), (a,b) -> a + b)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(q.v)),
+                i -> q.v[i] * q.v[i]), (a,b) -> a + b))
+            * sqrt(list_reduce(list_transform(generate_series(1, len(x.v)),
+                i -> x.v[i] * x.v[i]), (a,b) -> a + b))),
+           6) AS cos_r,
+         cand.adc_r
+  FROM cand
+  JOIN ev q ON q.vec_id = cand.qid
+  JOIN ev x ON x.vec_id = cand.xid
+)
+SELECT qid AS vec_id, rank, xid AS neighbor_id, cos_r, adc_r FROM (
+  SELECT qid, xid, cos_r, adc_r,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_r DESC, xid) AS BIGINT) AS rank
+  FROM rescored
+) t WHERE rank <= {k}"""
+    )
+    return "".join(parts)
+
+
+ORACLES["sim_knn_join_ivfpq"] = _ivfpq_knn_oracle()

@@ -1134,6 +1134,50 @@ def sim_topk_ivfpq(spark, sf_dir) -> DataFrame:
     )
 
 
+def sim_knn_join_ivfpq(spark, sf_dir) -> DataFrame:
+    """IVF-PQ k-NN graph (r10): every vector probes its nprobe nearest
+    coarse cells, blocked candidate pairs are scored by ADC — m code
+    lookups per pair instead of a 64-dim fold — and only each query's
+    rerank survivors pay the exact cosine. The corpus-scale ANN-graph
+    build (the dedup/SemDeDup front end) under the compressed-scan
+    trade."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ivf_residuals,
+        kmeans_fit,
+        knn_join_ivfpq,
+        pq_fit,
+    )
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        IVFPQ_ORACLE_KJOIN,
+        IVFPQ_ORACLE_N_ITER,
+        IVFPQ_ORACLE_NLIST,
+        IVFPQ_ORACLE_NPROBE,
+        IVFPQ_ORACLE_RERANK_JOIN,
+        PQ_ORACLE_KSUB,
+        PQ_ORACLE_M,
+        PQ_ORACLE_N_ITER,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    coarse = kmeans_fit(
+        emb, k=IVFPQ_ORACLE_NLIST, n_iter=IVFPQ_ORACLE_N_ITER
+    )
+    res = ivf_residuals(emb, coarse).localCheckpoint(eager=False)
+    books = pq_fit(
+        res, m=PQ_ORACLE_M, ksub=PQ_ORACLE_KSUB, n_iter=PQ_ORACLE_N_ITER
+    )
+    return knn_join_ivfpq(
+        emb,
+        coarse,
+        books,
+        k=IVFPQ_ORACLE_KJOIN,
+        nprobe=IVFPQ_ORACLE_NPROBE,
+        rerank=IVFPQ_ORACLE_RERANK_JOIN,
+    )
+
+
 def sim_topk_ivf_fitted(spark, sf_dir) -> DataFrame:
     """IVF over FITTED partitions: deterministic DataFrame-native k-means
     (no label column), centroid probe, pruned exact scan — the real-corpus
@@ -2933,6 +2977,7 @@ QUERIES = {
     "stream_ingest_payloads": stream_ingest_payloads,
     "sim_topk_pq": sim_topk_pq,
     "sim_topk_ivfpq": sim_topk_ivfpq,
+    "sim_knn_join_ivfpq": sim_knn_join_ivfpq,
 }
 
 

@@ -1729,6 +1729,45 @@ def test_curation_v2_gopher_gates(spark):
     assert vac == base
 
 
+def test_ivfpq_knn_degenerates_to_exact_graph(spark):
+    """r10: with nprobe = nlist (every cell probed) and an unbounded
+    rerank, the IVF-PQ k-NN graph's candidate set is ALL non-self pairs
+    and the exact re-rank orders them — so the output must equal
+    knn_join_exact's ground-truth graph row-for-row (same neighbors,
+    same rounded cosines, same ranks). Pins both the pair-generation
+    completeness and the survivor scores' exactness in one shot;
+    production (small nprobe/rerank) only SHRINKS the candidate set."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ivf_residuals,
+        kmeans_fit,
+        knn_join_exact,
+        knn_join_ivfpq,
+        pq_fit,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    coarse = kmeans_fit(emb, k=4, n_iter=1)
+    books = pq_fit(ivf_residuals(emb, coarse), m=4, ksub=8, n_iter=1)
+    got = sorted(
+        tuple(r)
+        for r in knn_join_ivfpq(
+            emb, coarse, books, k=3, nprobe=4, rerank=10**9
+        )
+        .select("vec_id", "rank", "neighbor_id", "cos_r")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in knn_join_exact(emb, k=3)
+        .select("vec_id", "rank", "neighbor_id", "cos_r")
+        .collect()
+    )
+    assert got == want
+
+
 def test_stream_datacard_equals_batch_card(spark):
     """r10: the drained streaming datacard equals the batch
     corpus_datacard row-for-row — counts and DECIMAL sums commute with
