@@ -2814,38 +2814,34 @@ QUERIES = {
     #    VERDICT r9 ask #1: these MUST lead r10 (the reconciliation
     #    semantic core, 3 rounds stale otherwise). Order preserved from
     #    the r9 overflow listing.
-    # -- 22-26: the 5 NEW r10 queries --
-    #    centroid artifact round-trip, embedding-space ingest,
-    #    multi-wave ingest across compaction, payload ingest, capped
-    #    payload near-dup.
-    # -- 27-31: the 5 CHANGED r10 queries --
+    # -- 22-37: ALL 16 NEW r10 queries --
+    #    centroid artifact round-trip, embedding-space ingest, multi-wave
+    #    ingest across compaction, payload ingest, capped payload
+    #    near-dup, quality-arbitrated clusters, the semantic/payload
+    #    streaming crawl loops, PQ ANN, IVF-PQ ANN (single-query and the
+    #    k-NN graph), Gopher quality signals, CCNet LM terciles, the
+    #    mergeable datacard (batch audit + streaming face), and the
+    #    training-shard writer round trip. Every query that did not
+    #    exist in r9 gets a fresh driver row — zero never-checked.
+    # -- 38-45: the 8 CHANGED r10 queries --
     #    dedup_ingest_neardup + stream_ingest_neardup (history-docs
-    #    dedup after the candidate semi-join + crawl-loop geometry/write-
-    #    order fixes), mm_payload_near_dup (cap param + singleton-bucket
-    #    prune), sim_knn_join_multiprobe + sim_semantic_dedup_fitted
-    #    (optional pre-fitted cents parameter - demoted conservatively;
-    #    the default path is value-identical).
-    # -- 32-50: the 19 oldest r8-row queries --
+    #    dedup after the candidate semi-join, crawl-loop geometry/write-
+    #    order fixes, history hot-bucket cap default-off),
+    #    mm_payload_near_dup (cap param + singleton-bucket prune),
+    #    sim_knn_join_multiprobe + sim_semantic_dedup_fitted (optional
+    #    pre-fitted cents parameter), text_quality_c4 +
+    #    curation_pipeline_v2/v3 (fused_doc_scores gained the gopher
+    #    branch and curation two default-off Gopher gates - default
+    #    paths value-identical, re-verified conservatively).
+    # -- 46-50: the 5 oldest r8-row queries --
     #    pulled forward so the r8 tail ages evenly (r9 precedent).
-    # -- 51-73: remaining r8-row tail (23) - next round's rotation
-    #    leads with these. -- 74-120: r9-row tail (47, freshest). --
+    # -- 51-64: remaining r8-row tail (14) - next round's rotation
+    #    leads with these. -- 65-131: r9/r10-row tail (freshest). --
     #
-    # POST-ORDERING CHANGES (positional invariant, r6-r9 precedent -
-    # every touched query is inside the 50-position budget, so its
-    # driver row verifies final code):
-    # (1) ingest_novel_neardup gained the combined batch+touched-state
-    #     hot-bucket cap on its HISTORY collision join (default None -
-    #     behavior unchanged for every query; affects positions 24, 27,
-    #     28: dedup_ingest_waves, dedup_ingest_neardup,
-    #     stream_ingest_neardup). Parity re-checked at sf0.001 AND
-    #     sf0.01 for all three after the change; capped==uncapped pinned
-    #     on the standard fixture and a boilerplate-header corpus.
-    # (2) ingest_novel_payloads digests NULL payloads as the EMPTY
-    #     payload (the shared null-content rule) — a NULL digest never
-    #     matches the state anti-join, so null-payload docs re-admitted
-    #     on every redelivery. Affects position 25 (mm_payload_ingest);
-    #     query + oracle updated in lockstep, parity re-checked at both
-    #     SFs, redelivery-with-NULL pinned.
+    # POST-ORDERING CHANGES: none as of this commit. The r10 invariant
+    # (any post-ordering change touches only budget queries, re-parity-
+    # checked at sf0.001 AND sf0.01) applies to anything below this line
+    # added later; see git history.
     # ==================================================================
     "recon_zero_effect_pairs": recon_zero_effect_pairs,
     "recon_zero_effect_clean": recon_zero_effect_clean,
@@ -2873,16 +2869,29 @@ QUERIES = {
     "dedup_ingest_waves": dedup_ingest_waves,
     "mm_payload_ingest": mm_payload_ingest,
     "mm_payload_near_dup_capped": mm_payload_near_dup_capped,
+    "dedup_clusters_quality": dedup_clusters_quality,
+    "stream_ingest_semantic": stream_ingest_semantic,
+    "stream_ingest_payloads": stream_ingest_payloads,
+    "sim_topk_pq": sim_topk_pq,
+    "sim_topk_ivfpq": sim_topk_ivfpq,
+    "sim_knn_join_ivfpq": sim_knn_join_ivfpq,
+    "text_quality_gopher": text_quality_gopher,
+    "text_lm_buckets": text_lm_buckets,
+    "text_datacard_merge": text_datacard_merge,
+    "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
+    "stream_datacard": stream_datacard,
     "dedup_ingest_neardup": dedup_ingest_neardup,
     "stream_ingest_neardup": stream_ingest_neardup,
     "mm_payload_near_dup": mm_payload_near_dup,
     "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
     "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
+    "text_quality_c4": text_quality_c4,
+    "curation_pipeline_v2": curation_pipeline_v2,
+    "curation_pipeline_v3": curation_pipeline_v3,
     "sim_recall_probe": sim_recall_probe,
     "text_sample_fixed_k": text_sample_fixed_k,
     "dedup_ingest_incremental": dedup_ingest_incremental,
     "text_lm_score": text_lm_score,
-    "text_lm_buckets": text_lm_buckets,
     "stream_ingest_novel": stream_ingest_novel,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,
@@ -2949,19 +2958,12 @@ QUERIES = {
     "recon_duplicate_losers": recon_duplicate_losers,
     "sim_recall_probe_sampled": sim_recall_probe_sampled,
     "text_bpe_vocab_roundtrip": text_bpe_vocab_roundtrip,
-    "text_quality_c4": text_quality_c4,
-    "text_quality_gopher": text_quality_gopher,
     "mm_payload_dedup": mm_payload_dedup,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "text_quality_gate": text_quality_gate,
     "curation_pipeline": curation_pipeline,
-    "curation_pipeline_v2": curation_pipeline_v2,
-    "curation_pipeline_v3": curation_pipeline_v3,
     "text_datacard": text_datacard,
-    "text_datacard_merge": text_datacard_merge,
-    "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
-    "stream_datacard": stream_datacard,
     "text_ngram_novelty": text_ngram_novelty,
     "text_split_cluster_safe": text_split_cluster_safe,
     "text_dup_spans": text_dup_spans,
@@ -2972,12 +2974,6 @@ QUERIES = {
     "sim_semantic_dedup": sim_semantic_dedup,
     "recon_residual_internal": recon_residual_internal,
     "recon_residual_external": recon_residual_external,
-    "dedup_clusters_quality": dedup_clusters_quality,
-    "stream_ingest_semantic": stream_ingest_semantic,
-    "stream_ingest_payloads": stream_ingest_payloads,
-    "sim_topk_pq": sim_topk_pq,
-    "sim_topk_ivfpq": sim_topk_ivfpq,
-    "sim_knn_join_ivfpq": sim_knn_join_ivfpq,
 }
 
 
