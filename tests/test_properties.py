@@ -1729,6 +1729,161 @@ def test_curation_v2_gopher_gates(spark):
     assert vac == base
 
 
+_gopher_word = st.sampled_from(
+    ["the", "of", "and", "cat", "dog", "#tag", "...", "x#y", "a...b",
+     "12345", "7", "", "-", "*", "mix3d"]
+)
+_gopher_line = st.lists(_gopher_word, min_size=1, max_size=6).map(" ".join)
+_gopher_text = st.lists(_gopher_line, min_size=1, max_size=4).map("\n".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(_gopher_text, min_size=1, max_size=6))
+def test_gopher_signals_random_texts_match_model(spark, texts):
+    """r10 randomized pin: the fused gopher signals equal the Python
+    replay on hypothesis-generated texts mixing bullets, '...'-runs,
+    '#'-words, numerics, empty tokens and multi-line structure — the
+    edge classes the handcrafted pin can't enumerate."""
+    import math
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        fused_doc_scores,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["bullet_line_frac_r"], r["ellipsis_line_frac_r"],
+            r["alpha_word_frac_r"], r["symbol_word_ratio_r"],
+            r["req_stop_hits"],
+        )
+        for r in fused_doc_scores(df, gopher=True).collect()
+    }
+
+    def floor4(x):
+        return math.floor(x * 10000) / 10000
+
+    req = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    for did, t in rows:
+        lines, toks = t.split("\n"), t.split(" ")
+        n_lines, n_tok, n_chars = len(lines), len(toks), len(t)
+        want = (
+            n_lines,
+            floor4(sum(1 for ln in lines
+                       if ln.startswith("- ") or ln.startswith("* "))
+                   / n_lines),
+            floor4(sum(1 for ln in lines if ln.endswith("...")) / n_lines),
+            floor4(sum(1 for w in toks
+                       if any(c.isalpha() and ord(c) < 128 for c in w))
+                   / n_tok),
+            floor4((t.count("#")
+                    + (n_chars - len(t.replace("...", ""))) / 3) / n_tok),
+            sum(1 for w in req if w in toks),
+        )
+        assert got[did] == want, (did, t, got[did], want)
+
+
+_lmb_text = st.lists(
+    st.sampled_from(["x", "y", "z", "q"]), min_size=0, max_size=6
+).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(_lmb_text, st.sampled_from(["a", "b"])),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_lm_buckets_random_corpora_match_model(spark, docs):
+    """r10 randomized pin: per-language tercile bucketing equals the
+    Python nearest-rank replay on hypothesis corpora dense with tied
+    scores, single-doc languages and unscored (<2-token) docs."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        bigram_lm_scores,
+        lm_typicality_buckets,
+    )
+
+    rows = [(i, t, lg) for i, (t, lg) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["lang"], r["lm_score_q"], r["bucket"])
+        for r in lm_typicality_buckets(df).collect()
+    }
+    scores = {
+        r["doc_id"]: r["lm_score_q"] for r in bigram_lm_scores(df).collect()
+    }
+    langs = {i: lg for i, _, lg in rows}
+    want = {}
+    for lg in {lg for _, _, lg in rows}:
+        members = [d for d in scores if langs[d] == lg]
+        if not members:
+            continue
+        vals = sorted((scores[d] for d in members), reverse=True)
+        n = len(vals)
+        cut1 = vals[(n + 2) // 3 - 1]
+        cut2 = vals[(2 * n + 2) // 3 - 1]
+        for d in members:
+            s = scores[d]
+            b = "head" if s >= cut1 else ("middle" if s >= cut2 else "tail")
+            want[d] = (lg, s, b)
+    assert got == want
+
+
+_ivfpq_vec = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0,
+              allow_nan=False, allow_infinity=False, width=32),
+    min_size=8, max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(vecs=st.lists(_ivfpq_vec, min_size=6, max_size=14, unique_by=tuple))
+def test_ivfpq_knn_degenerate_equals_exact_on_random_vectors(spark, vecs):
+    """r10 randomized pin of the degenerate-parameter law on tiny random
+    corpora (dim 8, m=2): probe-all + unbounded rerank must reproduce the
+    exact graph even with near-ties and duplicate-direction vectors —
+    the regimes where a tie-break slip would first show."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ivf_residuals,
+        kmeans_fit,
+        knn_join_exact,
+        knn_join_ivfpq,
+        pq_fit,
+    )
+
+    # drop all-zero vectors: cosine is undefined (0/0 -> NULL) and both
+    # sides would carry engine-specific NULL orderings
+    rows = [
+        (i, v) for i, v in enumerate(vecs) if any(x != 0.0 for x in v)
+    ]
+    if len(rows) < 4:
+        return
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    nlist = 2
+    coarse = kmeans_fit(emb, k=nlist, n_iter=1)
+    books = pq_fit(ivf_residuals(emb, coarse), m=2, ksub=2, n_iter=1)
+    got = sorted(
+        tuple(r)
+        for r in knn_join_ivfpq(
+            emb, coarse, books, k=2, nprobe=len(coarse), rerank=10**9
+        )
+        .select("vec_id", "rank", "neighbor_id", "cos_r")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in knn_join_exact(emb, k=2)
+        .select("vec_id", "rank", "neighbor_id", "cos_r")
+        .collect()
+    )
+    assert got == want
+
+
 def test_ivfpq_knn_degenerates_to_exact_graph(spark):
     """r10: with nprobe = nlist (every cell probed) and an unbounded
     rerank, the IVF-PQ k-NN graph's candidate set is ALL non-self pairs
