@@ -686,6 +686,7 @@ def knn_join_ivfpq(
     rerank: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    res: "DataFrame | None" = None,
 ) -> DataFrame:
     """IVF-PQ k-NN GRAPH build (r10): every vector, as a query, probes its
     ``nprobe`` nearest coarse cells and meets those cells' members — but
@@ -697,6 +698,13 @@ def knn_join_ivfpq(
     64-dim fold for m array lookups on those pairs — paying the fold on
     n·rerank survivor pairs instead — is precisely the IVFPQ trade
     (Jégou et al. 2011).
+
+    ``res`` (optional): a precomputed :func:`ivf_residuals` frame —
+    typically the SAME (usually checkpointed) frame the codebooks were
+    fitted on, or at 100 TB the persisted residual/code index table.
+    Passing it skips re-running the assignment kernel + centroid join
+    for the code side; values are identical by construction (the code
+    of a row depends only on its own residual).
 
     Plan shape: residual-encode (map + one broadcast join) → probe
     assignment (Arrow kernel, map-only) → LUT projection (m·ksub literal
@@ -718,13 +726,9 @@ def knn_join_ivfpq(
         "__blk int, _cent array<double>",
     )
 
-    codes = pq_encode(
-        ivf_residuals(emb, coarse, id_col, vec_col),
-        books,
-        id_col,
-        vec_col,
-        keep=("blk",),
-    ).select(
+    if res is None:
+        res = ivf_residuals(emb, coarse, id_col, vec_col)
+    codes = pq_encode(res, books, id_col, vec_col, keep=("blk",)).select(
         F.col(id_col).alias("__xid"), F.col("blk").alias("__blk"), "code"
     )
 

@@ -1175,6 +1175,9 @@ def sim_knn_join_ivfpq(spark, sf_dir) -> DataFrame:
         k=IVFPQ_ORACLE_KJOIN,
         nprobe=IVFPQ_ORACLE_NPROBE,
         rerank=IVFPQ_ORACLE_RERANK_JOIN,
+        # the code side derives from the SAME checkpointed residual frame
+        # the books were fitted on — no second assignment-kernel pass
+        res=res,
     )
 
 
@@ -2838,10 +2841,15 @@ QUERIES = {
     # -- 51-64: remaining r8-row tail (14) - next round's rotation
     #    leads with these. -- 65-131: r9/r10-row tail (freshest). --
     #
-    # POST-ORDERING CHANGES: none as of this commit. The r10 invariant
-    # (any post-ordering change touches only budget queries, re-parity-
-    # checked at sf0.001 AND sf0.01) applies to anything below this line
-    # added later; see git history.
+    # POST-ORDERING CHANGES (positional invariant — every touched query
+    # is inside the 50-position budget, re-parity-checked at sf0.001 AND
+    # sf0.01 after the change):
+    # (1) knn_join_ivfpq gained an optional `res` parameter so the code
+    #     side derives from the SAME checkpointed residual frame the
+    #     books were fitted on instead of re-running the assignment
+    #     kernel + centroid join (filter/encode commute row-locally —
+    #     values identical by construction; 8.1 → 7.5 s warm at sf0.1).
+    #     Affects position 32 (sim_knn_join_ivfpq) only.
     # ==================================================================
     "recon_zero_effect_pairs": recon_zero_effect_pairs,
     "recon_zero_effect_clean": recon_zero_effect_clean,
