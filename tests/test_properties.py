@@ -1945,6 +1945,46 @@ def test_stream_datacard_equals_batch_card(spark):
     assert streamed == batch
 
 
+def test_lm_buckets_plan_never_sorts_raw_rows(spark):
+    """r10 plan pin: the tercile cutoffs come from the collapsed
+    (lang, score) histogram and bucketing is a broadcast join — the
+    physical plan must contain NO sort-merge join (the raw corpus is
+    never sorted into skewed language partitions for a rank; the only
+    windows run over the sketch-sized aggregate)."""
+    from mongo_polars_reconciliation_spark.harness.queries import QUERIES
+
+    plan = (
+        QUERIES["text_lm_buckets"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_packed_shards_rewrite_is_idempotent(spark, tmp_path):
+    """r10: re-running the shard writer over the same corpus and output
+    dir (mode overwrite) yields byte-identical content rows and keeps
+    the one-file-per-shard contract — the rerun-a-failed-job story."""
+    import glob as _glob
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        write_packed_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_packed_shards(docs, out, n_shards=4, token_budget=256)
+    first = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    write_packed_shards(docs, out, n_shards=4, token_budget=256)
+    second = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert first == second
+    for d in sorted(_glob.glob(f"{out}/shard=*")):
+        files = [f for f in _glob.glob(f"{d}/*") if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+
 def test_packed_shards_one_file_per_shard_and_balanced(spark, tmp_path):
     """r10: the shard writer's loader contract — exactly one parquet data
     file per shard directory, every batch wholly inside one shard, and
