@@ -122,6 +122,7 @@ SECONDARY = [
     "text_pack_shards_roundtrip",
     "stream_datacard",
     "sim_knn_join_ivfpq",
+    "text_mix_temperature",
 ]
 
 

@@ -416,6 +416,81 @@ def sample_shortfall_audit(
     )
 
 
+def _isqrt_col(q: Column) -> Column:
+    """Exact integer square root of a BIGINT column: float sqrt (correctly
+    rounded, so its floor is off by at most 1 for q < 2^53) followed by a
+    ±1 correction — bit-identical in any IEEE engine, unlike trusting
+    FLOOR(SQRT(x)) at perfect-square boundaries."""
+    s0 = F.floor(F.sqrt(q.cast("double"))).cast("long")
+    s1 = F.when(s0 * s0 > q, s0 - 1).otherwise(s0)
+    return F.when((s1 + 1) * (s1 + 1) <= q, s1 + 1).otherwise(s1)
+
+
+def mix_temperature(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    denom: int = 10_000,
+) -> DataFrame:
+    """Temperature-weighted corpus mixing at α = 1/2 — the multi-domain
+    sampling step of LLM data recipes (sampled share ∝ natural share^α,
+    so small domains are upsampled toward balance without erasing scale
+    information; α=1/2 is the canonical multilingual setting). Unlike
+    :func:`mix_epochs`, the per-stratum weights are DERIVED from the
+    corpus itself: w_l = sqrt(n_max / n_l), normalized so the LARGEST
+    stratum runs exactly 1.0 epochs and every smaller one is upsampled
+    by the square-root ratio (expected multiplicities realize the
+    p^α distribution over strata).
+
+    Exactness: p^α needs a square root, and float ``pow``/``sqrt``
+    pipelines can differ in the last bit across engines — so the weight
+    is computed in pure integers: q_l = (n_max · denom²) DIV n_l, then
+    w_q_l = isqrt(q_l) (exact integer sqrt with a ±1 correction) is the
+    weight in 1/denom units; base copies = w_q DIV denom and the
+    fractional copy comes from the shared mixed-hash threshold
+    (pmod(h, denom) < w_q mod denom) — every quantity a BIGINT, every
+    realized copy a pure function of the id, bit-identical in DuckDB.
+
+    Scale shape: one stratum-count aggregate (tiny result), weights
+    derived ON that collapsed frame (window over |strata| rows),
+    broadcast back, then the map-only copy explode — the raw corpus is
+    scanned once and never shuffled.
+
+    Output: (id, stratum, w_q, epoch) — w_q is the applied weight in
+    1/denom units, for the mix audit."""
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        poly_hash_mixed_col,
+    )
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_all = Window.partitionBy(F.lit(1))
+    q = F.expr(f"(__nmax * CAST({denom} AS BIGINT) * {denom}) DIV __n")
+    weights = (
+        counts.withColumn("__nmax", F.max("__n").over(w_all))
+        .select(
+            F.col(strata_col),
+            _isqrt_col(q).alias("w_q"),
+        )
+    )
+    h = F.pmod(poly_hash_mixed_col(id_col), F.lit(denom))
+    n_copies = F.expr(f"w_q DIV {denom}") + F.when(
+        h < F.expr(f"w_q % {denom}"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.select(F.col(id_col), F.col(strata_col))
+        .join(F.broadcast(weights), strata_col)
+        .withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.col("w_q"),
+            F.explode(F.expr("sequence(1, __n)")).alias("epoch"),
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+    )
+
+
 def mix_epochs(
     df: DataFrame,
     strata_col: str,

@@ -1756,6 +1756,39 @@ SELECT doc_id, lang,
        CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
 FROM n WHERE n_copies > 0
 """,
+    # Temperature mixing at alpha=1/2 (r10): weights derived from corpus
+    # shares in pure integers — q = (n_max*10^8) DIV n, w_q = exact integer
+    # sqrt (float sqrt + the same +-1 correction the engine applies), base
+    # copies w_q DIV 10^4, fractional copy from the shared mixed hash.
+    "text_mix_temperature": """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+weights AS (
+  SELECT lang,
+         CASE WHEN (s1 + 1) * (s1 + 1) <= q THEN s1 + 1 ELSE s1 END AS w_q
+  FROM (
+    SELECT lang, q,
+           CASE WHEN s0 * s0 > q THEN s0 - 1 ELSE s0 END AS s1
+    FROM (
+      SELECT lang,
+             (MAX(n) OVER () * 100000000) // n AS q,
+             CAST(FLOOR(SQRT(CAST((MAX(n) OVER () * 100000000) // n
+                  AS DOUBLE))) AS BIGINT) AS s0
+      FROM counts) t0
+  ) t1
+),
+base AS (
+  SELECT d.doc_id, d.lang, w.w_q,
+         w.w_q // 10000
+         + CASE WHEN {POLY_HASH_DOC} % 10000 < w.w_q % 10000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN weights w ON w.lang = d.lang
+)
+SELECT doc_id, lang, w_q,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+FROM base WHERE n_copies > 0
+""",
     "text_dup_spans": """
 WITH docs_aug AS (
   SELECT doc_id, text FROM documents
@@ -2284,6 +2317,9 @@ ORACLES["text_sample_stratified"] = ORACLES["text_sample_stratified"].replace(
 )
 ORACLES["text_mix_epochs"] = ORACLES["text_mix_epochs"].replace(
     "{POLY_HASH_DOC}", poly_hash_mixed_sql("doc_id")
+)
+ORACLES["text_mix_temperature"] = ORACLES["text_mix_temperature"].replace(
+    "{POLY_HASH_DOC}", poly_hash_mixed_sql("d.doc_id")
 )
 ORACLES["text_heavy_hitters_cms"] = (
     ORACLES["text_heavy_hitters_cms"]

@@ -1440,6 +1440,22 @@ def text_mix_epochs(spark, sf_dir) -> DataFrame:
     return mix_epochs(docs, "lang", {"en": 2.5, "es": 1.25}, default_weight=0.5)
 
 
+def text_mix_temperature(spark, sf_dir) -> DataFrame:
+    """Temperature-weighted corpus mixing at α=1/2 (r10): per-language
+    sampling weights DERIVED from the corpus shares — w = sqrt(n_max/n),
+    the largest language runs 1.0 epochs and smaller ones upsample by
+    the square-root ratio — computed in pure integers (integer DIV +
+    exact isqrt) so the realized copy set is bit-identical across
+    engines, with the shared mixed-hash fractional threshold."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        mix_temperature,
+    )
+
+    return mix_temperature(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "lang"
+    )
+
+
 def text_dup_spans(spark, sf_dir) -> DataFrame:
     """Cross-document duplicated-span fractions over 8-token windows (the
     exact-substring-dedup signal) on the duplicate-injected corpus: exact
@@ -2817,16 +2833,19 @@ QUERIES = {
     #    VERDICT r9 ask #1: these MUST lead r10 (the reconciliation
     #    semantic core, 3 rounds stale otherwise). Order preserved from
     #    the r9 overflow listing.
-    # -- 22-37: ALL 16 NEW r10 queries --
+    # -- 22-38: ALL 17 NEW r10 queries --
     #    centroid artifact round-trip, embedding-space ingest, multi-wave
     #    ingest across compaction, payload ingest, capped payload
     #    near-dup, quality-arbitrated clusters, the semantic/payload
     #    streaming crawl loops, PQ ANN, IVF-PQ ANN (single-query and the
     #    k-NN graph), Gopher quality signals, CCNet LM terciles, the
     #    mergeable datacard (batch audit + streaming face), and the
-    #    training-shard writer round trip. Every query that did not
-    #    exist in r9 gets a fresh driver row — zero never-checked.
-    # -- 38-45: the 8 CHANGED r10 queries --
+    #    training-shard writer round trip, and temperature mixing
+    #    (added post-ordering INSIDE the budget at 38 — its own fresh
+    #    row verifies it; the displaced stream_ingest_novel keeps its
+    #    r8-green row). Every query that did not exist in r9 gets a
+    #    fresh driver row — zero never-checked.
+    # -- 39-46: the 8 CHANGED r10 queries --
     #    dedup_ingest_neardup + stream_ingest_neardup (history-docs
     #    dedup after the candidate semi-join, crawl-loop geometry/write-
     #    order fixes, history hot-bucket cap default-off),
@@ -2836,10 +2855,11 @@ QUERIES = {
     #    curation_pipeline_v2/v3 (fused_doc_scores gained the gopher
     #    branch and curation two default-off Gopher gates - default
     #    paths value-identical, re-verified conservatively).
-    # -- 46-50: the 5 oldest r8-row queries --
+    # -- 47-50: the 4 oldest r8-row queries --
     #    pulled forward so the r8 tail ages evenly (r9 precedent).
-    # -- 51-64: remaining r8-row tail (14) - next round's rotation
-    #    leads with these. -- 65-131: r9/r10-row tail (freshest). --
+    # -- 51-65: remaining r8-row tail (15, led by stream_ingest_novel) -
+    #    next round's rotation leads with these. -- 66-132: r9/r10-row
+    #    tail (freshest). --
     #
     # POST-ORDERING CHANGES (positional invariant — every touched query
     # is inside the 50-position budget, re-parity-checked at sf0.001 AND
@@ -2850,6 +2870,10 @@ QUERIES = {
     #     kernel + centroid join (filter/encode commute row-locally —
     #     values identical by construction; 8.1 → 7.5 s warm at sf0.1).
     #     Affects position 32 (sim_knn_join_ivfpq) only.
+    # (2) text_mix_temperature (NEW operator) inserted at position 38 —
+    #     inside the budget, so its driver row verifies it this round;
+    #     parity-checked at sf0.001 AND sf0.01; stream_ingest_novel
+    #     (unchanged since r8, r8-green row) moves to position 51.
     # ==================================================================
     "recon_zero_effect_pairs": recon_zero_effect_pairs,
     "recon_zero_effect_clean": recon_zero_effect_clean,
@@ -2888,6 +2912,7 @@ QUERIES = {
     "text_datacard_merge": text_datacard_merge,
     "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
     "stream_datacard": stream_datacard,
+    "text_mix_temperature": text_mix_temperature,
     "dedup_ingest_neardup": dedup_ingest_neardup,
     "stream_ingest_neardup": stream_ingest_neardup,
     "mm_payload_near_dup": mm_payload_near_dup,

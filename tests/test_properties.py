@@ -1945,6 +1945,68 @@ def test_stream_datacard_equals_batch_card(spark):
     assert streamed == batch
 
 
+def test_isqrt_col_matches_math_isqrt(spark):
+    """r10: the ±1-corrected integer sqrt equals math.isqrt across
+    perfect squares, off-by-one neighbors and large values — the exact
+    arithmetic the temperature mixer's cross-engine claim rests on."""
+    import math
+
+    from mongo_polars_reconciliation_spark.extensions.text import _isqrt_col
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 10, 99, 100, 101, 10**8, 10**8 - 1,
+            10**8 + 1, 4503599627370496, 4503599627370495]
+    df = spark.createDataFrame([(v,) for v in vals], "q long")
+    got = {r["q"]: r["s"] for r in df.select(
+        F.col("q"), _isqrt_col(F.col("q")).alias("s")).collect()}
+    assert got == {v: math.isqrt(v) for v in vals}
+
+
+def test_mix_temperature_weights_and_rates(spark):
+    """r10: the derived weights realize the α=1/2 law — the largest
+    stratum's weight is EXACTLY 1.0 epochs (one copy per doc, no hash
+    dependence), every stratum's weight equals the integer-exact
+    sqrt((n_max·denom²) DIV n), and each stratum's realized copy count
+    equals base·n + |{ids: h < frac}| computed independently."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        mix_temperature,
+    )
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        poly_hash_mixed_col,
+    )
+    import math
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_max = max(counts.values())
+    out = mix_temperature(docs, "lang").collect()
+    w_by_lang = {}
+    copies = {}
+    for r in out:
+        w_by_lang.setdefault(r["lang"], set()).add(r["w_q"])
+        if r["epoch"] == 1:
+            copies[r["lang"]] = copies.get(r["lang"], 0)
+        copies[r["lang"]] = copies.get(r["lang"], 0)
+    n_rows = {}
+    for r in out:
+        n_rows[r["lang"]] = n_rows.get(r["lang"], 0) + 1
+    hmod = docs.select(
+        "doc_id", "lang",
+        F.pmod(poly_hash_mixed_col("doc_id"), F.lit(10_000)).alias("h"),
+    ).collect()
+    for lang, n in counts.items():
+        w_q = math.isqrt((n_max * 10_000 * 10_000) // n)
+        assert w_by_lang[lang] == {w_q}, lang
+        base, frac = w_q // 10_000, w_q % 10_000
+        extra = sum(1 for r in hmod if r["lang"] == lang and r["h"] < frac)
+        assert n_rows[lang] == base * n + extra, lang
+        if n == n_max:
+            assert w_q == 10_000  # exactly 1.0 epochs, no fractional copies
+            assert n_rows[lang] == n
+
+
 def test_lm_buckets_plan_never_sorts_raw_rows(spark):
     """r10 plan pin: the tercile cutoffs come from the collapsed
     (lang, score) histogram and bucketing is a broadcast join — the
