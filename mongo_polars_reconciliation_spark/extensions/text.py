@@ -476,9 +476,16 @@ def mix_temperature(
     n_copies = F.expr(f"w_q DIV {denom}") + F.when(
         h < F.expr(f"w_q % {denom}"), F.lit(1)
     ).otherwise(F.lit(0))
+    # null-safe join: a NULL stratum is ITS OWN stratum (groupBy already
+    # counted it) — a plain equi-join would silently DROP those rows, the
+    # worst failure mode a sampling operator can have (silent corpus loss)
+    d = df.select(F.col(id_col), F.col(strata_col))
     return (
-        df.select(F.col(id_col), F.col(strata_col))
-        .join(F.broadcast(weights), strata_col)
+        d.join(
+            F.broadcast(weights.withColumnRenamed(strata_col, "__wstr")),
+            d[strata_col].eqNullSafe(F.col("__wstr")),
+        )
+        .drop("__wstr")
         .withColumn("__n", n_copies)
         .where(F.col("__n") > 0)
         .select(
@@ -1192,14 +1199,23 @@ def lm_typicality_buckets(
             )
         ).alias("cut2"),
     )
-    return scored.join(F.broadcast(cuts), lang_col).select(
-        F.col(id_col),
-        F.col(lang_col),
-        F.col("lm_score_q"),
-        F.when(F.col("lm_score_q") >= F.col("cut1"), F.lit("head"))
-        .when(F.col("lm_score_q") >= F.col("cut2"), F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("bucket"),
+    # null-safe join: docs with a NULL language form their own stratum
+    # (the aggregates above already grouped them) — a plain equi-join
+    # would silently drop them from the report
+    return (
+        scored.join(
+            F.broadcast(cuts.withColumnRenamed(lang_col, "__clang")),
+            scored[lang_col].eqNullSafe(F.col("__clang")),
+        )
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.col("lm_score_q"),
+            F.when(F.col("lm_score_q") >= F.col("cut1"), F.lit("head"))
+            .when(F.col("lm_score_q") >= F.col("cut2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
     )
 
 

@@ -2874,6 +2874,12 @@ QUERIES = {
     #     inside the budget, so its driver row verifies it this round;
     #     parity-checked at sf0.001 AND sf0.01; stream_ingest_novel
     #     (unchanged since r8, r8-green row) moves to position 51.
+    # (3) mix_temperature + lm_typicality_buckets broadcast joins made
+    #     NULL-SAFE (a NULL stratum is its own stratum; the plain
+    #     equi-join silently dropped those rows — silent corpus loss).
+    #     Affects positions 34 and 38 only; testdata strata are non-null
+    #     so both oracles are unchanged; parity re-checked at sf0.001
+    #     AND sf0.01; empty-corpus + null-strata edges pinned.
     # ==================================================================
     "recon_zero_effect_pairs": recon_zero_effect_pairs,
     "recon_zero_effect_clean": recon_zero_effect_clean,

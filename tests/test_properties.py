@@ -1945,6 +1945,44 @@ def test_stream_datacard_equals_batch_card(spark):
     assert streamed == batch
 
 
+def test_new_operators_handle_empty_and_null_strata(spark):
+    """r10 edge pins: the round's derived-weight/reporting operators are
+    graceful on EMPTY corpora (no crash, empty output) and treat a NULL
+    stratum as its own stratum instead of silently dropping those rows
+    (the null-safe-join contract — silent corpus loss is the worst
+    failure mode a sampling/reporting operator can have)."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        datacard_from_state,
+        datacard_state,
+        lm_typicality_buckets,
+        mix_temperature,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    assert mix_temperature(empty, "lang").count() == 0
+    assert lm_typicality_buckets(empty).count() == 0
+    assert datacard_from_state(datacard_state(empty)).count() == 0
+
+    nulls = spark.createDataFrame(
+        [
+            (1, "a b c d", None),
+            (2, "a b c d", "en"),
+            (3, "x y z w", None),
+            (4, "a b x y", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    mixed = mix_temperature(nulls, "lang").collect()
+    assert {r["doc_id"] for r in mixed} == {1, 2, 3, 4}
+    # NULL stratum (2 docs) == en stratum (2 docs): both run 1.0 epochs
+    assert all(r["w_q"] == 10_000 for r in mixed)
+    bucketed = lm_typicality_buckets(nulls).collect()
+    assert {r["doc_id"] for r in bucketed} == {1, 2, 3, 4}
+    assert all(r["bucket"] in ("head", "middle", "tail") for r in bucketed)
+
+
 def test_isqrt_col_matches_math_isqrt(spark):
     """r10: the ±1-corrected integer sqrt equals math.isqrt across
     perfect squares, off-by-one neighbors and large values — the exact
