@@ -123,6 +123,7 @@ SECONDARY = [
     "stream_datacard",
     "sim_knn_join_ivfpq",
     "text_mix_temperature",
+    "text_line_dedup",
 ]
 
 

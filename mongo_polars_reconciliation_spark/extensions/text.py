@@ -416,6 +416,66 @@ def sample_shortfall_audit(
     )
 
 
+def line_dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style corpus-wide LINE dedup (Raffel et al. 2020 §2.2: discard
+    all but one occurrence of any line repeated across the corpus — the
+    boilerplate-footer/header killer): every distinct line survives only
+    at its FIRST global occurrence (lexicographic (id, line_no) — the
+    deterministic stand-in for crawl order), and each document is
+    reassembled from its surviving lines in original order.
+
+    Skew posture — deliberately NOT a row_number window over
+    partitionBy(line): a corpus-wide boilerplate line has millions of
+    copies, and sorting inside that window partition is the classic
+    skew stall. Instead the first occurrence is an AGGREGATE —
+    min(struct(id, line_no)) per line, map-side combinable, skew-free —
+    and survivors come from an equi-join whose BUILD side is one row
+    per distinct line (a hash join absorbs probe-side hot keys).
+    Reassembly is a per-document collect of that document's OWN lines —
+    bounded by document size, never corpus-shaped.
+
+    Output: (id, n_lines, n_kept, kept_md5) — kept_md5 is the digest of
+    the reassembled text (NULL when every line was a repeat and the doc
+    empties out, C4's drop signal)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__ln", "__line"),
+    ).localCheckpoint(eager=False)
+    # consumed 3x: totals, the first-occurrence aggregate, the survivor join
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    firsts = lines.groupBy("__line").agg(
+        F.min(F.struct(F.col(id_col), F.col("__ln"))).alias("__first")
+    )
+    kept = lines.join(firsts, "__line").where(
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("__ln") == F.col("__first.__ln"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__ln"), F.col("__line")))
+                    ),
+                    lambda s: s["__line"],
+                ),
+            ).cast("binary")
+        ).alias("kept_md5"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.col("kept_md5"),
+    )
+
+
 def _isqrt_col(q: Column) -> Column:
     """Exact integer square root of a BIGINT column: float sqrt (correctly
     rounded, so its floor is off by at most 1 for q < 2^53) followed by a

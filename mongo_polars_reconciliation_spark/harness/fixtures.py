@@ -231,6 +231,31 @@ def build_documents_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text2.alias("text"), "lang", "source")
 
 
+def build_documents_footers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically injected REPEATED lines (the
+    natural texts are single-line and all-distinct, which would make
+    corpus-wide line dedup a no-op): doc_id%97==0 docs are replaced
+    ENTIRELY by the shared footer line (so every such doc after the
+    first empties out — the C4 drop signal); else %5==0 docs append the
+    shared footer, %5==1 append the footer plus a second shared line,
+    %5==2 PREPEND the footer (position independence), %5∈{3,4} stay
+    untouched. Pure literal concat, mirrored verbatim by the oracle."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    footer = "shared boilerplate footer"
+    text2 = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit(footer))
+        .when(F.col("doc_id") % 5 == 0, F.concat(t, F.lit("\n" + footer)))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(t, F.lit("\n" + footer + "\nsecond shared footer")),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit(footer + "\n"), t))
+        .otherwise(t)
+    )
+    return d.select("doc_id", text2.alias("text"), "lang", "source")
+
+
 MM_PAYLOAD_TAIL = " extra appended tail content for payload variant"
 
 

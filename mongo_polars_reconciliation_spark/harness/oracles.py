@@ -1756,6 +1756,55 @@ SELECT doc_id, lang,
        CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
 FROM n WHERE n_copies > 0
 """,
+    # C4-style corpus-wide line dedup (r10): the footer-injected fixture
+    # mirrors build_documents_footers verbatim; first occurrence of each
+    # distinct line = lexicographic min over (doc_id, ln), computed in two
+    # aggregate phases (min doc, then min ln within it) — equal to the
+    # engine's one-shot min(struct). string_agg ORDER BY ln rebuilds the
+    # surviving text; md5 on the (ASCII) rebuild mirrors Spark's binary md5.
+    "text_line_dedup": """
+WITH docs_f AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN 'shared boilerplate footer'
+              WHEN doc_id % 5 = 0
+              THEN text || chr(10) || 'shared boilerplate footer'
+              WHEN doc_id % 5 = 1
+              THEN text || chr(10) || 'shared boilerplate footer'
+                   || chr(10) || 'second shared footer'
+              WHEN doc_id % 5 = 2
+              THEN 'shared boilerplate footer' || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS ln, l[u.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs_f) t,
+       unnest(range(1, len(l) + 1)) AS u(i)
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+),
+f1 AS (SELECT line, MIN(doc_id) AS fdoc FROM lines GROUP BY line),
+f2 AS (
+  SELECT l.line, l.doc_id AS fdoc, MIN(l.ln) AS fln
+  FROM lines l JOIN f1 ON f1.line = l.line AND l.doc_id = f1.fdoc
+  GROUP BY l.line, l.doc_id
+),
+kept AS (
+  SELECT l.doc_id, l.ln, l.line
+  FROM lines l JOIN f2
+    ON f2.line = l.line AND l.doc_id = f2.fdoc AND l.ln = f2.fln
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY ln)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       r.kept_md5
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+""",
     # Temperature mixing at alpha=1/2 (r10): weights derived from corpus
     # shares in pure integers — q = (n_max*10^8) DIV n, w_q = exact integer
     # sqrt (float sqrt + the same +-1 correction the engine applies), base

@@ -1456,6 +1456,24 @@ def text_mix_temperature(spark, sf_dir) -> DataFrame:
     )
 
 
+def text_line_dedup(spark, sf_dir) -> DataFrame:
+    """C4-style corpus-wide line dedup (r10): every repeated line (the
+    injected boilerplate footers) survives only at its first global
+    occurrence, documents reassembled from their surviving lines;
+    whole-boilerplate docs empty out (NULL digest — the drop signal).
+    Skew-safe: first occurrence is a map-combinable min(struct)
+    aggregate + a hash join with a distinct-lines build side, never a
+    row_number window over corpus-hot line partitions."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        line_dedup_corpus,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_documents_footers,
+    )
+
+    return line_dedup_corpus(build_documents_footers(spark, sf_dir))
+
+
 def text_dup_spans(spark, sf_dir) -> DataFrame:
     """Cross-document duplicated-span fractions over 8-token windows (the
     exact-substring-dedup signal) on the duplicate-injected corpus: exact
@@ -2833,19 +2851,20 @@ QUERIES = {
     #    VERDICT r9 ask #1: these MUST lead r10 (the reconciliation
     #    semantic core, 3 rounds stale otherwise). Order preserved from
     #    the r9 overflow listing.
-    # -- 22-38: ALL 17 NEW r10 queries --
+    # -- 22-39: ALL 18 NEW r10 queries --
     #    centroid artifact round-trip, embedding-space ingest, multi-wave
     #    ingest across compaction, payload ingest, capped payload
     #    near-dup, quality-arbitrated clusters, the semantic/payload
     #    streaming crawl loops, PQ ANN, IVF-PQ ANN (single-query and the
     #    k-NN graph), Gopher quality signals, CCNet LM terciles, the
     #    mergeable datacard (batch audit + streaming face), and the
-    #    training-shard writer round trip, and temperature mixing
-    #    (added post-ordering INSIDE the budget at 38 — its own fresh
-    #    row verifies it; the displaced stream_ingest_novel keeps its
-    #    r8-green row). Every query that did not exist in r9 gets a
+    #    training-shard writer round trip, temperature mixing, and
+    #    C4 corpus-wide line dedup (the last two added post-ordering
+    #    INSIDE the budget at 38-39 — their own fresh rows verify them;
+    #    the displaced stream_ingest_novel + text_lm_score keep their
+    #    r8-green rows). Every query that did not exist in r9 gets a
     #    fresh driver row — zero never-checked.
-    # -- 39-46: the 8 CHANGED r10 queries --
+    # -- 40-47: the 8 CHANGED r10 queries --
     #    dedup_ingest_neardup + stream_ingest_neardup (history-docs
     #    dedup after the candidate semi-join, crawl-loop geometry/write-
     #    order fixes, history hot-bucket cap default-off),
@@ -2855,11 +2874,14 @@ QUERIES = {
     #    curation_pipeline_v2/v3 (fused_doc_scores gained the gopher
     #    branch and curation two default-off Gopher gates - default
     #    paths value-identical, re-verified conservatively).
-    # -- 47-50: the 4 oldest r8-row queries --
-    #    pulled forward so the r8 tail ages evenly (r9 precedent).
-    # -- 51-65: remaining r8-row tail (15, led by stream_ingest_novel) -
-    #    next round's rotation leads with these. -- 66-132: r9/r10-row
-    #    tail (freshest). --
+    # -- 48-50: the 3 oldest r8-row queries --
+    #    pulled forward so the r8 tail ages evenly (r9 precedent; the
+    #    in-budget inserts squeezed this block from 5 to 3 — the r8
+    #    tail is one round older on average, the price of verifying
+    #    every new operator this round).
+    # -- 51-66: remaining r8-row tail (16, led by text_lm_score and
+    #    stream_ingest_novel) - next round's rotation leads with these.
+    # -- 67-133: r9/r10-row tail (freshest). --
     #
     # POST-ORDERING CHANGES (positional invariant — every touched query
     # is inside the 50-position budget, re-parity-checked at sf0.001 AND
@@ -2874,7 +2896,11 @@ QUERIES = {
     #     inside the budget, so its driver row verifies it this round;
     #     parity-checked at sf0.001 AND sf0.01; stream_ingest_novel
     #     (unchanged since r8, r8-green row) moves to position 51.
-    # (3) mix_temperature + lm_typicality_buckets broadcast joins made
+    # (3) text_line_dedup (NEW operator, C4 line dedup) inserted at
+    #     position 39 — inside the budget; parity-checked at sf0.001
+    #     AND sf0.01; text_lm_score (unchanged since r8, r8-green row)
+    #     moves out to the 51-66 block.
+    # (4) mix_temperature + lm_typicality_buckets broadcast joins made
     #     NULL-SAFE (a NULL stratum is its own stratum; the plain
     #     equi-join silently dropped those rows — silent corpus loss).
     #     Affects positions 34 and 38 only; testdata strata are non-null
@@ -2919,6 +2945,7 @@ QUERIES = {
     "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
     "stream_datacard": stream_datacard,
     "text_mix_temperature": text_mix_temperature,
+    "text_line_dedup": text_line_dedup,
     "dedup_ingest_neardup": dedup_ingest_neardup,
     "stream_ingest_neardup": stream_ingest_neardup,
     "mm_payload_near_dup": mm_payload_near_dup,

@@ -1945,6 +1945,48 @@ def test_stream_datacard_equals_batch_card(spark):
     assert streamed == batch
 
 
+def test_line_dedup_matches_python_model(spark):
+    """r10: corpus-wide line dedup equals a doc-at-a-time Python replay
+    (first global occurrence by (id, line_no), per-doc reassembly) on a
+    corpus with cross-doc repeats, WITHIN-doc repeats, position
+    variation and a doc that empties out entirely — and the global
+    invariant holds: total kept lines == distinct lines."""
+    import hashlib
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        line_dedup_corpus,
+    )
+
+    docs = [
+        (1, "alpha\nfooter\nbeta"),
+        (2, "footer\ngamma\nfooter"),   # cross-doc repeat + within-doc repeat
+        (3, "footer"),                   # empties out entirely
+        (4, "delta\nalpha"),             # repeat of doc 1's first line
+        (5, "epsilon"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_md5"])
+        for r in line_dedup_corpus(df).collect()
+    }
+    seen = set()
+    want = {}
+    for did, t in docs:  # ids ascending == first-occurrence order
+        lines = t.split("\n")
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        md5 = (
+            hashlib.md5("\n".join(kept).encode()).hexdigest() if kept else None
+        )
+        want[did] = (len(lines), len(kept), md5)
+    assert got == want
+    assert got[3] == (1, 0, None)  # the emptied-out doc, C4's drop signal
+    assert sum(v[1] for v in got.values()) == len(seen)
+
+
 def test_new_operators_handle_empty_and_null_strata(spark):
     """r10 edge pins: the round's derived-weight/reporting operators are
     graceful on EMPTY corpora (no crash, empty output) and treat a NULL
