@@ -1945,6 +1945,43 @@ def test_stream_datacard_equals_batch_card(spark):
     assert streamed == batch
 
 
+_ld_line = st.sampled_from(
+    ["footer", "header", "alpha beta", "x", "", "shared line", "unique-ish"]
+)
+_ld_text = st.lists(_ld_line, min_size=1, max_size=5).map("\n".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(_ld_text, min_size=1, max_size=7))
+def test_line_dedup_random_corpora_match_model(spark, texts):
+    """r10 randomized pin: corpus-wide line dedup equals the Python
+    first-occurrence replay on hypothesis corpora drawn from a tiny line
+    alphabet — maximal repetition pressure, empty lines, whole-duplicate
+    docs, and many docs that empty out entirely."""
+    import hashlib
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        line_dedup_corpus,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_md5"])
+        for r in line_dedup_corpus(df).collect()
+    }
+    seen = set()
+    want = {}
+    for did, t in rows:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if ln not in seen and not seen.add(ln)]
+        md5 = (
+            hashlib.md5("\n".join(kept).encode()).hexdigest() if kept else None
+        )
+        want[did] = (len(lines), len(kept), md5)
+    assert got == want
+
+
 def test_line_dedup_matches_python_model(spark):
     """r10: corpus-wide line dedup equals a doc-at-a-time Python replay
     (first global occurrence by (id, line_no), per-doc reassembly) on a
