@@ -2124,6 +2124,24 @@ def test_mix_temperature_weights_and_rates(spark):
             assert n_rows[lang] == n
 
 
+def test_line_dedup_plan_has_no_window(spark):
+    """r10 plan pin of the skew-safe claim: first occurrence is an
+    aggregate + hash join, reassembly a per-doc collect — the physical
+    plan must contain NO window operator at all (a row_number over
+    partitionBy(line) would stall on corpus-hot boilerplate lines) and
+    no sort-merge join on the hot line key."""
+    from mongo_polars_reconciliation_spark.harness.queries import QUERIES
+
+    plan = (
+        QUERIES["text_line_dedup"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
 def test_lm_buckets_plan_never_sorts_raw_rows(spark):
     """r10 plan pin: the tercile cutoffs come from the collapsed
     (lang, score) histogram and bucketing is a broadcast join — the
