@@ -163,6 +163,16 @@ def main() -> None:
     # Clamp: 0/negative would divide-by-zero in mean() / ValueError in min().
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
 
+    # r11 (VERDICT r10 ask #6, tail-query bench hygiene): sub-2 s tail
+    # queries run last in the loop and inherit within-session JVM state
+    # (GC pressure, code-cache churn), flapping 2-3x across sessions even
+    # though their plans are map-only/broadcast. reps=2 mins don't wash
+    # that out, so queries whose first-pass min lands under the threshold
+    # get EXTRA timed reps — more samples drive the min toward the true
+    # floor. Heavy queries (where reps are expensive) are unaffected.
+    extra_reps_below_sec = 2.0
+    extra_reps = 2
+
     def run(name: str) -> list[float]:
         ts = []
         for _ in range(reps):
@@ -171,6 +181,13 @@ def main() -> None:
                 "overwrite"
             ).save()
             ts.append(round(time.perf_counter() - t0, 3))
+        if min(ts) < extra_reps_below_sec:
+            for _ in range(extra_reps):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ts.append(round(time.perf_counter() - t0, 3))
         return ts
 
     def mean(ts: list[float]) -> float:
@@ -213,10 +230,14 @@ def main() -> None:
         "queries_min_ctrl": norm(timings_min),
         "secondary_min_ctrl": norm(secondary_min),
         "reps": reps,
+        "warmup_policy": (
+            f"adaptive: +{extra_reps} timed reps when the first-pass min is "
+            f"< {extra_reps_below_sec} s (r11, VERDICT r10 ask #6 — sub-2 s "
+            "tail queries inherit JVM state; extra samples tighten the min)"
+        ),
         "fixture_warm_sec": fixture_warm,
         "sf": float(sf),
     }
-    print(json.dumps(out))
     # Full-fidelity copy for round-over-round drift checks: the driver's
     # BENCH_r{N}.json records only a 2000-char stdout tail, which loses the
     # front of the JSON once the query list grew past ~35 entries. The
@@ -241,6 +262,30 @@ def main() -> None:
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"bench: full-fidelity record written to {out_path}", file=sys.stderr)
+    sys.stderr.flush()
+    # r11: the driver's BENCH_r{N}.json keeps only a ~2000-char stdout TAIL
+    # and parses what it finds there — the full record outgrew that window
+    # around r8 (134 queries ≈ 8 kB), so every BENCH since r8 recorded
+    # "parsed": null. stdout now carries ONLY this COMPACT record (headline
+    # queries + the totals — it fits the tail window); full per-query
+    # fidelity lives in the file written above.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": timings_min,
+        "headline_min_total_sec": out["headline_min_total_sec"],
+        "secondary_total_sec": out["secondary_total_sec"],
+        "secondary_min_total_sec": out["secondary_min_total_sec"],
+        "control_query": control,
+        "control_min_sec": control_min,
+        "reps": reps,
+        "sf": float(sf),
+        "full_record": out_path,
+    }
+    print(json.dumps(compact))
+    sys.stdout.flush()
     spark.stop()
 
 
