@@ -117,6 +117,7 @@ def curate_corpus_v2(
     min_mwps: float | None = None,
     max_symbol_word_ratio: float | None = None,
     min_alpha_word_frac: float | None = None,
+    line_dedup: bool = False,
 ) -> DataFrame:
     """The FULL corpus build: exact dedup → MinHash-LSH near-dup drop →
     repetition gate (Gopher rule: top-token share > 0.2 or duplicate
@@ -151,7 +152,22 @@ def curate_corpus_v2(
     symbol-per-word ratio exceeds the cap (Gopher uses 0.1) or whose
     share of words containing an alphabetic character falls below the
     floor (Gopher uses 0.8). Same row-local-signal + left_anti-on-doc-id
-    shape as the C4 gates; None (default) skips."""
+    shape as the C4 gates; None (default) skips.
+
+    r11 (advice): the C4 and Gopher gates share ONE
+    ``fused_doc_scores(c4=…, gopher=…)`` projection — previously each
+    family rescanned ``kept`` separately. All four signals are row-local,
+    so flagging both families from the same frame and applying one union
+    left_anti is value-identical to the sequential gates (pinned in
+    tests/test_extensions.py) and saves a full-corpus scan at 100 TB.
+
+    ``line_dedup=True`` (r11, the v4 face): corpus-wide C4 LINE dedup
+    runs right after exact dedup — every line repeated anywhere in the
+    surviving corpus is trimmed to its first global occurrence
+    (``line_dedup_trim``), documents that empty out are dropped, and the
+    CLEANED text feeds every downstream stage (near-dup signatures,
+    gates, scoring) — boilerplate no longer pollutes MinHash shingles or
+    quality signals. Default off: v2/v3 behavior byte-identical."""
     from mongo_polars_reconciliation_spark.extensions.text import (
         contamination_probe,
         repetition_signals,
@@ -165,6 +181,21 @@ def curate_corpus_v2(
         F.col("keeper_id").alias(id_col)
     )
     kept = base.join(keepers, id_col).localCheckpoint(eager=False)
+
+    if line_dedup:
+        from mongo_polars_reconciliation_spark.extensions.text import (
+            line_dedup_trim,
+        )
+
+        # C4 line stage: trim every corpus-repeated line to its first
+        # global occurrence and feed the CLEANED text downstream; docs
+        # that empty out are dropped here (n_kept = 0, the C4 drop rule)
+        kept = (
+            line_dedup_trim(kept, id_col=id_col, text_col=text_col)
+            .where(F.col("n_kept") > 0)
+            .select(F.col(id_col), F.col("text_kept").alias(text_col))
+            .localCheckpoint(eager=False)
+        )
 
     pairs = minhash_near_dups(
         kept,

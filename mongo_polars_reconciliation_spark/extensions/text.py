@@ -438,41 +438,101 @@ def line_dedup_corpus(
     Reassembly is a per-document collect of that document's OWN lines —
     bounded by document size, never corpus-shaped.
 
+    Shuffle-key posture (r11, VERDICT r10): the aggregate and the
+    survivor join key on ``md5(line)`` — a fixed 32-char digest — not the
+    raw line string. Corpus-hot boilerplate lines are LONG (footers,
+    license blocks), so digest keys cut the first-occurrence aggregate's
+    map-side-combine shuffle bytes ~10× at corpus scale; the raw line
+    text rides only the probe side, where reassembly needs it anyway.
+    Value-identical to raw-line keying modulo md5 collision (2^-64-ish
+    birthday at any feasible line count), pinned by the Python-model and
+    randomized-corpus property tests.
+
     Output: (id, n_lines, n_kept, kept_md5) — kept_md5 is the digest of
     the reassembled text (NULL when every line was a repeat and the doc
     empties out, C4's drop signal)."""
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__ln", "__line"),
-    ).localCheckpoint(eager=False)
-    # consumed 3x: totals, the first-occurrence aggregate, the survivor join
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
-    firsts = lines.groupBy("__line").agg(
-        F.min(F.struct(F.col(id_col), F.col("__ln"))).alias("__first")
-    )
-    kept = lines.join(firsts, "__line").where(
-        (F.col(id_col) == F.col(f"__first.{id_col}"))
-        & (F.col("__ln") == F.col("__first.__ln"))
-    )
+    totals, kept = _line_dedup_kept(df, id_col, text_col)
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("__ln"), F.col("__line")))
-                    ),
-                    lambda s: s["__line"],
-                ),
-            ).cast("binary")
-        ).alias("kept_md5"),
+        F.md5(_reassemble_lines().cast("binary")).alias("kept_md5"),
     )
     return totals.join(rebuilt, id_col, "left").select(
         F.col(id_col),
         F.col("n_lines"),
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.col("kept_md5"),
+    )
+
+
+def _line_dedup_kept(df, id_col, text_col):
+    """Shared front half of the corpus line-dedup faces: exploded lines
+    (digest-keyed), per-doc line totals, and the surviving (first global
+    occurrence) line set. See :func:`line_dedup_corpus` for the skew and
+    shuffle-key posture."""
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "__ln", "__line"
+            ),
+        )
+        .withColumn("__lh", F.md5(F.col("__line").cast("binary")))
+        .localCheckpoint(eager=False)
+    )
+    # consumed 3x: totals, the first-occurrence aggregate, the survivor join
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    # digest-only projection: the raw line never enters this shuffle
+    firsts = lines.select("__lh", id_col, "__ln").groupBy("__lh").agg(
+        F.min(F.struct(F.col(id_col), F.col("__ln"))).alias("__first")
+    )
+    kept = lines.join(firsts, "__lh").where(
+        (F.col(id_col) == F.col(f"__first.{id_col}"))
+        & (F.col("__ln") == F.col("__first.__ln"))
+    )
+    return totals, kept
+
+
+def _reassemble_lines() -> Column:
+    """Aggregate expression rebuilding a document's text from its
+    surviving (__ln, __line) rows in original order — bounded by document
+    size, never corpus-shaped."""
+    return F.concat_ws(
+        "\n",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__ln"), F.col("__line")))
+            ),
+            lambda s: s["__line"],
+        ),
+    )
+
+
+def line_dedup_trim(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 corpus-wide line dedup that EMITS the cleaned corpus (r11,
+    VERDICT r10 #2): same first-global-occurrence semantics as
+    :func:`line_dedup_corpus` (whose output is the audit digest), but the
+    reassembled surviving TEXT is returned so the next pipeline stage can
+    consume it — the ``trim_duplicate_spans`` treatment applied to the
+    line stage. A filter signal that can't feed the next stage isn't a
+    pipeline operator; this face is what curation v4 wires in.
+
+    Output: (id, n_lines, n_kept, text_kept) — text_kept is NULL when
+    every line was a corpus-repeat and the doc empties out (n_kept=0),
+    the C4 drop signal a downstream ``where(n_kept > 0)`` applies."""
+    totals, kept = _line_dedup_kept(df, id_col, text_col)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        _reassemble_lines().alias("text_kept"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.col("text_kept"),
     )
 
 

@@ -2024,6 +2024,56 @@ def test_line_dedup_matches_python_model(spark):
     assert sum(v[1] for v in got.values()) == len(seen)
 
 
+def test_line_dedup_trim_emits_cleaned_text(spark):
+    """r11 (VERDICT r10 #2): the trimming face returns the reassembled
+    surviving TEXT itself — equal line-for-line to the Python
+    first-occurrence replay — with NULL text for emptied-out docs, and
+    its digest agrees exactly with line_dedup_corpus's audit face on the
+    same corpus (the two faces are one semantic)."""
+    import hashlib
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        line_dedup_corpus,
+        line_dedup_trim,
+    )
+
+    docs = [
+        (1, "alpha\nfooter\nbeta"),
+        (2, "footer\ngamma\nfooter"),
+        (3, "footer"),
+        (4, "delta\nalpha"),
+        (5, "epsilon\n\nzeta"),   # empty line is a corpus line too
+        (6, "\nomega"),           # later empty line must be trimmed
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_kept"])
+        for r in line_dedup_trim(df).collect()
+    }
+    seen: set[str] = set()
+    want = {}
+    for did, t in docs:
+        lines = t.split("\n")
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        want[did] = (len(lines), len(kept), "\n".join(kept) if kept else None)
+    assert got == want
+    assert got[3] == (1, 0, None)
+    assert got[6] == (2, 1, "omega")  # doc 5 claimed the empty line
+    # digest face ≡ md5(trim face) on every surviving doc
+    audit = {
+        r["doc_id"]: r["kept_md5"] for r in line_dedup_corpus(df).collect()
+    }
+    for did, (_, n_kept, text) in got.items():
+        if n_kept:
+            assert audit[did] == hashlib.md5(text.encode()).hexdigest()
+        else:
+            assert audit[did] is None
+
+
 def test_new_operators_handle_empty_and_null_strata(spark):
     """r10 edge pins: the round's derived-weight/reporting operators are
     graceful on EMPTY corpora (no crash, empty output) and treat a NULL
