@@ -124,6 +124,9 @@ SECONDARY = [
     "sim_knn_join_ivfpq",
     "text_mix_temperature",
     "text_line_dedup",
+    # r11 additions
+    "text_line_dedup_trim",
+    "curation_pipeline_v4",
 ]
 
 

@@ -216,39 +216,41 @@ def curate_corpus_v2(
     )
     kept = kept.join(rep_flagged, id_col, "left_anti")
 
-    if min_term_sent_ratio is not None or min_mwps is not None:
-        c4_cond = F.lit(False)
+    need_c4 = min_term_sent_ratio is not None or min_mwps is not None
+    need_gopher = (
+        max_symbol_word_ratio is not None or min_alpha_word_frac is not None
+    )
+    if need_c4 or need_gopher:
+        # ONE projection carries every requested gate signal (r11 advice);
+        # all four are row-local, so the union of flags from the shared
+        # frame + one left_anti equals the old sequential per-family gates
+        gate_cond = F.lit(False)
         if min_term_sent_ratio is not None:
-            c4_cond = c4_cond | (
+            gate_cond = gate_cond | (
                 F.col("term_sent_ratio_r") < min_term_sent_ratio
             )
         if min_mwps is not None:
-            c4_cond = c4_cond | (F.col("mwps_r") < min_mwps)
-        c4_flagged = (
-            fused_doc_scores(kept, id_col=id_col, text_col=text_col, c4=True)
-            .where(c4_cond)
-            .select(id_col)
-        )
-        kept = kept.join(c4_flagged, id_col, "left_anti")
-
-    if max_symbol_word_ratio is not None or min_alpha_word_frac is not None:
-        gopher_cond = F.lit(False)
+            gate_cond = gate_cond | (F.col("mwps_r") < min_mwps)
         if max_symbol_word_ratio is not None:
-            gopher_cond = gopher_cond | (
+            gate_cond = gate_cond | (
                 F.col("symbol_word_ratio_r") > max_symbol_word_ratio
             )
         if min_alpha_word_frac is not None:
-            gopher_cond = gopher_cond | (
+            gate_cond = gate_cond | (
                 F.col("alpha_word_frac_r") < min_alpha_word_frac
             )
-        gopher_flagged = (
+        gate_flagged = (
             fused_doc_scores(
-                kept, id_col=id_col, text_col=text_col, gopher=True
+                kept,
+                id_col=id_col,
+                text_col=text_col,
+                c4=need_c4,
+                gopher=need_gopher,
             )
-            .where(gopher_cond)
+            .where(gate_cond)
             .select(id_col)
         )
-        kept = kept.join(gopher_flagged, id_col, "left_anti")
+        kept = kept.join(gate_flagged, id_col, "left_anti")
 
     contam_flagged = (
         contamination_probe(

@@ -2508,6 +2508,121 @@ ORACLES["curation_pipeline_v3"] = (
     + _v1_tail.replace("FROM kept2", "FROM kept5")
 )
 
+# line-dedup TRIM face (r11): identical first-global-occurrence chain to
+# text_line_dedup, but rebuilt emits the reassembled surviving TEXT itself
+# (NULL for emptied-out docs) instead of its md5 — the cleaned corpus.
+ORACLES["text_line_dedup_trim"] = """
+WITH docs_f AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN 'shared boilerplate footer'
+              WHEN doc_id % 5 = 0
+              THEN text || chr(10) || 'shared boilerplate footer'
+              WHEN doc_id % 5 = 1
+              THEN text || chr(10) || 'shared boilerplate footer'
+                   || chr(10) || 'second shared footer'
+              WHEN doc_id % 5 = 2
+              THEN 'shared boilerplate footer' || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS ln, l[u.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs_f) t,
+       unnest(range(1, len(l) + 1)) AS u(i)
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+),
+f1 AS (SELECT line, MIN(doc_id) AS fdoc FROM lines GROUP BY line),
+f2 AS (
+  SELECT l.line, l.doc_id AS fdoc, MIN(l.ln) AS fln
+  FROM lines l JOIN f1 ON f1.line = l.line AND l.doc_id = f1.fdoc
+  GROUP BY l.line, l.doc_id
+),
+kept AS (
+  SELECT l.doc_id, l.ln, l.line
+  FROM lines l JOIN f2
+    ON f2.line = l.line AND l.doc_id = f2.fdoc AND l.ln = f2.fln
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY ln) AS text_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       r.text_kept
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+"""
+
+# curation v4 (r11) = v3 with (a) the footer-injected fixture replacing the
+# dup-injected one and (b) the C4 LINE-dedup TRIM stage inserted between
+# exact dedup (kept) and the MinHash chain: corpus-repeated lines cut to
+# their first global occurrence, emptied docs dropped (absent from keptL),
+# and every later stage — shingles, gates, scoring — consumes the CLEANED
+# text. Assembled from the v1/v2/v3 SQL so shared stages cannot drift.
+_V4_FIXTURE = """docs_aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN 'shared boilerplate footer'
+              WHEN doc_id % 5 = 0
+              THEN text || chr(10) || 'shared boilerplate footer'
+              WHEN doc_id % 5 = 1
+              THEN text || chr(10) || 'shared boilerplate footer'
+                   || chr(10) || 'second shared footer'
+              WHEN doc_id % 5 = 2
+              THEN 'shared boilerplate footer' || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+"""
+_V4_LINE_STAGE = """llines AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS ln, l[u.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM kept) t,
+       unnest(range(1, len(l) + 1)) AS u(i)
+),
+lf1 AS (SELECT line, MIN(doc_id) AS fdoc FROM llines GROUP BY line),
+lf2 AS (
+  SELECT l.line, l.doc_id AS fdoc, MIN(l.ln) AS fln
+  FROM llines l JOIN lf1 ON lf1.line = l.line AND l.doc_id = lf1.fdoc
+  GROUP BY l.line, l.doc_id
+),
+lkept AS (
+  SELECT l.doc_id, l.ln, l.line
+  FROM llines l JOIN lf2
+    ON lf2.line = l.line AND l.doc_id = lf2.fdoc AND l.ln = lf2.fln
+),
+keptL AS MATERIALIZED (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS text
+  FROM lkept GROUP BY doc_id
+),
+"""
+_V1_FIXTURE = """docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 3
+),
+"""
+_V1_TOKS = "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),"
+_V1_KEPT2 = "FROM kept WHERE doc_id NOT IN (SELECT id_b FROM nd_pairs)"
+for _needle in (_V1_FIXTURE, _V1_TOKS, _V1_KEPT2):
+    assert _v1_head.count(_needle) == 1, f"v4 oracle surgery drifted: {_needle[:40]!r}"
+_v4_head = (
+    _v1_head.replace(_V1_FIXTURE, _V4_FIXTURE)
+    .replace(
+        _V1_TOKS,
+        _V4_LINE_STAGE
+        + "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM keptL),",
+    )
+    .replace(_V1_KEPT2, "FROM keptL WHERE doc_id NOT IN (SELECT id_b FROM nd_pairs)")
+)
+ORACLES["curation_pipeline_v4"] = (
+    _v4_head + _V2_GATES + _V3_LM_GATE + "qual AS ("
+    + _v1_tail.replace("FROM kept2", "FROM kept5")
+)
+
 
 def _bpe_merges_oracle(n_rounds: int) -> str:
     """Unrolled-CTE replay of extensions/text.py:bpe_merge_fit: each round

@@ -1474,6 +1474,50 @@ def text_line_dedup(spark, sf_dir) -> DataFrame:
     return line_dedup_corpus(build_documents_footers(spark, sf_dir))
 
 
+def text_line_dedup_trim(spark, sf_dir) -> DataFrame:
+    """The line-dedup TRIM face (r11): same first-global-occurrence
+    semantics as text_line_dedup but the reassembled surviving TEXT is
+    emitted — the cleaned corpus a downstream stage consumes (NULL text
+    for emptied-out docs, the C4 drop signal). The oracle checks the
+    full reassembled strings, not just digests."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        line_dedup_trim,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_documents_footers,
+    )
+
+    return line_dedup_trim(build_documents_footers(spark, sf_dir))
+
+
+def curation_pipeline_v4(spark, sf_dir) -> DataFrame:
+    """v3 plus the C4 corpus-wide LINE-dedup stage (r11): exact dedup →
+    line dedup TRIM (corpus-repeated lines cut to their first global
+    occurrence, emptied docs dropped, CLEANED text feeds every later
+    stage) → LSH near-dup → repetition gate → decontamination → LM gate
+    → quality gate → per-language stats, on the footer-injected corpus
+    where the line stage is load-bearing (shared boilerplate footers
+    would otherwise pollute MinHash shingles and quality signals)."""
+    from mongo_polars_reconciliation_spark.extensions.curation import (
+        curate_corpus_v2,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_documents_footers,
+    )
+
+    docs = build_documents_footers(spark, sf_dir)
+    bench = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") % 10 == 7
+    )
+    return curate_corpus_v2(
+        docs,
+        bench,
+        max_bucket_size=1000,
+        lm_threshold_q=32800,
+        line_dedup=True,
+    )
+
+
 def text_dup_spans(spark, sf_dir) -> DataFrame:
     """Cross-document duplicated-span fractions over 8-token windows (the
     exact-substring-dedup signal) on the duplicate-injected corpus: exact
@@ -3040,6 +3084,10 @@ QUERIES = {
     "sim_semantic_dedup": sim_semantic_dedup,
     "recon_residual_internal": recon_residual_internal,
     "recon_residual_external": recon_residual_external,
+    # -- r11 NEW queries (appended during the round; the round-close
+    #    rotation commit seats them inside the 50-position budget) --
+    "text_line_dedup_trim": text_line_dedup_trim,
+    "curation_pipeline_v4": curation_pipeline_v4,
 }
 
 

@@ -47,7 +47,9 @@ def _sorted_rows(df):
      "dedup_clusters_quality", "sim_topk_pq", "sim_topk_ivfpq",
      "text_quality_gopher", "text_lm_buckets", "text_datacard_merge",
      "text_pack_shards_roundtrip", "sim_knn_join_ivfpq",
-     "text_mix_temperature", "text_line_dedup"],
+     "text_mix_temperature", "text_line_dedup",
+     # r11 operators
+     "text_line_dedup_trim", "curation_pipeline_v4"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")

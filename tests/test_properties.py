@@ -8,6 +8,7 @@
 - tolerance matches always satisfy |diff| ≤ ε.
 """
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -1729,6 +1730,130 @@ def test_curation_v2_gopher_gates(spark):
     assert vac == base
 
 
+def test_curation_fused_gates_match_sequential_replay(spark):
+    """r11 (advice): with BOTH gate families engaged, the single fused
+    projection + union-of-flags left_anti equals the r10 sequential
+    per-family gating replayed in Python (flag C4 on the frame, shrink,
+    flag Gopher on the shrunken frame) — the signals are row-local, so
+    the two compositions must coincide doc-for-doc."""
+    from mongo_polars_reconciliation_spark.extensions.curation import (
+        curate_corpus_v2,
+    )
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        fused_doc_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma. delta epsilon zeta. eta theta iota."),
+            (2, "symbol heavy #a #b #c ... ... tail word"),
+            (3, "numbers 111 222 333 444 555 666 777 888 999 000"),
+            (4, "red green blue! yellow purple orange! cyan magenta!"),
+            (5, "north south east west up down left right center middle."),
+            (6, "trailing dots everywhere... yes... more... words here"),
+            (7, "no terminal punctuation short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp")],
+        "doc_id long, text string",
+    )
+    gates = dict(
+        min_term_sent_ratio=0.9,
+        min_mwps=3.5,
+        max_symbol_word_ratio=0.2,
+        min_alpha_word_frac=0.5,
+    )
+    got = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(
+            docs, bench, min_quality=0.0, **gates
+        ).collect()
+    }
+    # sequential replay: C4 family first, Gopher family on the survivors
+    sig = fused_doc_scores(docs, c4=True, gopher=True).collect()
+    after_c4 = [
+        r for r in sig
+        if r["term_sent_ratio_r"] >= 0.9 and r["mwps_r"] >= 3.5
+    ]
+    keep = [
+        r for r in after_c4
+        if r["symbol_word_ratio_r"] <= 0.2 and r["alpha_word_frac_r"] >= 0.5
+    ]
+    assert 0 < len(keep) < docs.count(), "gates must bite, not annihilate"
+    expect = {}
+    for r in keep:
+        n, t = expect.get(r["pred_lang"], (0, 0))
+        expect[r["pred_lang"]] = (n + 1, t + r["ws_tokens"])
+    assert got == expect
+
+
+def test_curation_v4_line_stage(spark):
+    """r11: curate_corpus_v2(line_dedup=True) trims corpus-repeated
+    lines BEFORE any downstream stage — the shared footer survives only
+    in its first-occurrence doc, whole-footer docs empty out and are
+    dropped, and the surviving stats equal the pipeline replayed on the
+    pre-trimmed corpus (the stage composes, it doesn't special-case).
+    line_dedup=False stays byte-identical to the r10 behavior."""
+    from mongo_polars_reconciliation_spark.extensions.curation import (
+        curate_corpus_v2,
+    )
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        line_dedup_trim,
+    )
+
+    footer = "shared boilerplate footer"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta\n" + footer),
+            (2, footer),  # empties out → must vanish from the stats
+            (3, "one two three four five six seven eight nine\n" + footer),
+            (4, "red green blue yellow purple orange cyan magenta pink"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(
+            docs, bench, min_quality=0.0, line_dedup=True
+        ).collect()
+    }
+    # compose: pre-trim the corpus with the standalone operator, then run
+    # the UNFLAGGED pipeline on the cleaned text
+    trimmed = (
+        line_dedup_trim(docs)
+        .where(F.col("n_kept") > 0)
+        .select("doc_id", F.col("text_kept").alias("text"))
+    )
+    want = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(
+            trimmed, bench, min_quality=0.0
+        ).collect()
+    }
+    assert got == want
+    # doc 1 keeps the footer (first occurrence), docs 2/3 lose it; doc 2
+    # contributes nothing anywhere
+    total_docs = sum(n for n, _ in got.values())
+    assert total_docs == 3
+    off = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(
+            docs, bench, min_quality=0.0, line_dedup=False
+        ).collect()
+    }
+    base = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(docs, bench, min_quality=0.0).collect()
+    }
+    assert off == base
+
+
 _gopher_word = st.sampled_from(
     ["the", "of", "and", "cat", "dog", "#tag", "...", "x#y", "a...b",
      "12345", "7", "", "-", "*", "mix3d"]
@@ -2174,16 +2299,18 @@ def test_mix_temperature_weights_and_rates(spark):
             assert n_rows[lang] == n
 
 
-def test_line_dedup_plan_has_no_window(spark):
-    """r10 plan pin of the skew-safe claim: first occurrence is an
-    aggregate + hash join, reassembly a per-doc collect — the physical
-    plan must contain NO window operator at all (a row_number over
-    partitionBy(line) would stall on corpus-hot boilerplate lines) and
-    no sort-merge join on the hot line key."""
+@pytest.mark.parametrize("qname", ["text_line_dedup", "text_line_dedup_trim"])
+def test_line_dedup_plan_has_no_window(spark, qname):
+    """r10 plan pin of the skew-safe claim (extended to the r11 trim
+    face): first occurrence is an aggregate + hash join, reassembly a
+    per-doc collect — the physical plan must contain NO window operator
+    at all (a row_number over partitionBy(line) would stall on
+    corpus-hot boilerplate lines) and no sort-merge join on the hot
+    line key."""
     from mongo_polars_reconciliation_spark.harness.queries import QUERIES
 
     plan = (
-        QUERIES["text_line_dedup"](spark, "/root/testdata/sf0.001")
+        QUERIES[qname](spark, "/root/testdata/sf0.001")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
