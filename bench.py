@@ -127,6 +127,9 @@ SECONDARY = [
     # r11 additions
     "text_line_dedup_trim",
     "curation_pipeline_v4",
+    "text_mix_temperature_alpha",
+    "sim_knn_join_ivfpq_served",
+    "text_pii_scrub",
 ]
 
 

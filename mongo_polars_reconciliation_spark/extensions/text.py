@@ -160,6 +160,7 @@ def write_packed_shards(
     token_budget: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
+    validate: bool = True,
 ) -> None:
     """Training-shard writer — the sink half of sequence packing: lay the
     corpus out with :func:`pack_sequences`, co-locate every batch's docs
@@ -175,7 +176,18 @@ def write_packed_shards(
     each shard one task writing one file — at 100 TB ``n_shards`` is
     thousands, so the write keeps full cluster parallelism while small
     corpora avoid the 8-files-per-task spray ``partitionBy`` alone
-    produces."""
+    produces.
+
+    ``validate=True`` (r11, advice): the one-file-per-shard contract is
+    an emergent property of repartition+partitionBy, and session config
+    can silently break it — ``spark.sql.files.maxRecordsPerFile`` splits
+    a task's output, and two shard values can hash-collide into one task
+    whose writer still splits by partition value (fine) but leaves the
+    contract unchecked. The default re-reads only (file, shard) pairs
+    after the write — a parquet scan pruned to zero data columns plus
+    the input_file_name metadata — and raises naming the offending
+    shards if any shard directory holds more than one file. O(n_shards)
+    driver memory, footer-only read cost."""
     packed = pack_sequences(df, token_budget, id_col, text_col)
     full = packed.join(df.select(F.col(id_col), F.col(text_col)), id_col)
     out = full.select(
@@ -189,6 +201,30 @@ def write_packed_shards(
     out.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
         "shard"
     ).parquet(out_dir)
+    if validate:
+        _validate_one_file_per_shard(df.sparkSession, out_dir)
+
+
+def _validate_one_file_per_shard(spark, out_dir: str) -> None:
+    """Loud post-write check of the training-shard loader contract:
+    every shard=* directory must hold exactly one parquet file."""
+    bad = (
+        spark.read.parquet(out_dir)
+        # project the (nondeterministic) file name BEFORE aggregating —
+        # Spark 4 rejects it inside an aggregate argument
+        .select("shard", F.input_file_name().alias("__f"))
+        .groupBy("shard")
+        .agg(F.countDistinct("__f").alias("n_files"))
+        .where(F.col("n_files") > 1)
+        .collect()
+    )
+    if bad:
+        detail = ", ".join(f"shard {r['shard']}: {r['n_files']} files" for r in bad)
+        raise RuntimeError(
+            "write_packed_shards: one-file-per-shard contract violated "
+            f"({detail}) — check spark.sql.files.maxRecordsPerFile and "
+            "writer-side split settings"
+        )
 
 
 SCRUB_DEFAULT_TERMS = ("customer", "stream")
@@ -219,6 +255,52 @@ def scrub_terms(
         )
         red = F.regexp_replace(red, pat, f"<{t}>")
     return df.select(*out_cols, F.md5(red).alias("redacted_md5"))
+
+
+# (pattern, placeholder) in APPLICATION ORDER — emails first so an
+# address's host part can't later half-match the IP pattern, then phones,
+# then bare IPv4s. Dialect-portable regex subset: no lookaround, no
+# backrefs, no \w shorthand inside classes — Java (Spark) and RE2
+# (DuckDB) agree on every construct used here.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII redaction with REAL patterns — the release-gate stage of a
+    training-data pipeline (emails, North-American phone numbers, bare
+    IPv4 addresses): per-class hit counts for the audit log, global
+    placeholder replacement, and the scrubbed text itself so the next
+    stage consumes clean input (:func:`scrub_terms` is the word-term
+    demo shape; this face carries the production regexes).
+
+    Patterns apply in :data:`PII_PATTERNS` order — earlier classes mask
+    their substrings from later ones (an email's host part never
+    half-matches as an IP) — making the output a deterministic function
+    of the text alone. Counts are taken per class on the PRE-replacement
+    text of that stage, mirroring exactly in SQL. Row-local projection:
+    whole-stage codegen, no shuffle, no Python — scan-width cost only at
+    100 TB.
+
+    Output: (id, n_emails, n_phones, n_ips, text_scrubbed)."""
+    names = ("n_emails", "n_phones", "n_ips")
+    out_cols = [F.col(id_col)]
+    red = F.col(text_col)
+    for (pat, repl), name in zip(PII_PATTERNS, names):
+        out_cols.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+            .cast("long")
+            .alias(name)
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(*out_cols, red.alias("text_scrubbed"))
 
 
 def stratified_sample(
@@ -546,30 +628,130 @@ def _isqrt_col(q: Column) -> Column:
     return F.when((s1 + 1) * (s1 + 1) <= q, s1 + 1).otherwise(s1)
 
 
+def _div_exact(a: Column, b: Column) -> Column:
+    """Exact floor division of non-negative DECIMAL(38,0) columns.
+
+    Neither Spark primitive is safe here: ``DIV`` returns BIGINT (wraps
+    past 2^63, the r10 advice finding) and decimal ``/`` adjusts
+    precision/scale and may ROUND under allowPrecisionLoss. Instead the
+    numerator is first made an exact multiple of b (``a - a % b``, both
+    exact decimal ops), so the mathematical quotient is an integer and
+    the decimal(38,6) division result represents it exactly while the
+    quotient stays below 10^32 — far above any weight this module
+    derives (the operands themselves cap at 10^38). Property-pinned vs
+    Python integer division."""
+    a = a.cast("decimal(38,0)")
+    b = b.cast("decimal(38,0)")
+    return ((a - a % b) / b).cast("decimal(38,0)")
+
+
+# floor(sqrt(10^38 - 1)) — the largest value whose square still fits
+# DECIMAL(38,0); the Newton estimate is clamped here so the correction
+# ladder's plain squares can never overflow (ANSI mode THROWS on decimal
+# overflow, it does not NULL).
+_ISQRT_DEC_MAX = "9999999999999999999"
+
+
+def _isqrt_dec_steps(df: DataFrame, src: str, out: str) -> DataFrame:
+    """Append ``out`` = exact integer square root of the non-negative
+    DECIMAL(38,0) column ``src`` — the full-range companion of
+    :func:`_isqrt_col` (whose float seed is within 1 only while q fits
+    BIGINT; at q ≈ 10^38 the double seed is off by up to ~1.2e3). Two
+    integer Newton steps in exact decimal arithmetic contract the seed
+    error below 2 (e' ≲ e²/2√q + 1.5) and a ±2 correction ladder
+    finishes; every op is exact decimal, so the result is bit-identical
+    in any engine (pinned vs math.isqrt across the full range including
+    near-squares at 10^37..10^38).
+
+    DataFrame-step form, not a nested Column: each Newton/correction
+    step lands in a named column evaluated once — the naive nested
+    expression multiplies the subtree ~3× per step and blows past
+    janino's method-size limit. Overflow discipline for ANSI mode
+    (Spark 4 default — decimal overflow THROWS): the estimate is
+    clamped to isqrt(10^38-1) before the down-corrections (plain
+    squares, always in range) and the up-corrections use try_multiply,
+    whose NULL-on-overflow compares false — the correct branch, since
+    (s+1)² > 10^38 > q there. Intended for model-scale frames (the
+    collapsed stratum counts); it appends a handful of columns."""
+    q = F.col(src).cast("decimal(38,0)")
+    one = F.lit(1).cast("decimal(38,0)")
+    two = F.lit(2).cast("decimal(38,0)")
+    smax = F.lit(_ISQRT_DEC_MAX).cast("decimal(38,0)")
+    t0, t1, t2 = f"__{out}_s0", f"__{out}_s1", f"__{out}_s2"
+    # seed: the double sqrt cast straight to decimal — NOT through
+    # F.floor, which returns LONG and saturates at 2^63-1 (sqrt(q) tops
+    # out near 10^19 here, past BIGINT); the round-instead-of-floor cast
+    # only moves the seed by ±1 on top of the ~1.2e3 float error
+    df = df.withColumn(
+        t0,
+        F.greatest(F.sqrt(q.cast("double")).cast("decimal(38,0)"), one),
+    )
+    df = df.withColumn(
+        t1,
+        F.greatest(_div_exact(F.col(t0) + _div_exact(q, F.col(t0)), two), one),
+    )
+    df = df.withColumn(
+        t2,
+        F.least(_div_exact(F.col(t1) + _div_exact(q, F.col(t1)), two), smax),
+    )
+    for _ in range(2):  # down-corrections (estimate ≤ smax → squares fit)
+        s = F.col(t2)
+        df = df.withColumn(t2, F.when(s * s > q, s - one).otherwise(s))
+    for _ in range(2):  # up-corrections (try_multiply: overflow ⇒ false)
+        s = F.col(t2)
+        df = df.withColumn(
+            t2,
+            F.when(F.try_multiply(s + one, s + one) <= q, s + one).otherwise(s),
+        )
+    df = df.withColumn(
+        out,
+        F.when(q == F.lit(0).cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))
+        .otherwise(F.col(t2)),
+    )
+    return df.drop(t0, t1, t2)
+
+
 def mix_temperature(
     df: DataFrame,
     strata_col: str,
     id_col: str = "doc_id",
     denom: int = 10_000,
+    alpha: tuple[int, int] = (1, 2),
 ) -> DataFrame:
-    """Temperature-weighted corpus mixing at α = 1/2 — the multi-domain
-    sampling step of LLM data recipes (sampled share ∝ natural share^α,
-    so small domains are upsampled toward balance without erasing scale
-    information; α=1/2 is the canonical multilingual setting). Unlike
-    :func:`mix_epochs`, the per-stratum weights are DERIVED from the
-    corpus itself: w_l = sqrt(n_max / n_l), normalized so the LARGEST
-    stratum runs exactly 1.0 epochs and every smaller one is upsampled
-    by the square-root ratio (expected multiplicities realize the
+    """Temperature-weighted corpus mixing — the multi-domain sampling
+    step of LLM data recipes (sampled share ∝ natural share^α, so small
+    domains are upsampled toward balance without erasing scale
+    information). Unlike :func:`mix_epochs`, the per-stratum weights are
+    DERIVED from the corpus itself: w_l = (n_max / n_l)^α, normalized so
+    the LARGEST stratum runs exactly 1.0 epochs and every smaller one is
+    upsampled by the power ratio (expected multiplicities realize the
     p^α distribution over strata).
 
-    Exactness: p^α needs a square root, and float ``pow``/``sqrt``
-    pipelines can differ in the last bit across engines — so the weight
-    is computed in pure integers: q_l = (n_max · denom²) DIV n_l, then
-    w_q_l = isqrt(q_l) (exact integer sqrt with a ±1 correction) is the
-    weight in 1/denom units; base copies = w_q DIV denom and the
-    fractional copy comes from the shared mixed-hash threshold
-    (pmod(h, denom) < w_q mod denom) — every quantity a BIGINT, every
-    realized copy a pure function of the id, bit-identical in DuckDB.
+    ``alpha`` is a fraction (num, den) with den ∈ {1, 2, 4} and
+    0 < num ≤ den — real recipes live in α ∈ [0.2, 0.7] (α=1/2 is the
+    canonical multilingual setting, 1/4 flatter, 3/4 closer to natural,
+    1 = inverse-frequency balance). Dyadic denominators keep the weight
+    EXACT: α = a/2^b needs only nested integer square roots.
+
+    Exactness (r11, upgraded per the r10 advice): float ``pow``/``sqrt``
+    pipelines can differ in the last bit across engines, and the r10
+    BIGINT pipeline silently wrapped once n_max · denom² passed 2^63 —
+    so every quantity is now DECIMAL(38,0) with exact floor division
+    (:func:`_div_exact`) and exact decimal isqrt (:func:`_isqrt_dec`):
+      α=1      → w_q = (n_max·denom)            DIV n
+      α=1/2    → w_q = isqrt((n_max·denom²)     DIV n)
+      α=1/4    → w_q = isqrt(isqrt((n_max·denom⁴) DIV n))
+      α=3/4    → w_q = (w_{1/2} · w_{1/4})      DIV denom
+    (binary-expansion product: x^(3/4) = x^(1/2)·x^(1/4)). Base copies =
+    w_q DIV denom; the fractional copy comes from the shared mixed-hash
+    threshold (pmod(h, denom) < w_q mod denom) — every realized copy a
+    pure function of the id, bit-identical in DuckDB. Values at α=1/2
+    are unchanged from the r10 BIGINT spec wherever that didn't overflow
+    (same floor/isqrt math, parity-pinned). Bounds: exact while
+    n_max·denom^(2^b) ≤ 10^38 (n_max ≤ 10^22 at den=4, 10^30 at den=2,
+    denom=10⁴); a decimal overflow or a weight past BIGINT raises
+    loudly (raise_error) instead of NULLing rows out of the mix —
+    silent corpus loss is the worst failure mode a sampler can have.
 
     Scale shape: one stratum-count aggregate (tiny result), weights
     derived ON that collapsed frame (window over |strata| rows),
@@ -582,16 +764,65 @@ def mix_temperature(
         poly_hash_mixed_col,
     )
 
+    num, den = alpha
+    if den not in (1, 2, 4) or not 0 < num <= den:
+        raise ValueError(
+            f"mix_temperature: alpha must be (num, den) with den in "
+            f"(1, 2, 4) and 0 < num <= den, got {alpha!r}"
+        )
+    while num % 2 == 0 and den % 2 == 0:
+        num //= 2
+        den //= 2
+
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
     w_all = Window.partitionBy(F.lit(1))
-    q = F.expr(f"(__nmax * CAST({denom} AS BIGINT) * {denom}) DIV __n")
-    weights = (
-        counts.withColumn("__nmax", F.max("__n").over(w_all))
-        .select(
-            F.col(strata_col),
-            _isqrt_col(q).alias("w_q"),
+    nmax = F.col("__nmaxd")
+    n = F.col("__nd")
+    dd = F.lit(denom).cast("decimal(38,0)")
+    wdf = counts.withColumn(
+        "__nmaxd", F.max("__n").over(w_all).cast("decimal(38,0)")
+    ).withColumn("__nd", F.col("__n").cast("decimal(38,0)"))
+
+    if (num, den) == (1, 1):
+        wdf = wdf.withColumn("__w", _div_exact(nmax * dd, n))
+    elif (num, den) == (1, 2):
+        wdf = wdf.withColumn("__q2", _div_exact(nmax * dd * dd, n))
+        wdf = _isqrt_dec_steps(wdf, "__q2", "__w")
+    elif (num, den) == (1, 4):
+        wdf = wdf.withColumn("__q4", _div_exact(nmax * dd * dd * dd * dd, n))
+        wdf = _isqrt_dec_steps(wdf, "__q4", "__r4")
+        wdf = _isqrt_dec_steps(wdf, "__r4", "__w")
+    else:  # (3, 4): binary-expansion product w_{1/2} · w_{1/4} / denom
+        wdf = wdf.withColumn("__q2", _div_exact(nmax * dd * dd, n))
+        wdf = wdf.withColumn("__q4", _div_exact(nmax * dd * dd * dd * dd, n))
+        wdf = _isqrt_dec_steps(wdf, "__q2", "__wh")
+        wdf = _isqrt_dec_steps(wdf, "__q4", "__r4")
+        wdf = _isqrt_dec_steps(wdf, "__r4", "__wq4")
+        wdf = wdf.withColumn(
+            "__w", _div_exact(F.col("__wh") * F.col("__wq4"), dd)
         )
+    # loud overflow guard: under ANSI (Spark 4 default) a decimal
+    # overflow upstream already throws; under non-ANSI it NULLs, and a
+    # NULL weight would silently drop whole strata downstream — the
+    # worst failure mode a sampler can have. Either way the failure is
+    # loud, never silent.
+    w_q = F.coalesce(
+        F.col("__w").cast("long"),
+        F.raise_error(
+            F.lit(
+                "mix_temperature: weight overflow — n_max exceeds the "
+                "exact-arithmetic bound for this (alpha, denom)"
+            )
+        ).cast("long"),
     )
+    # EAGER materialization of the model-scale weights frame (|strata|
+    # rows): the step-column isqrt chains stack ~12 narrow projections,
+    # and letting the main query's predicate pushdown substitute aliases
+    # down through them expands the pushed expression ~3× per level —
+    # a StackOverflow in the optimizer at den=4. The checkpoint is a
+    # hard plan boundary; its cost is one tiny job over the collapsed
+    # counts, the frame the weights were always derived on.
+    weights = wdf.select(F.col(strata_col), w_q.alias("w_q")).localCheckpoint()
     h = F.pmod(poly_hash_mixed_col(id_col), F.lit(denom))
     n_copies = F.expr(f"w_q DIV {denom}") + F.when(
         h < F.expr(f"w_q % {denom}"), F.lit(1)

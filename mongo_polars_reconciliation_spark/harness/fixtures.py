@@ -256,6 +256,44 @@ def build_documents_footers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text2.alias("text"), "lang", "source")
 
 
+def build_documents_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministically injected PII (the natural texts
+    carry no digits or '@', which would zero every redaction counter):
+    doc_id%7==0 docs append an email, %7==1 a phone number, %7==2 an
+    IPv4, %7==3 an email AND an IP (multi-class doc — counts must not
+    interfere), %7==4 TWO emails (global replacement, not first-match),
+    %7∈{5,6} stay untouched. Pure literal concat, mirrored verbatim by
+    the oracle SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    text2 = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(t, F.lit(" contact john.doe@example.com today")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(t, F.lit(" call 555-123-4567 now")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(t, F.lit(" host 192.168.1.77 responded")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                t, F.lit(" from ops@node-3.example.net at 10.0.0.5 ok")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 4,
+            F.concat(t, F.lit(" cc a.b@x.org and c.d@y.org thanks")),
+        )
+        .otherwise(t)
+    )
+    return d.select("doc_id", text2.alias("text"), "lang", "source")
+
+
 MM_PAYLOAD_TAIL = " extra appended tail content for payload variant"
 
 

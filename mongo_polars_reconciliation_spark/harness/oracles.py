@@ -2370,6 +2370,68 @@ ORACLES["text_mix_epochs"] = ORACLES["text_mix_epochs"].replace(
 ORACLES["text_mix_temperature"] = ORACLES["text_mix_temperature"].replace(
     "{POLY_HASH_DOC}", poly_hash_mixed_sql("d.doc_id")
 )
+
+# Temperature mixing at alpha=3/4 (r11): binary-expansion product —
+# w = (isqrt(n_max·10^8 // n) · isqrt(isqrt(n_max·10^16 // n))) // 10^4.
+# HUGEINT keeps the q4 = n_max·10^16 product exact past BIGINT; the
+# float-seed ±1 correction is an exact isqrt for q < ~10^30 (double seed
+# error << 1 there), which covers every gate scale — the engine's Newton
+# chain extends the same spec to 10^38, so the two agree wherever both
+# are defined. Same mixed-hash fractional-copy threshold as alpha=1/2.
+ORACLES["text_mix_temperature_alpha"] = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+qs AS (
+  SELECT lang, n,
+         (CAST(MAX(n) OVER () AS HUGEINT) * 100000000) // n AS q2,
+         (CAST(MAX(n) OVER () AS HUGEINT) * 10000000000000000) // n AS q4
+  FROM counts
+),
+h1 AS (
+  SELECT lang, q4,
+         CASE WHEN (s1 + 1) * (s1 + 1) <= q2 THEN s1 + 1 ELSE s1 END AS w_half
+  FROM (
+    SELECT lang, q2, q4,
+           CASE WHEN s0 * s0 > q2 THEN s0 - 1 ELSE s0 END AS s1
+    FROM (SELECT lang, q2, q4,
+                 CAST(FLOOR(SQRT(CAST(q2 AS DOUBLE))) AS HUGEINT) AS s0
+          FROM qs) t0) t1
+),
+h2 AS (
+  SELECT lang, w_half,
+         CASE WHEN (s1 + 1) * (s1 + 1) <= q4 THEN s1 + 1 ELSE s1 END AS r4
+  FROM (
+    SELECT lang, w_half, q4,
+           CASE WHEN s0 * s0 > q4 THEN s0 - 1 ELSE s0 END AS s1
+    FROM (SELECT lang, w_half, q4,
+                 CAST(FLOOR(SQRT(CAST(q4 AS DOUBLE))) AS HUGEINT) AS s0
+          FROM h1) t0) t1
+),
+h3 AS (
+  SELECT lang, w_half,
+         CASE WHEN (s1 + 1) * (s1 + 1) <= r4 THEN s1 + 1 ELSE s1 END AS w_quarter
+  FROM (
+    SELECT lang, w_half, r4,
+           CASE WHEN s0 * s0 > r4 THEN s0 - 1 ELSE s0 END AS s1
+    FROM (SELECT lang, w_half, r4,
+                 CAST(FLOOR(SQRT(CAST(r4 AS DOUBLE))) AS HUGEINT) AS s0
+          FROM h2) t0) t1
+),
+weights AS (
+  SELECT lang, CAST((w_half * w_quarter) // 10000 AS BIGINT) AS w_q FROM h3
+),
+base AS (
+  SELECT d.doc_id, d.lang, w.w_q,
+         w.w_q // 10000
+         + CASE WHEN {POLY_HASH_DOC} % 10000 < w.w_q % 10000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN weights w ON w.lang = d.lang
+)
+SELECT doc_id, lang, w_q,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS epoch
+FROM base WHERE n_copies > 0
+""".replace("{POLY_HASH_DOC}", poly_hash_mixed_sql("d.doc_id"))
 ORACLES["text_heavy_hitters_cms"] = (
     ORACLES["text_heavy_hitters_cms"]
     .replace("{POLY_HASH_TOK}", poly_hash_mixed_sql("tok"))
@@ -2553,6 +2615,49 @@ SELECT t.doc_id, t.n_lines,
        COALESCE(r.n_kept, 0) AS n_kept,
        r.text_kept
 FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+"""
+
+# PII scrub (r11): the staged count-then-replace chain — each class's
+# count is taken on the PREVIOUS stage's text (emails mask their host
+# parts from the IP stage), replacement is global ('g'). The regex subset
+# is dialect-portable (no lookaround/backrefs), so Java and RE2 agree.
+ORACLES["text_pii_scrub"] = r"""
+WITH docs_p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact john.doe@example.com today'
+              WHEN doc_id % 7 = 1 THEN text || ' call 555-123-4567 now'
+              WHEN doc_id % 7 = 2 THEN text || ' host 192.168.1.77 responded'
+              WHEN doc_id % 7 = 3
+              THEN text || ' from ops@node-3.example.net at 10.0.0.5 ok'
+              WHEN doc_id % 7 = 4
+              THEN text || ' cc a.b@x.org and c.d@y.org thanks'
+              ELSE text END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS text
+  FROM docs_p
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+           AS BIGINT) AS n_phones,
+         regexp_replace(text, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text
+  FROM s1
+)
+SELECT doc_id, n_emails, n_phones,
+       CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+         AS BIGINT) AS n_ips,
+       regexp_replace(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+         AS text_scrubbed
+FROM s2
 """
 
 # curation v4 (r11) = v3 with (a) the footer-injected fixture replacing the
@@ -3875,3 +3980,7 @@ SELECT qid AS vec_id, rank, xid AS neighbor_id, cos_r, adc_r FROM (
 
 
 ORACLES["sim_knn_join_ivfpq"] = _ivfpq_knn_oracle()
+# The served face is bit-equal to the fit-inclusive build (artifact
+# save/load round-trips exactly; residual encode under loaded centroids
+# is the same map) — property-pinned, so it shares the oracle.
+ORACLES["sim_knn_join_ivfpq_served"] = ORACLES["sim_knn_join_ivfpq"]

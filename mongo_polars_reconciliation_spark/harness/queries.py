@@ -1181,6 +1181,67 @@ def sim_knn_join_ivfpq(spark, sf_dir) -> DataFrame:
     )
 
 
+def sim_knn_join_ivfpq_served(spark, sf_dir) -> DataFrame:
+    """IVF-PQ k-NN graph from PERSISTED artifacts (r11, VERDICT r10 #4):
+    the recurring SERVE cost of an ANN-graph build wave — the coarse
+    centroid table and residual codebooks are fitted/saved at most once
+    per process (first call), and the graph is built from the LOADED
+    artifacts with the residual encode re-run under them (the real
+    rebuild-wave path: the fit is amortized across waves, the encode is
+    not). Bit-equal to the fit-inclusive sim_knn_join_ivfpq (the
+    artifact round-trip property, pinned), so it shares that oracle;
+    bench-wise this face tracks serve cost while the fit-inclusive face
+    keeps tracking the artifact-production path (5 in-session Lloyd
+    fits, the suite's most ambient-sensitive number)."""
+    import os
+
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ivf_residuals,
+        kmeans_fit,
+        knn_join_ivfpq,
+        load_centroids,
+        load_pq_codebooks,
+        pq_fit,
+        save_centroids,
+        save_pq_codebooks,
+    )
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        IVFPQ_ORACLE_KJOIN,
+        IVFPQ_ORACLE_N_ITER,
+        IVFPQ_ORACLE_NLIST,
+        IVFPQ_ORACLE_NPROBE,
+        IVFPQ_ORACLE_RERANK_JOIN,
+        PQ_ORACLE_KSUB,
+        PQ_ORACLE_M,
+        PQ_ORACLE_N_ITER,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    cpath = scratch_path(tag, "ivfpq_kj_coarse")
+    bpath = scratch_path(tag, "ivfpq_kj_books")
+    if not (os.path.exists(cpath) and os.path.exists(bpath)):
+        coarse = kmeans_fit(
+            emb, k=IVFPQ_ORACLE_NLIST, n_iter=IVFPQ_ORACLE_N_ITER
+        )
+        res = ivf_residuals(emb, coarse).localCheckpoint(eager=False)
+        books = pq_fit(
+            res, m=PQ_ORACLE_M, ksub=PQ_ORACLE_KSUB, n_iter=PQ_ORACLE_N_ITER
+        )
+        save_centroids(spark, coarse, cpath)
+        save_pq_codebooks(spark, books, bpath)
+    return knn_join_ivfpq(
+        emb,
+        load_centroids(spark, cpath),
+        load_pq_codebooks(spark, bpath),
+        k=IVFPQ_ORACLE_KJOIN,
+        nprobe=IVFPQ_ORACLE_NPROBE,
+        rerank=IVFPQ_ORACLE_RERANK_JOIN,
+    )
+
+
 def sim_topk_ivf_fitted(spark, sf_dir) -> DataFrame:
     """IVF over FITTED partitions: deterministic DataFrame-native k-means
     (no label column), centroid probe, pruned exact scan — the real-corpus
@@ -1456,6 +1517,24 @@ def text_mix_temperature(spark, sf_dir) -> DataFrame:
     )
 
 
+def text_mix_temperature_alpha(spark, sf_dir) -> DataFrame:
+    """Temperature mixing at α=3/4 (r11): the generalized dyadic-α path —
+    w = (n_max/n)^(3/4) in 1/denom units via the binary-expansion product
+    isqrt(n_max·denom²/n) · isqrt(isqrt(n_max·denom⁴/n)) DIV denom, every
+    step exact DECIMAL(38,0) arithmetic (the α=1/2 spec's machinery,
+    upgraded past the BIGINT wrap bound), realized copies from the same
+    mixed-hash threshold."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        mix_temperature,
+    )
+
+    return mix_temperature(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "lang",
+        alpha=(3, 4),
+    )
+
+
 def text_line_dedup(spark, sf_dir) -> DataFrame:
     """C4-style corpus-wide line dedup (r10): every repeated line (the
     injected boilerplate footers) survives only at its first global
@@ -1516,6 +1595,19 @@ def curation_pipeline_v4(spark, sf_dir) -> DataFrame:
         lm_threshold_q=32800,
         line_dedup=True,
     )
+
+
+def text_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII redaction with real regexes (r11): emails, phone numbers and
+    IPv4s counted per class and globally replaced with placeholders on
+    the PII-injected corpus — multi-class docs and multi-hit docs both
+    exercised; the oracle checks the full scrubbed strings."""
+    from mongo_polars_reconciliation_spark.extensions.text import pii_scrub
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_documents_pii,
+    )
+
+    return pii_scrub(build_documents_pii(spark, sf_dir))
 
 
 def text_dup_spans(spark, sf_dir) -> DataFrame:
@@ -3088,6 +3180,9 @@ QUERIES = {
     #    rotation commit seats them inside the 50-position budget) --
     "text_line_dedup_trim": text_line_dedup_trim,
     "curation_pipeline_v4": curation_pipeline_v4,
+    "text_mix_temperature_alpha": text_mix_temperature_alpha,
+    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 

@@ -49,7 +49,9 @@ def _sorted_rows(df):
      "text_pack_shards_roundtrip", "sim_knn_join_ivfpq",
      "text_mix_temperature", "text_line_dedup",
      # r11 operators
-     "text_line_dedup_trim", "curation_pipeline_v4"],
+     "text_line_dedup_trim", "curation_pipeline_v4",
+     "text_mix_temperature_alpha", "sim_knn_join_ivfpq_served",
+     "text_pii_scrub"],
 )
 def test_result_invariant_to_shuffle_partitions(spark, name):
     prev = spark.conf.get("spark.sql.shuffle.partitions")

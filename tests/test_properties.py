@@ -2253,6 +2253,127 @@ def test_isqrt_col_matches_math_isqrt(spark):
     assert got == {v: math.isqrt(v) for v in vals}
 
 
+def test_isqrt_dec_and_div_exact_match_python(spark):
+    """r11: the DECIMAL(38,0) exact-arithmetic kernels match Python int
+    math across the FULL range — including past 2^63 where the r10
+    BIGINT pipeline silently wrapped (the advice finding) and
+    adversarial near-squares at 10^37..10^38 where the float seed is up
+    to ~1.2e3 off and the Newton chain + ±2 ladder must recover
+    exactly. Values ride as strings (a long would overflow)."""
+    import math
+    import random
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        _div_exact,
+        _isqrt_dec_steps,
+    )
+
+    rng = random.Random(11)
+    vals = [0, 1, 2, 3, 4, 2**53 - 1, 2**53, 2**63 - 1, 2**63,
+            2**63 + 1, 10**38 - 1]
+    for k in (3037000499, 10**15 + 37, 4_611_686_018_427_387_847,
+              9_999_999_999_999_999_999):
+        vals += [k * k - 1, k * k, k * k + 1]
+    vals += [rng.randrange(10**37, 10**38) for _ in range(24)]
+    vals += [rng.randrange(1, 10**exp) for exp in range(1, 38)
+             for _ in (0,)]
+    df = spark.createDataFrame(
+        [(str(v),) for v in vals], "qs string"
+    ).withColumn("q", F.col("qs").cast("decimal(38,0)"))
+    got = {
+        r["qs"]: r["s"]
+        for r in _isqrt_dec_steps(df, "q", "isq")
+        .select("qs", F.col("isq").cast("string").alias("s"))
+        .collect()
+    }
+    assert got == {str(v): str(math.isqrt(v)) for v in set(vals)}
+    # floor division: quotient-first generation keeps every case inside
+    # the documented exactness domain (quotient < 10^32)
+    pairs = []
+    for _ in range(30):
+        b = rng.randrange(1, 10**8)
+        q0 = rng.randrange(0, 10**30)
+        a = q0 * b + rng.randrange(0, b)
+        pairs.append((a, b))
+    pdf = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "a string, b string"
+    )
+    gotd = {
+        (r["a"], r["b"]): r["d"]
+        for r in pdf.select(
+            "a",
+            "b",
+            _div_exact(
+                F.col("a").cast("decimal(38,0)"),
+                F.col("b").cast("decimal(38,0)"),
+            )
+            .cast("string")
+            .alias("d"),
+        ).collect()
+    }
+    assert gotd == {(str(a), str(b)): str(a // b) for a, b in pairs}
+
+
+def test_mix_temperature_alpha_weights_and_rates(spark):
+    """r11: α=3/4 weights equal the Python integer replay of the
+    binary-expansion spec — w = (isqrt(n_max·denom² DIV n) ·
+    isqrt(isqrt(n_max·denom⁴ DIV n))) DIV denom — the largest stratum
+    still runs exactly 1.0 epochs, each stratum's realized copy count
+    matches the independently computed hash threshold (the realized-rate
+    audit), α=(2,4) reduces to α=(1,2) row-for-row, α=1 is the pure
+    inverse-frequency ratio, and an unsupported alpha raises."""
+    import math
+
+    import pytest as _pytest
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        mix_temperature,
+    )
+    from mongo_polars_reconciliation_spark.functions.hashing import (
+        poly_hash_mixed_col,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_max = max(counts.values())
+    out = mix_temperature(docs, "lang", alpha=(3, 4)).collect()
+    w_by_lang: dict = {}
+    n_rows: dict = {}
+    for r in out:
+        w_by_lang.setdefault(r["lang"], set()).add(r["w_q"])
+        n_rows[r["lang"]] = n_rows.get(r["lang"], 0) + 1
+    hmod = docs.select(
+        "doc_id", "lang",
+        F.pmod(poly_hash_mixed_col("doc_id"), F.lit(10_000)).alias("h"),
+    ).collect()
+    for lang, n in counts.items():
+        wh = math.isqrt((n_max * 10_000 * 10_000) // n)
+        wq4 = math.isqrt(math.isqrt((n_max * 10_000**4) // n))
+        w_q = (wh * wq4) // 10_000
+        assert w_by_lang[lang] == {w_q}, lang
+        base, frac = w_q // 10_000, w_q % 10_000
+        extra = sum(1 for r in hmod if r["lang"] == lang and r["h"] < frac)
+        assert n_rows[lang] == base * n + extra, lang
+        if n == n_max:
+            assert w_q == 10_000  # exactly 1.0 epochs at every alpha
+    # dyadic normalization: (2,4) is the same fraction as (1,2)
+    a = sorted(map(tuple, mix_temperature(docs, "lang", alpha=(2, 4)).collect()))
+    b = sorted(map(tuple, mix_temperature(docs, "lang", alpha=(1, 2)).collect()))
+    assert a == b
+    # α=1: pure inverse-frequency ratio, no sqrt involved
+    one = mix_temperature(docs, "lang", alpha=(1, 1)).collect()
+    for r in one:
+        assert r["w_q"] == (n_max * 10_000) // counts[r["lang"]]
+    for bad in ((3, 8), (0, 2), (5, 4), (1, 3)):
+        with _pytest.raises(ValueError):
+            mix_temperature(docs, "lang", alpha=bad)
+
+
 def test_mix_temperature_weights_and_rates(spark):
     """r10: the derived weights realize the α=1/2 law — the largest
     stratum's weight is EXACTLY 1.0 epochs (one copy per doc, no hash
@@ -2388,6 +2509,33 @@ def test_packed_shards_one_file_per_shard_and_balanced(spark, tmp_path):
         per_shard[sh] = per_shard.get(sh, 0) + 1
         assert sh == b % 4
     assert max(per_shard.values()) - min(per_shard.values()) <= 1
+
+
+def test_packed_shards_validation_catches_split_files(spark, tmp_path):
+    """r11 (advice): the one-file-per-shard contract silently breaks
+    when spark.sql.files.maxRecordsPerFile splits a task's output — the
+    writer must now CATCH that at write time (loud RuntimeError naming
+    the shards) instead of returning with a violated loader contract,
+    and validate=False must preserve the old fire-and-forget path."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        write_packed_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards_split")
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    try:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "3")
+        with pytest.raises(RuntimeError, match="one-file-per-shard"):
+            write_packed_shards(docs, out, n_shards=4, token_budget=256)
+        # the old behavior is still reachable, eyes open
+        write_packed_shards(
+            docs, out, n_shards=4, token_budget=256, validate=False
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+    # with the poison config removed, the default validating write passes
+    write_packed_shards(docs, out, n_shards=4, token_budget=256)
 
 
 def test_datacard_state_fold_equals_full_rescan(spark):
@@ -3621,6 +3769,25 @@ def test_ivfpq_loaded_artifacts_probe_bit_equal(spark, tmp_path):
     mem = ivfpq_topk(emb, q, coarse, books, nprobe=2).collect()
     loaded = ivfpq_topk(emb, q, lc, lb, nprobe=2).collect()
     assert [tuple(r) for r in mem] == [tuple(r) for r in loaded]
+
+
+def test_ivfpq_knn_served_graph_bit_equal(spark):
+    """r11 (VERDICT r10 #4): the SERVED k-NN graph face — built from
+    persisted artifacts with the residual encode re-run under them —
+    returns rows bit-identical to the fit-inclusive sim_knn_join_ivfpq
+    build (same geometry constants, same corpus), which is why the two
+    driver queries share one oracle."""
+    from mongo_polars_reconciliation_spark.harness.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    fit = sorted(
+        tuple(r) for r in QUERIES["sim_knn_join_ivfpq"](spark, sf_dir).collect()
+    )
+    served = sorted(
+        tuple(r)
+        for r in QUERIES["sim_knn_join_ivfpq_served"](spark, sf_dir).collect()
+    )
+    assert fit == served
 
 
 def test_ivfpq_rows_come_from_probed_cells_and_rerank_is_exact(spark):
