@@ -514,11 +514,14 @@ def line_dedup_corpus(
     partitionBy(line): a corpus-wide boilerplate line has millions of
     copies, and sorting inside that window partition is the classic
     skew stall. Instead the first occurrence is an AGGREGATE —
-    min(struct(id, line_no)) per line, map-side combinable, skew-free —
-    and survivors come from an equi-join whose BUILD side is one row
-    per distinct line (a hash join absorbs probe-side hot keys).
-    Reassembly is a per-document collect of that document's OWN lines —
-    bounded by document size, never corpus-shaped.
+    min(struct(id, line_no)) per line digest, map-side combinable,
+    skew-free — whose output IS the survivor coordinate set, collapsed
+    to one text-free survivor-index array per document and joined back
+    on the id (a hash join absorbs probe-side hot keys; the per-line
+    membership probe is bounded by document line count, the same bound
+    reassembly already assumes). Reassembly is a per-document collect of
+    that document's OWN lines — bounded by document size, never
+    corpus-shaped.
 
     Shuffle-key posture (r11, VERDICT r10): the aggregate and the
     survivor join key on ``md5(line)`` — a fixed 32-char digest — not the
@@ -550,7 +553,17 @@ def _line_dedup_kept(df, id_col, text_col):
     """Shared front half of the corpus line-dedup faces: exploded lines
     (digest-keyed), per-doc line totals, and the surviving (first global
     occurrence) line set. See :func:`line_dedup_corpus` for the skew and
-    shuffle-key posture."""
+    shuffle-key posture.
+
+    Text moves through exactly ONE shuffle (r11): the first-occurrence
+    aggregate's output IS the survivor coordinate set {(id, line_no)},
+    so instead of joining the raw lines back on the digest (text shuffled
+    by digest for the join, then AGAIN by id for reassembly), the
+    coordinates are collapsed to one per-doc survivor-index array —
+    text-free, doc-count-sized rows bounded by doc length — and the
+    lines join it on the id alone. The join's hash partitioning on id is
+    exactly the reassembly groupBy's required distribution, so the text
+    bytes cross the wire once."""
     lines = (
         df.select(
             F.col(id_col),
@@ -567,9 +580,11 @@ def _line_dedup_kept(df, id_col, text_col):
     firsts = lines.select("__lh", id_col, "__ln").groupBy("__lh").agg(
         F.min(F.struct(F.col(id_col), F.col("__ln"))).alias("__first")
     )
-    kept = lines.join(firsts, "__lh").where(
-        (F.col(id_col) == F.col(f"__first.{id_col}"))
-        & (F.col("__ln") == F.col("__first.__ln"))
+    keep_idx = firsts.groupBy(F.col(f"__first.{id_col}").alias(id_col)).agg(
+        F.collect_set(F.col("__first.__ln")).alias("__keep_lns")
+    )
+    kept = lines.join(keep_idx, id_col).where(
+        F.array_contains(F.col("__keep_lns"), F.col("__ln"))
     )
     return totals, kept
 
