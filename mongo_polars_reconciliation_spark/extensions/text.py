@@ -830,14 +830,16 @@ def mix_temperature(
             )
         ).cast("long"),
     )
-    # EAGER materialization of the model-scale weights frame (|strata|
-    # rows): the step-column isqrt chains stack ~12 narrow projections,
-    # and letting the main query's predicate pushdown substitute aliases
+    # Plan boundary on the model-scale weights frame (|strata| rows):
+    # the step-column isqrt chains stack ~12 narrow projections, and
+    # letting the main query's predicate pushdown substitute aliases
     # down through them expands the pushed expression ~3× per level —
-    # a StackOverflow in the optimizer at den=4. The checkpoint is a
-    # hard plan boundary; its cost is one tiny job over the collapsed
-    # counts, the frame the weights were always derived on.
-    weights = wdf.select(F.col(strata_col), w_q.alias("w_q")).localCheckpoint()
+    # a StackOverflow in the optimizer at den=4. The LAZY checkpoint
+    # truncates the logical plan without scheduling a separate job (the
+    # tiny weights RDD materializes inside the first downstream action).
+    weights = wdf.select(F.col(strata_col), w_q.alias("w_q")).localCheckpoint(
+        eager=False
+    )
     h = F.pmod(poly_hash_mixed_col(id_col), F.lit(denom))
     n_copies = F.expr(f"w_q DIV {denom}") + F.when(
         h < F.expr(f"w_q % {denom}"), F.lit(1)
