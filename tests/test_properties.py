@@ -1854,6 +1854,48 @@ def test_curation_v4_line_stage(spark):
     assert off == base
 
 
+_pii_frag = st.sampled_from(
+    ["plain words here", "a.b@x.org", "john.doe@example.com", "555-123-4567",
+     "192.168.1.77", "10.0.0.5", "not-a-phone 55-123-4567", "v1.2.3.4x",
+     "semi@invalid@double", "trailing dot 1.2.3.", "", "x@y.zz"]
+)
+_pii_text = st.lists(_pii_frag, min_size=1, max_size=6).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(_pii_text, min_size=1, max_size=6))
+def test_pii_scrub_random_texts_match_python_re(spark, texts):
+    """r11 randomized pin: pii_scrub equals a Python `re` replay of the
+    staged count-then-replace spec on corpora drawn from adversarial
+    fragments — doubled '@', near-miss phones, version strings that look
+    like IPs, trailing dots, empty strings. Python re and Java regex
+    agree on the dialect-portable subset the patterns use, so the replay
+    is engine-independent."""
+    import re as _re
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        PII_PATTERNS,
+        pii_scrub,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_emails"], r["n_phones"], r["n_ips"], r["text_scrubbed"]
+        )
+        for r in pii_scrub(df).collect()
+    }
+    want = {}
+    for did, t in rows:
+        counts = []
+        for pat, repl in PII_PATTERNS:
+            counts.append(len(_re.findall(pat, t)))
+            t = _re.sub(pat, repl, t)
+        want[did] = (*counts, t)
+    assert got == want
+
+
 _gopher_word = st.sampled_from(
     ["the", "of", "and", "cat", "dog", "#tag", "...", "x#y", "a...b",
      "12345", "7", "", "-", "*", "mix3d"]
