@@ -2977,122 +2977,37 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # touch only queries inside the driver's ~50-position budget, so their
 # fresh rows still verify final code. The r9 ledger is inside the dict.
 QUERIES = {
-    # ================= r10 DRIVER-VERIFICATION LEDGER =================
+    # ================= r11 DRIVER-VERIFICATION LEDGER =================
     # The driver checks the FIRST ~50 entries each round (budget exactly
-    # 50 in r5-r9). Ordering discipline (r5-r9 verdicts): this reorder is
-    # the round's LAST semantics-touching commit; any later change may
+    # 50 in r5-r10). Ordering discipline (r5-r10 verdicts): this reorder
+    # is the round's LAST semantics-touching commit; any later change may
     # touch only queries inside the 50-position budget.
     #
-    # -- 1-21: the 21 r7-row rotation queries (r9 positions 51-71) --
-    #    VERDICT r9 ask #1: these MUST lead r10 (the reconciliation
-    #    semantic core, 3 rounds stale otherwise). Order preserved from
-    #    the r9 overflow listing.
-    # -- 22-39: ALL 18 NEW r10 queries --
-    #    centroid artifact round-trip, embedding-space ingest, multi-wave
-    #    ingest across compaction, payload ingest, capped payload
-    #    near-dup, quality-arbitrated clusters, the semantic/payload
-    #    streaming crawl loops, PQ ANN, IVF-PQ ANN (single-query and the
-    #    k-NN graph), Gopher quality signals, CCNet LM terciles, the
-    #    mergeable datacard (batch audit + streaming face), and the
-    #    training-shard writer round trip, temperature mixing, and
-    #    C4 corpus-wide line dedup (the last two added post-ordering
-    #    INSIDE the budget at 38-39 — their own fresh rows verify them;
-    #    the displaced stream_ingest_novel + text_lm_score keep their
-    #    r8-green rows). Every query that did not exist in r9 gets a
-    #    fresh driver row — zero never-checked.
-    # -- 40-47: the 8 CHANGED r10 queries --
-    #    dedup_ingest_neardup + stream_ingest_neardup (history-docs
-    #    dedup after the candidate semi-join, crawl-loop geometry/write-
-    #    order fixes, history hot-bucket cap default-off),
-    #    mm_payload_near_dup (cap param + singleton-bucket prune),
-    #    sim_knn_join_multiprobe + sim_semantic_dedup_fitted (optional
-    #    pre-fitted cents parameter), text_quality_c4 +
-    #    curation_pipeline_v2/v3 (fused_doc_scores gained the gopher
-    #    branch and curation two default-off Gopher gates - default
-    #    paths value-identical, re-verified conservatively).
-    # -- 48-50: the 3 oldest r8-row queries --
-    #    pulled forward so the r8 tail ages evenly (r9 precedent; the
-    #    in-budget inserts squeezed this block from 5 to 3 — the r8
-    #    tail is one round older on average, the price of verifying
-    #    every new operator this round).
-    # -- 51-66: remaining r8-row tail (16, led by text_lm_score and
-    #    stream_ingest_novel) - next round's rotation leads with these.
-    # -- 67-133: r9/r10-row tail (freshest). --
-    #
-    # POST-ORDERING CHANGES (positional invariant — every touched query
-    # is inside the 50-position budget, re-parity-checked at sf0.001 AND
-    # sf0.01 after the change):
-    # (1) knn_join_ivfpq gained an optional `res` parameter so the code
-    #     side derives from the SAME checkpointed residual frame the
-    #     books were fitted on instead of re-running the assignment
-    #     kernel + centroid join (filter/encode commute row-locally —
-    #     values identical by construction; 8.1 → 7.5 s warm at sf0.1).
-    #     Affects position 32 (sim_knn_join_ivfpq) only.
-    # (2) text_mix_temperature (NEW operator) inserted at position 38 —
-    #     inside the budget, so its driver row verifies it this round;
-    #     parity-checked at sf0.001 AND sf0.01; stream_ingest_novel
-    #     (unchanged since r8, r8-green row) moves to position 51.
-    # (3) text_line_dedup (NEW operator, C4 line dedup) inserted at
-    #     position 39 — inside the budget; parity-checked at sf0.001
-    #     AND sf0.01; text_lm_score (unchanged since r8, r8-green row)
-    #     moves out to the 51-66 block.
-    # (4) mix_temperature + lm_typicality_buckets broadcast joins made
-    #     NULL-SAFE (a NULL stratum is its own stratum; the plain
-    #     equi-join silently dropped those rows — silent corpus loss).
-    #     Affects positions 34 and 38 only; testdata strata are non-null
-    #     so both oracles are unchanged; parity re-checked at sf0.001
-    #     AND sf0.01; empty-corpus + null-strata edges pinned.
+    # -- 1-39: the 39 r8-row rotation queries (r10 positions 51-89) --
+    #    VERDICT r10 ask #1: these MUST lead r11 (the persistence
+    #    round-trip family, the pre-r9 streaming skin, the core dedup
+    #    family, q1_pricing_summary and the sketch family — 3 rounds
+    #    stale otherwise). Order preserved from the r10 overflow listing.
+    # -- 40-44: ALL 5 NEW r11 queries --
+    #    the line-dedup TRIM face, curation v4 (the C4 line stage wired
+    #    into the flagship), temperature mixing at dyadic alpha=3/4,
+    #    the IVF-PQ k-NN graph SERVED from persisted artifacts, and
+    #    real-regex PII scrubbing. Zero never-checked queries.
+    # -- 45-49: the 5 CHANGED r11 queries --
+    #    text_line_dedup (md5 shuffle keys — value-identical, pinned),
+    #    text_mix_temperature (BIGINT → exact DECIMAL(38,0) weights, the
+    #    r10 advice overflow fix — values identical at any non-wrapping
+    #    scale), text_pack_shards_roundtrip (post-write one-file-per-
+    #    shard validation), curation_pipeline_v2/v3 (C4+Gopher gates
+    #    fused into one projection — default gate-off paths plan-
+    #    identical, re-verified conservatively).
+    # -- 50: sim_topk_lsh, the oldest r9-row query, pulled forward so
+    #    the r9 tail ages evenly (r9/r10 precedent).
+    # -- 51-93: remaining r9-row tail (43) — next round's rotation MUST
+    #    lead with these (they will be 3 rounds stale in r12).
+    # -- 94-138: r10-row tail (freshest).
     # ==================================================================
-    "recon_zero_effect_pairs": recon_zero_effect_pairs,
-    "recon_zero_effect_clean": recon_zero_effect_clean,
-    "recon_tolerance_match": recon_tolerance_match,
-    "recon_cascade_summary": recon_cascade_summary,
-    "recon_duplicate_losers_strict": recon_duplicate_losers_strict,
-    "recon_state_merge_upsert": recon_state_merge_upsert,
-    "recon_match_on_names": recon_match_on_names,
-    "recon_cascade_three_pass": recon_cascade_three_pass,
-    "recon_summary_doc": recon_summary_doc,
-    "recon_subset_dedup_keep_last": recon_subset_dedup_keep_last,
-    "recon_amount_quantiles": recon_amount_quantiles,
-    "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
-    "recon_remanent_lookup": recon_remanent_lookup,
-    "recon_union_remanent_dedup": recon_union_remanent_dedup,
-    "events_funnel": events_funnel,
-    "events_props_extract": events_props_extract,
-    "events_anomaly_mad": events_anomaly_mad,
-    "text_bpe_pairs": text_bpe_pairs,
-    "text_lang_confusion": text_lang_confusion,
-    "events_user_kmv": events_user_kmv,
-    "events_kmv_merge": events_kmv_merge,
-    "sim_centroid_roundtrip": sim_centroid_roundtrip,
-    "sim_ingest_semantic": sim_ingest_semantic,
-    "dedup_ingest_waves": dedup_ingest_waves,
-    "mm_payload_ingest": mm_payload_ingest,
-    "mm_payload_near_dup_capped": mm_payload_near_dup_capped,
-    "dedup_clusters_quality": dedup_clusters_quality,
-    "stream_ingest_semantic": stream_ingest_semantic,
-    "stream_ingest_payloads": stream_ingest_payloads,
-    "sim_topk_pq": sim_topk_pq,
-    "sim_topk_ivfpq": sim_topk_ivfpq,
-    "sim_knn_join_ivfpq": sim_knn_join_ivfpq,
-    "text_quality_gopher": text_quality_gopher,
-    "text_lm_buckets": text_lm_buckets,
-    "text_datacard_merge": text_datacard_merge,
-    "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
-    "stream_datacard": stream_datacard,
-    "text_mix_temperature": text_mix_temperature,
-    "text_line_dedup": text_line_dedup,
-    "dedup_ingest_neardup": dedup_ingest_neardup,
-    "stream_ingest_neardup": stream_ingest_neardup,
-    "mm_payload_near_dup": mm_payload_near_dup,
-    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
-    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
-    "text_quality_c4": text_quality_c4,
-    "curation_pipeline_v2": curation_pipeline_v2,
-    "curation_pipeline_v3": curation_pipeline_v3,
-    "sim_recall_probe": sim_recall_probe,
-    "text_sample_fixed_k": text_sample_fixed_k,
-    "dedup_ingest_incremental": dedup_ingest_incremental,
+
     "text_lm_score": text_lm_score,
     "stream_ingest_novel": stream_ingest_novel,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
@@ -3132,6 +3047,16 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "sim_topk_bruteforce": sim_topk_bruteforce,
     "sim_topk_ivf": sim_topk_ivf,
+    "text_line_dedup_trim": text_line_dedup_trim,
+    "curation_pipeline_v4": curation_pipeline_v4,
+    "text_mix_temperature_alpha": text_mix_temperature_alpha,
+    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
+    "text_pii_scrub": text_pii_scrub,
+    "text_line_dedup": text_line_dedup,
+    "text_mix_temperature": text_mix_temperature,
+    "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
+    "curation_pipeline_v2": curation_pipeline_v2,
+    "curation_pipeline_v3": curation_pipeline_v3,
     "sim_topk_lsh": sim_topk_lsh,
     "sim_contamination": sim_contamination,
     "events_hourly": events_hourly,
@@ -3176,13 +3101,51 @@ QUERIES = {
     "sim_semantic_dedup": sim_semantic_dedup,
     "recon_residual_internal": recon_residual_internal,
     "recon_residual_external": recon_residual_external,
-    # -- r11 NEW queries (appended during the round; the round-close
-    #    rotation commit seats them inside the 50-position budget) --
-    "text_line_dedup_trim": text_line_dedup_trim,
-    "curation_pipeline_v4": curation_pipeline_v4,
-    "text_mix_temperature_alpha": text_mix_temperature_alpha,
-    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
-    "text_pii_scrub": text_pii_scrub,
+    "recon_zero_effect_pairs": recon_zero_effect_pairs,
+    "recon_zero_effect_clean": recon_zero_effect_clean,
+    "recon_tolerance_match": recon_tolerance_match,
+    "recon_cascade_summary": recon_cascade_summary,
+    "recon_duplicate_losers_strict": recon_duplicate_losers_strict,
+    "recon_state_merge_upsert": recon_state_merge_upsert,
+    "recon_match_on_names": recon_match_on_names,
+    "recon_cascade_three_pass": recon_cascade_three_pass,
+    "recon_summary_doc": recon_summary_doc,
+    "recon_subset_dedup_keep_last": recon_subset_dedup_keep_last,
+    "recon_amount_quantiles": recon_amount_quantiles,
+    "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
+    "recon_remanent_lookup": recon_remanent_lookup,
+    "recon_union_remanent_dedup": recon_union_remanent_dedup,
+    "events_funnel": events_funnel,
+    "events_props_extract": events_props_extract,
+    "events_anomaly_mad": events_anomaly_mad,
+    "text_bpe_pairs": text_bpe_pairs,
+    "text_lang_confusion": text_lang_confusion,
+    "events_user_kmv": events_user_kmv,
+    "events_kmv_merge": events_kmv_merge,
+    "sim_centroid_roundtrip": sim_centroid_roundtrip,
+    "sim_ingest_semantic": sim_ingest_semantic,
+    "dedup_ingest_waves": dedup_ingest_waves,
+    "mm_payload_ingest": mm_payload_ingest,
+    "mm_payload_near_dup_capped": mm_payload_near_dup_capped,
+    "dedup_clusters_quality": dedup_clusters_quality,
+    "stream_ingest_semantic": stream_ingest_semantic,
+    "stream_ingest_payloads": stream_ingest_payloads,
+    "sim_topk_pq": sim_topk_pq,
+    "sim_topk_ivfpq": sim_topk_ivfpq,
+    "sim_knn_join_ivfpq": sim_knn_join_ivfpq,
+    "text_quality_gopher": text_quality_gopher,
+    "text_lm_buckets": text_lm_buckets,
+    "text_datacard_merge": text_datacard_merge,
+    "stream_datacard": stream_datacard,
+    "dedup_ingest_neardup": dedup_ingest_neardup,
+    "stream_ingest_neardup": stream_ingest_neardup,
+    "mm_payload_near_dup": mm_payload_near_dup,
+    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
+    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
+    "text_quality_c4": text_quality_c4,
+    "sim_recall_probe": sim_recall_probe,
+    "text_sample_fixed_k": text_sample_fixed_k,
+    "dedup_ingest_incremental": dedup_ingest_incremental,
 }
 
 
