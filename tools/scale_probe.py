@@ -253,6 +253,39 @@ def probe_payload_ingest(spark, docs):
 # The one-sided exact-truth side is O(sample*n) in both runs.
 
 
+def probe_line_dedup(spark, docs):
+    """r11: corpus line dedup, trim face. The blow-up keeps organic lines
+    distinct (prefixed tokens) but injects the SAME footer lines into
+    every copy, so hot-key multiplicity on the first-occurrence
+    aggregate grows with the factor — exactly the skew face the
+    map-combinable min-struct design absorbs — while the survivor join
+    moves the corpus text through its one shuffle."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        line_dedup_trim,
+    )
+
+    footer = "shared boilerplate footer"
+    t = F.col("text")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(t, F.lit("\n" + footer))
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                t, F.lit("\n" + footer + "\nsecond shared footer")
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit(footer + "\n"), t))
+        .otherwise(t)
+        .alias("text"),
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    line_dedup_trim(injected).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -267,6 +300,8 @@ def main() -> None:
         ("semantic_ingest", emb_at, probe_semantic_ingest),
         ("payload_ingest", docs_at, probe_payload_ingest),
         ("ivfpq_probe", emb_at, probe_ivfpq),
+        # r11: line dedup with factor-hot shared footer lines
+        ("line_dedup_trim", docs_at, probe_line_dedup),
     ]
     for name, mk, run in probes:
         run(spark, mk(spark, 1))  # warm: JVM/codegen/scan caches
