@@ -1730,6 +1730,50 @@ def test_curation_v2_gopher_gates(spark):
     assert vac == base
 
 
+def test_line_dedup_edge_corpora(spark):
+    """r11 edge pins: both line-dedup faces are graceful on an EMPTY
+    corpus (no crash, empty output) and on a corpus that is one empty
+    document (one empty line — kept, text_kept '')."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        line_dedup_corpus,
+        line_dedup_trim,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert line_dedup_corpus(empty).count() == 0
+    assert line_dedup_trim(empty).count() == 0
+    one = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    got = line_dedup_trim(one).collect()[0]
+    assert (got["n_lines"], got["n_kept"], got["text_kept"]) == (1, 1, "")
+
+
+def test_mix_temperature_quarter_alpha_matches_python(spark):
+    """r11: the α=1/4 branch (single nested-isqrt chain, not the 3/4
+    product) equals the Python integer replay — the one dyadic path the
+    driver queries don't exercise directly."""
+    import math
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        mix_temperature,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_max = max(counts.values())
+    out = mix_temperature(docs, "lang", alpha=(1, 4)).collect()
+    w_by_lang: dict = {}
+    for r in out:
+        w_by_lang.setdefault(r["lang"], set()).add(r["w_q"])
+    for lang, n in counts.items():
+        w_q = math.isqrt(math.isqrt((n_max * 10_000**4) // n))
+        assert w_by_lang[lang] == {w_q}, lang
+
+
 def test_curation_fused_gates_match_sequential_replay(spark):
     """r11 (advice): with BOTH gate families engaged, the single fused
     projection + union-of-flags left_anti equals the r10 sequential
