@@ -752,7 +752,7 @@ def mix_temperature(
     pipelines can differ in the last bit across engines, and the r10
     BIGINT pipeline silently wrapped once n_max · denom² passed 2^63 —
     so every quantity is now DECIMAL(38,0) with exact floor division
-    (:func:`_div_exact`) and exact decimal isqrt (:func:`_isqrt_dec`):
+    (:func:`_div_exact`) and exact decimal isqrt (:func:`_isqrt_dec_steps`):
       α=1      → w_q = (n_max·denom)            DIV n
       α=1/2    → w_q = isqrt((n_max·denom²)     DIV n)
       α=1/4    → w_q = isqrt(isqrt((n_max·denom⁴) DIV n))
