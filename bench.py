@@ -175,9 +175,17 @@ def main() -> None:
     # though their plans are map-only/broadcast. reps=2 mins don't wash
     # that out, so queries whose first-pass min lands under the threshold
     # get EXTRA timed reps — more samples drive the min toward the true
-    # floor. Heavy queries (where reps are expensive) are unaffected.
+    # floor. Heavy queries (where reps are expensive) are unaffected, and
+    # so is the CONTROL query: its min is the cross-round normalization
+    # denominator, so its sampling definition must never change between
+    # rounds (extra control samples would deflate control_min and
+    # inflate every >2 s query's normalized ratio against older records).
+    # NOTE the same caveat applies to the per-query MEANS of sub-2 s
+    # queries: from r11 on they average 4 samples (2 of them warmer)
+    # instead of 2 — compare MINS across rounds, as always.
     extra_reps_below_sec = 2.0
     extra_reps = 2
+    control = "q1_pricing_summary"
 
     def run(name: str) -> list[float]:
         ts = []
@@ -187,7 +195,7 @@ def main() -> None:
                 "overwrite"
             ).save()
             ts.append(round(time.perf_counter() - t0, 3))
-        if min(ts) < extra_reps_below_sec:
+        if name != control and min(ts) < extra_reps_below_sec:
             for _ in range(extra_reps):
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
@@ -212,7 +220,6 @@ def main() -> None:
     # query min by it makes cross-session comparisons self-adjudicating —
     # tools/bench_drift.py compares the normalized values when both records
     # carry them, so a uniformly-loaded machine no longer flags every query.
-    control = "q1_pricing_summary"
     control_min = timings_min[control]
 
     def norm(d: dict[str, float]) -> dict[str, float]:
@@ -239,7 +246,9 @@ def main() -> None:
         "warmup_policy": (
             f"adaptive: +{extra_reps} timed reps when the first-pass min is "
             f"< {extra_reps_below_sec} s (r11, VERDICT r10 ask #6 — sub-2 s "
-            "tail queries inherit JVM state; extra samples tighten the min)"
+            "tail queries inherit JVM state; extra samples tighten the min); "
+            "the control query is EXEMPT so its min keeps the fixed-reps "
+            "definition older records were measured under"
         ),
         "fixture_warm_sec": fixture_warm,
         "sf": float(sf),

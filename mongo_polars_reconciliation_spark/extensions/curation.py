@@ -158,8 +158,9 @@ def curate_corpus_v2(
     ``fused_doc_scores(c4=…, gopher=…)`` projection — previously each
     family rescanned ``kept`` separately. All four signals are row-local,
     so flagging both families from the same frame and applying one union
-    left_anti is value-identical to the sequential gates (pinned in
-    tests/test_extensions.py) and saves a full-corpus scan at 100 TB.
+    left_anti is value-identical to the sequential gates (pinned by
+    test_curation_fused_gates_match_sequential_replay in
+    tests/test_properties.py) and saves a full-corpus scan at 100 TB.
 
     ``line_dedup=True`` (r11, the v4 face): corpus-wide C4 LINE dedup
     runs right after exact dedup — every line repeated anywhere in the

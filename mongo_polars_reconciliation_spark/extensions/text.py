@@ -208,8 +208,17 @@ def write_packed_shards(
 def _validate_one_file_per_shard(spark, out_dir: str) -> None:
     """Loud post-write check of the training-shard loader contract:
     every shard=* directory must hold exactly one parquet file."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        shards = spark.read.parquet(out_dir)
+    except AnalysisException:
+        # an EMPTY corpus writes only _SUCCESS — no shard dirs, nothing
+        # to validate (the read can't infer a schema from zero files);
+        # the pre-validation write path has always accepted this
+        return
     bad = (
-        spark.read.parquet(out_dir)
+        shards
         # project the (nondeterministic) file name BEFORE aggregating —
         # Spark 4 rejects it inside an aggregate argument
         .select("shard", F.input_file_name().alias("__f"))
@@ -516,12 +525,11 @@ def line_dedup_corpus(
     skew stall. Instead the first occurrence is an AGGREGATE —
     min(struct(id, line_no)) per line digest, map-side combinable,
     skew-free — whose output IS the survivor coordinate set, collapsed
-    to one text-free survivor-index array per document and joined back
-    on the id (a hash join absorbs probe-side hot keys; the per-line
-    membership probe is bounded by document line count, the same bound
-    reassembly already assumes). Reassembly is a per-document collect of
-    that document's OWN lines — bounded by document size, never
-    corpus-shaped.
+    to one text-free sorted survivor-index array per document and joined
+    to the per-document ordered line array on the id (both sides already
+    doc-partitioned — no extra exchange). Reassembly is O(n_kept)
+    constant-time lookups into the document's OWN line array — bounded
+    by document size, never corpus-shaped, never quadratic.
 
     Shuffle-key posture (r11, VERDICT r10): the aggregate and the
     survivor join key on ``md5(line)`` — a fixed 32-char digest — not the
@@ -536,34 +544,31 @@ def line_dedup_corpus(
     Output: (id, n_lines, n_kept, kept_md5) — kept_md5 is the digest of
     the reassembled text (NULL when every line was a repeat and the doc
     empties out, C4's drop signal)."""
-    totals, kept = _line_dedup_kept(df, id_col, text_col)
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(_reassemble_lines().cast("binary")).alias("kept_md5"),
-    )
-    return totals.join(rebuilt, id_col, "left").select(
+    joined = _line_dedup_joined(df, id_col, text_col)
+    return joined.select(
         F.col(id_col),
         F.col("n_lines"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        F.col("kept_md5"),
+        F.col("n_kept"),
+        F.md5(F.col("text_kept").cast("binary")).alias("kept_md5"),
     )
 
 
-def _line_dedup_kept(df, id_col, text_col):
-    """Shared front half of the corpus line-dedup faces: exploded lines
-    (digest-keyed), per-doc line totals, and the surviving (first global
-    occurrence) line set. See :func:`line_dedup_corpus` for the skew and
-    shuffle-key posture.
+def _line_dedup_joined(df, id_col, text_col):
+    """Shared core of the corpus line-dedup faces: one frame per document
+    carrying (id, n_lines, n_kept, text_kept) with NULL text_kept when
+    every line was a corpus repeat. See :func:`line_dedup_corpus` for
+    the skew and shuffle-key posture.
 
-    Text moves through exactly ONE shuffle (r11): the first-occurrence
-    aggregate's output IS the survivor coordinate set {(id, line_no)},
-    so instead of joining the raw lines back on the digest (text shuffled
-    by digest for the join, then AGAIN by id for reassembly), the
-    coordinates are collapsed to one per-doc survivor-index array —
-    text-free, doc-count-sized rows bounded by doc length — and the
-    lines join it on the id alone. The join's hash partitioning on id is
-    exactly the reassembly groupBy's required distribution, so the text
-    bytes cross the wire once."""
+    Text moves through exactly ONE shuffle (r11): the per-document line
+    collection (groupBy id over the exploded lines). The first-occurrence
+    aggregate's output IS the survivor coordinate set {(id, line_no)} —
+    digest-keyed, text-free — collapsed to one SORTED survivor-index
+    array per document; the two doc-keyed aggregates then join on the id
+    with no further exchange (both sides already hash-partitioned by
+    it), and the kept text is rebuilt by O(n_kept) constant-time array
+    lookups into the document's own ordered line array — per-document
+    work O(L log L) for the sort, never quadratic, and bounded by
+    document size, never corpus-shaped."""
     lines = (
         df.select(
             F.col(id_col),
@@ -574,33 +579,38 @@ def _line_dedup_kept(df, id_col, text_col):
         .withColumn("__lh", F.md5(F.col("__line").cast("binary")))
         .localCheckpoint(eager=False)
     )
-    # consumed 3x: totals, the first-occurrence aggregate, the survivor join
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
-    # digest-only projection: the raw line never enters this shuffle
-    firsts = lines.select("__lh", id_col, "__ln").groupBy("__lh").agg(
-        F.min(F.struct(F.col(id_col), F.col("__ln"))).alias("__first")
-    )
-    keep_idx = firsts.groupBy(F.col(f"__first.{id_col}").alias(id_col)).agg(
-        F.collect_set(F.col("__first.__ln")).alias("__keep_lns")
-    )
-    kept = lines.join(keep_idx, id_col).where(
-        F.array_contains(F.col("__keep_lns"), F.col("__ln"))
-    )
-    return totals, kept
-
-
-def _reassemble_lines() -> Column:
-    """Aggregate expression rebuilding a document's text from its
-    surviving (__ln, __line) rows in original order — bounded by document
-    size, never corpus-shaped."""
-    return F.concat_ws(
-        "\n",
+    # the ONE text-carrying shuffle: each doc's lines in original order
+    doc_lines = lines.groupBy(id_col).agg(
         F.transform(
             F.array_sort(
                 F.collect_list(F.struct(F.col("__ln"), F.col("__line")))
             ),
             lambda s: s["__line"],
+        ).alias("__all")
+    )
+    # digest-only projection: the raw line never enters this shuffle
+    firsts = lines.select("__lh", id_col, "__ln").groupBy("__lh").agg(
+        F.min(F.struct(F.col(id_col), F.col("__ln"))).alias("__first")
+    )
+    keep_idx = firsts.groupBy(F.col(f"__first.{id_col}").alias(id_col)).agg(
+        F.array_sort(F.collect_set(F.col("__first.__ln"))).alias(
+            "__keep_lns"
+        )
+    )
+    rebuilt = F.concat_ws(
+        "\n",
+        F.transform(
+            F.col("__keep_lns"),
+            lambda i: F.element_at(F.col("__all"), i + 1),
         ),
+    )
+    return doc_lines.join(keep_idx, id_col, "left").select(
+        F.col(id_col),
+        F.size(F.col("__all")).cast("long").alias("n_lines"),
+        F.coalesce(F.size(F.col("__keep_lns")), F.lit(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.when(F.col("__keep_lns").isNotNull(), rebuilt).alias("text_kept"),
     )
 
 
@@ -620,27 +630,7 @@ def line_dedup_trim(
     Output: (id, n_lines, n_kept, text_kept) — text_kept is NULL when
     every line was a corpus-repeat and the doc empties out (n_kept=0),
     the C4 drop signal a downstream ``where(n_kept > 0)`` applies."""
-    totals, kept = _line_dedup_kept(df, id_col, text_col)
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        _reassemble_lines().alias("text_kept"),
-    )
-    return totals.join(rebuilt, id_col, "left").select(
-        F.col(id_col),
-        F.col("n_lines"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        F.col("text_kept"),
-    )
-
-
-def _isqrt_col(q: Column) -> Column:
-    """Exact integer square root of a BIGINT column: float sqrt (correctly
-    rounded, so its floor is off by at most 1 for q < 2^53) followed by a
-    ±1 correction — bit-identical in any IEEE engine, unlike trusting
-    FLOOR(SQRT(x)) at perfect-square boundaries."""
-    s0 = F.floor(F.sqrt(q.cast("double"))).cast("long")
-    s1 = F.when(s0 * s0 > q, s0 - 1).otherwise(s0)
-    return F.when((s1 + 1) * (s1 + 1) <= q, s1 + 1).otherwise(s1)
+    return _line_dedup_joined(df, id_col, text_col)
 
 
 def _div_exact(a: Column, b: Column) -> Column:
@@ -669,9 +659,9 @@ _ISQRT_DEC_MAX = "9999999999999999999"
 
 def _isqrt_dec_steps(df: DataFrame, src: str, out: str) -> DataFrame:
     """Append ``out`` = exact integer square root of the non-negative
-    DECIMAL(38,0) column ``src`` — the full-range companion of
-    :func:`_isqrt_col` (whose float seed is within 1 only while q fits
-    BIGINT; at q ≈ 10^38 the double seed is off by up to ~1.2e3). Two
+    DECIMAL(38,0) column ``src``. A plain BIGINT float-seed ±1 correction
+    (the r10 form this supersedes) is exact only while q fits BIGINT; at
+    q ≈ 10^38 the double seed is off by up to ~1.2e3, so here two
     integer Newton steps in exact decimal arithmetic contract the seed
     error below 2 (e' ≲ e²/2√q + 1.5) and a ±2 correction ladder
     finishes; every op is exact decimal, so the result is bit-identical
@@ -718,9 +708,17 @@ def _isqrt_dec_steps(df: DataFrame, src: str, out: str) -> DataFrame:
             t2,
             F.when(F.try_multiply(s + one, s + one) <= q, s + one).otherwise(s),
         )
+    # NULL must propagate, not corrupt: without the isNull branch a NULL
+    # input (a decimal overflow under non-ANSI mode) would ride through
+    # greatest/least — which SKIP null operands — and surface as the smax
+    # clamp, a silently wrong (huge) value that defeats every downstream
+    # loud-overflow guard.
     df = df.withColumn(
         out,
-        F.when(q == F.lit(0).cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)"))
+        F.when(q.isNull(), F.lit(None).cast("decimal(38,0)"))
+        .when(
+            q == F.lit(0).cast("decimal(38,0)"), F.lit(0).cast("decimal(38,0)")
+        )
         .otherwise(F.col(t2)),
     )
     return df.drop(t0, t1, t2)
@@ -762,11 +760,17 @@ def mix_temperature(
     threshold (pmod(h, denom) < w_q mod denom) — every realized copy a
     pure function of the id, bit-identical in DuckDB. Values at α=1/2
     are unchanged from the r10 BIGINT spec wherever that didn't overflow
-    (same floor/isqrt math, parity-pinned). Bounds: exact while
+    (same floor/isqrt math, parity-pinned). Bounds: two constraints,
+    both astronomically above real corpora — the multiplication needs
     n_max·denom^(2^b) ≤ 10^38 (n_max ≤ 10^22 at den=4, 10^30 at den=2,
-    denom=10⁴); a decimal overflow or a weight past BIGINT raises
-    loudly (raise_error) instead of NULLing rows out of the mix —
-    silent corpus loss is the worst failure mode a sampler can have.
+    denom=10⁴), and :func:`_div_exact`'s decimal(38,6) quotient needs
+    (n_max/n_min)·denom^(2^b) < 10^32 (stratum imbalance ≤ 10^16 at
+    den=4, 10^24 at den=2). Past either, the failure is LOUD: under
+    ANSI (the Spark 4 default) the decimal op throws; under non-ANSI
+    the NULL propagates through the isqrt chain (pinned) into the
+    raise_error guard below — never a silently wrong weight, because
+    silent corpus loss/corruption is the worst failure mode a sampler
+    can have.
 
     Scale shape: one stratum-count aggregate (tiny result), weights
     derived ON that collapsed frame (window over |strata| rows),

@@ -2323,20 +2323,26 @@ def test_new_operators_handle_empty_and_null_strata(spark):
     assert all(r["bucket"] in ("head", "middle", "tail") for r in bucketed)
 
 
-def test_isqrt_col_matches_math_isqrt(spark):
-    """r10: the ±1-corrected integer sqrt equals math.isqrt across
-    perfect squares, off-by-one neighbors and large values — the exact
-    arithmetic the temperature mixer's cross-engine claim rests on."""
-    import math
+def test_isqrt_dec_null_propagates_to_loud_guard(spark):
+    """r11 (review finding): a NULL isqrt input — a decimal overflow
+    under NON-ANSI mode — must propagate as NULL (greatest/least skip
+    null operands, so without the explicit branch it surfaced as the
+    smax clamp: a silently wrong huge weight), reaching mix_temperature's
+    raise_error guard instead of corrupting the mix."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        _isqrt_dec_steps,
+    )
 
-    from mongo_polars_reconciliation_spark.extensions.text import _isqrt_col
-
-    vals = [0, 1, 2, 3, 4, 8, 9, 10, 99, 100, 101, 10**8, 10**8 - 1,
-            10**8 + 1, 4503599627370496, 4503599627370495]
-    df = spark.createDataFrame([(v,) for v in vals], "q long")
-    got = {r["q"]: r["s"] for r in df.select(
-        F.col("q"), _isqrt_col(F.col("q")).alias("s")).collect()}
-    assert got == {v: math.isqrt(v) for v in vals}
+    df = spark.createDataFrame(
+        [("1",), (None,), ("4",)], "qs string"
+    ).withColumn("q", F.col("qs").cast("decimal(38,0)"))
+    got = {
+        r["qs"]: r["s"]
+        for r in _isqrt_dec_steps(df, "q", "isq")
+        .select("qs", F.col("isq").cast("string").alias("s"))
+        .collect()
+    }
+    assert got == {"1": "1", None: None, "4": "2"}
 
 
 def test_isqrt_dec_and_div_exact_match_python(spark):
@@ -2622,6 +2628,11 @@ def test_packed_shards_validation_catches_split_files(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
     # with the poison config removed, the default validating write passes
     write_packed_shards(docs, out, n_shards=4, token_budget=256)
+    # r11 (review finding): an EMPTY corpus writes only _SUCCESS — the
+    # validation read can't infer a schema there and must no-op, not
+    # crash (the pre-validation write path always accepted empty input)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_packed_shards(empty, str(tmp_path / "shards_empty"), n_shards=4)
 
 
 def test_datacard_state_fold_equals_full_rescan(spark):
