@@ -204,8 +204,16 @@ def main() -> None:
                 ts.append(round(time.perf_counter() - t0, 3))
         return ts
 
+    # r12 (advice): the MEAN is computed over only the FIRST `reps`
+    # samples — the fixed-sampling definition every pre-r11 record was
+    # measured under. Letting the adaptive extra reps (warmer samples)
+    # into the mean gave every sub-2 s query a one-time downward step
+    # that drift tooling would read as a phantom improvement. Extra
+    # samples tighten the MIN only (their whole purpose); per-query
+    # sample counts are recorded so tooling can see the policy.
     def mean(ts: list[float]) -> float:
-        return round(sum(ts) / len(ts), 3)
+        head = ts[:reps]
+        return round(sum(head) / len(head), 3)
 
     head_runs = {name: run(name) for name in HEADLINE}
     sec_runs = {name: run(name) for name in SECONDARY}
@@ -213,6 +221,10 @@ def main() -> None:
     secondary = {name: mean(ts) for name, ts in sec_runs.items()}
     timings_min = {name: min(ts) for name, ts in head_runs.items()}
     secondary_min = {name: min(ts) for name, ts in sec_runs.items()}
+    n_samples = {
+        name: len(ts)
+        for name, ts in list(head_runs.items()) + list(sec_runs.items())
+    }
 
     # Control-normalized mins (r10, VERDICT r9 ask #7): q1_pricing_summary is
     # the long-standing code-unchanged control of tools/bench_recheck.py; its
@@ -243,12 +255,16 @@ def main() -> None:
         "queries_min_ctrl": norm(timings_min),
         "secondary_min_ctrl": norm(secondary_min),
         "reps": reps,
+        "n_samples": n_samples,
         "warmup_policy": (
             f"adaptive: +{extra_reps} timed reps when the first-pass min is "
             f"< {extra_reps_below_sec} s (r11, VERDICT r10 ask #6 — sub-2 s "
             "tail queries inherit JVM state; extra samples tighten the min); "
             "the control query is EXEMPT so its min keeps the fixed-reps "
-            "definition older records were measured under"
+            "definition older records were measured under; since r12 the "
+            "MEAN too is computed over only the first `reps` samples "
+            "(advice — extra warm samples were deflating sub-2 s means vs "
+            "pre-r11 records), so extra reps tighten the min ONLY"
         ),
         "fixture_warm_sec": fixture_warm,
         "sf": float(sf),

@@ -259,36 +259,54 @@ def build_documents_footers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def build_documents_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents with deterministically injected PII (the natural texts
     carry no digits or '@', which would zero every redaction counter):
-    doc_id%7==0 docs append an email, %7==1 a phone number, %7==2 an
-    IPv4, %7==3 an email AND an IP (multi-class doc — counts must not
-    interfere), %7==4 TWO emails (global replacement, not first-match),
-    %7∈{5,6} stay untouched. Pure literal concat, mirrored verbatim by
-    the oracle SQL."""
+    doc_id%11==0 docs append an email, %11==1 a phone number, %11==2 an
+    IPv4, %11==3 an email AND an IP (multi-class doc — counts must not
+    interfere), %11==4 TWO emails (global replacement, not first-match),
+    %11==5 a Luhn-VALID plain card number, %11==6 the same card
+    hyphen-separated (separator normalization), %11==7 a Luhn-INVALID
+    16-digit run (must NOT be redacted — the Luhn filter is
+    load-bearing, and the surviving digits must not half-match the later
+    phone/IP stages), %11==8 NULL text (the null-text rule: counts 0,
+    scrubbed text NULL), %11∈{9,10} stay untouched. Pure literal
+    concat, mirrored verbatim by the oracle SQL."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = F.col("text")
     text2 = (
         F.when(
-            F.col("doc_id") % 7 == 0,
+            F.col("doc_id") % 11 == 0,
             F.concat(t, F.lit(" contact john.doe@example.com today")),
         )
         .when(
-            F.col("doc_id") % 7 == 1,
+            F.col("doc_id") % 11 == 1,
             F.concat(t, F.lit(" call 555-123-4567 now")),
         )
         .when(
-            F.col("doc_id") % 7 == 2,
+            F.col("doc_id") % 11 == 2,
             F.concat(t, F.lit(" host 192.168.1.77 responded")),
         )
         .when(
-            F.col("doc_id") % 7 == 3,
+            F.col("doc_id") % 11 == 3,
             F.concat(
                 t, F.lit(" from ops@node-3.example.net at 10.0.0.5 ok")
             ),
         )
         .when(
-            F.col("doc_id") % 7 == 4,
+            F.col("doc_id") % 11 == 4,
             F.concat(t, F.lit(" cc a.b@x.org and c.d@y.org thanks")),
         )
+        .when(
+            F.col("doc_id") % 11 == 5,
+            F.concat(t, F.lit(" pay 4532015112830366 now")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 6,
+            F.concat(t, F.lit(" card 4532-0151-1283-0366 on file")),
+        )
+        .when(
+            F.col("doc_id") % 11 == 7,
+            F.concat(t, F.lit(" ref 1234-5678-9012-3456 code")),
+        )
+        .when(F.col("doc_id") % 11 == 8, F.lit(None).cast("string"))
         .otherwise(t)
     )
     return d.select("doc_id", text2.alias("text"), "lang", "source")

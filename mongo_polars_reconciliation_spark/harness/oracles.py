@@ -2617,45 +2617,86 @@ SELECT t.doc_id, t.n_lines,
 FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
 """
 
-# PII scrub (r11): the staged count-then-replace chain — each class's
-# count is taken on the PREVIOUS stage's text (emails mask their host
-# parts from the IP stage), replacement is global ('g'). The regex subset
-# is dialect-portable (no lookaround/backrefs), so Java and RE2 agree.
+# PII scrub (r11; r12 adds the Luhn card stage + the null-text rule):
+# the staged count-then-replace chain — each class's count is taken on
+# the PREVIOUS stage's text (emails mask their host parts from the IP
+# stage), replacement is global ('g'). The CARD stage replays the
+# Spark-side semantics exactly: extract 16-digit candidates, keep only
+# those passing the Luhn mod-10 check (list_filter over substr digits —
+# 1-based odd positions doubled), count the valid matches, then
+# fold-replace each valid candidate \b-anchored in match order
+# (list_reduce seeded by list_prepend). NULL text: counts computed on
+# COALESCE(text,'') are 0; text_scrubbed stays NULL. The regex subset is
+# dialect-portable (no lookaround/backrefs), so Java and RE2 agree.
 ORACLES["text_pii_scrub"] = r"""
 WITH docs_p AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0
+         CASE WHEN doc_id % 11 = 0
               THEN text || ' contact john.doe@example.com today'
-              WHEN doc_id % 7 = 1 THEN text || ' call 555-123-4567 now'
-              WHEN doc_id % 7 = 2 THEN text || ' host 192.168.1.77 responded'
-              WHEN doc_id % 7 = 3
+              WHEN doc_id % 11 = 1 THEN text || ' call 555-123-4567 now'
+              WHEN doc_id % 11 = 2 THEN text || ' host 192.168.1.77 responded'
+              WHEN doc_id % 11 = 3
               THEN text || ' from ops@node-3.example.net at 10.0.0.5 ok'
-              WHEN doc_id % 7 = 4
+              WHEN doc_id % 11 = 4
               THEN text || ' cc a.b@x.org and c.d@y.org thanks'
+              WHEN doc_id % 11 = 5 THEN text || ' pay 4532015112830366 now'
+              WHEN doc_id % 11 = 6
+              THEN text || ' card 4532-0151-1283-0366 on file'
+              WHEN doc_id % 11 = 7 THEN text || ' ref 1234-5678-9012-3456 code'
+              WHEN doc_id % 11 = 8 THEN NULL
               ELSE text END AS text
   FROM documents
 ),
 s1 AS (
-  SELECT doc_id,
-         CAST(len(regexp_extract_all(text,
+  SELECT doc_id, text AS text0,
+         CAST(len(regexp_extract_all(COALESCE(text, ''),
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
            AS n_emails,
-         regexp_replace(text,
+         regexp_replace(COALESCE(text, ''),
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
            AS text
   FROM docs_p
 ),
+cards AS (
+  SELECT doc_id, text0, n_emails, text,
+         list_filter(
+           regexp_extract_all(text, '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b'),
+           c -> (list_sum(list_transform(range(1, 17), i ->
+             CASE WHEN i % 2 = 1
+                  THEN CASE
+                    WHEN 2 * CAST(substr(regexp_replace(c, '[- ]', '', 'g'),
+                                         i, 1) AS INT) > 9
+                    THEN 2 * CAST(substr(regexp_replace(c, '[- ]', '', 'g'),
+                                         i, 1) AS INT) - 9
+                    ELSE 2 * CAST(substr(regexp_replace(c, '[- ]', '', 'g'),
+                                         i, 1) AS INT) END
+                  ELSE CAST(substr(regexp_replace(c, '[- ]', '', 'g'),
+                                   i, 1) AS INT) END)) % 10 = 0)
+         ) AS valid
+  FROM s1
+),
+sC AS (
+  SELECT doc_id, text0, n_emails,
+         CAST(len(valid) AS BIGINT) AS n_cards,
+         list_reduce(
+           list_prepend(text, valid),
+           (acc, c) -> regexp_replace(acc, '\b' || c || '\b', '<CARD>', 'g')
+         ) AS text
+  FROM cards
+),
 s2 AS (
-  SELECT doc_id, n_emails,
+  SELECT doc_id, text0, n_emails, n_cards,
          CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
            AS BIGINT) AS n_phones,
          regexp_replace(text, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS text
-  FROM s1
+  FROM sC
 )
-SELECT doc_id, n_emails, n_phones,
+SELECT doc_id, n_emails, n_cards, n_phones,
        CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
          AS BIGINT) AS n_ips,
-       regexp_replace(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+       CASE WHEN text0 IS NULL THEN NULL
+            ELSE regexp_replace(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                '<IP>', 'g') END
          AS text_scrubbed
 FROM s2
 """

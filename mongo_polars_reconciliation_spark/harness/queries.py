@@ -1598,9 +1598,13 @@ def curation_pipeline_v4(spark, sf_dir) -> DataFrame:
 
 
 def text_pii_scrub(spark, sf_dir) -> DataFrame:
-    """PII redaction with real regexes (r11): emails, phone numbers and
-    IPv4s counted per class and globally replaced with placeholders on
-    the PII-injected corpus — multi-class docs and multi-hit docs both
+    """PII redaction with real regexes (r11; r12 adds the Luhn-validated
+    card stage and the null-text rule): emails, 16-digit card numbers
+    passing the Luhn mod-10 check (an integer-arithmetic expression — a
+    Luhn-INVALID 16-digit run in the fixture must survive un-redacted),
+    phone numbers and IPv4s counted per class and globally replaced with
+    placeholders on the PII-injected corpus — multi-class docs,
+    multi-hit docs and a NULL-text doc (counts 0, text NULL) all
     exercised; the oracle checks the full scrubbed strings."""
     from mongo_polars_reconciliation_spark.extensions.text import pii_scrub
     from mongo_polars_reconciliation_spark.harness.fixtures import (

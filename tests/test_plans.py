@@ -11,6 +11,8 @@ import io
 import os
 
 import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
 
 from mongo_polars_reconciliation_spark.harness.queries import QUERIES
 
@@ -308,6 +310,36 @@ def test_mix_epochs_is_map_only(spark):
     plan = QUERIES["text_mix_epochs"](spark, SF_DIR)._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("Exchange") == 0
+
+
+def test_single_partition_key_survives_constant_folding(spark):
+    """r12 (VERDICT r11 #3): single_partition_key() must survive into the
+    OPTIMIZED plan as a real partition key. A foldable literal
+    (the `Window.partitionBy(F.lit(1))` mix_temperature carried) is
+    constant-folded to an EMPTY window spec, and WindowExec then logs its
+    'Moving all data to a single partition' warning on every run —
+    polluting the bench stderr budget that exists to surface REAL
+    global-window regressions. (mix_temperature's own window sits behind
+    its lazy-checkpoint plan boundary, so this pins the helper shape the
+    operator now uses.)"""
+    import re
+
+    from mongo_polars_reconciliation_spark.functions.windows import (
+        single_partition_key,
+    )
+
+    good = spark.range(5).withColumn(
+        "m", F.max("id").over(Window.partitionBy(single_partition_key()))
+    )._jdf.queryExecution().optimizedPlan().toString()
+    spec = re.search(r"windowspecdefinition\([^)]*", good).group(0)
+    # a surviving key shows up before the frame clause; an empty spec
+    # starts directly with specifiedwindowframe — the warning shape
+    assert not spec.startswith("windowspecdefinition(specifiedwindowframe")
+    bad = spark.range(5).withColumn(
+        "m", F.max("id").over(Window.partitionBy(F.lit(1)))
+    )._jdf.queryExecution().optimizedPlan().toString()
+    bad_spec = re.search(r"windowspecdefinition\([^)]*", bad).group(0)
+    assert bad_spec.startswith("windowspecdefinition(specifiedwindowframe")
 
 
 def _n_data_shuffles(plan: str) -> int:

@@ -1733,7 +1733,14 @@ def test_curation_v2_gopher_gates(spark):
 def test_line_dedup_edge_corpora(spark):
     """r11 edge pins: both line-dedup faces are graceful on an EMPTY
     corpus (no crash, empty output) and on a corpus that is one empty
-    document (one empty line — kept, text_kept '')."""
+    document (one empty line — kept, text_kept '').
+
+    r12 (the r11 verdict's defect): NULL-text docs must SURFACE, scored
+    as empty text per the repo-wide null-text rule — the old
+    posexplode(split(NULL)) path silently dropped them from the output
+    entirely, violating the operator's own n_kept contract. A NULL doc
+    behaves exactly like an empty-text doc: one '' line competing for
+    the corpus-wide slot by (id, line_no) first-occurrence order."""
     from mongo_polars_reconciliation_spark.extensions.text import (
         line_dedup_corpus,
         line_dedup_trim,
@@ -1745,6 +1752,26 @@ def test_line_dedup_edge_corpora(spark):
     one = spark.createDataFrame([(1, "")], "doc_id long, text string")
     got = line_dedup_trim(one).collect()[0]
     assert (got["n_lines"], got["n_kept"], got["text_kept"]) == (1, 1, "")
+    # NULL-text docs surface; first (by id) NULL/empty doc claims the ''
+    # line, later ones empty out with n_kept=0 — never vanish
+    mixed = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got_m = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_kept"])
+        for r in line_dedup_trim(mixed).collect()
+    }
+    assert got_m == {
+        1: (1, 1, "alpha"),
+        2: (1, 1, ""),
+        3: (1, 0, None),
+        4: (1, 0, None),
+    }
+    audit = {
+        r["doc_id"]: r["n_kept"] for r in line_dedup_corpus(mixed).collect()
+    }
+    assert audit == {1: 1, 2: 1, 3: 0, 4: 0}
 
 
 def test_mix_temperature_quarter_alpha_matches_python(spark):
@@ -1901,43 +1928,116 @@ def test_curation_v4_line_stage(spark):
 _pii_frag = st.sampled_from(
     ["plain words here", "a.b@x.org", "john.doe@example.com", "555-123-4567",
      "192.168.1.77", "10.0.0.5", "not-a-phone 55-123-4567", "v1.2.3.4x",
-     "semi@invalid@double", "trailing dot 1.2.3.", "", "x@y.zz"]
+     "semi@invalid@double", "trailing dot 1.2.3.", "", "x@y.zz",
+     # r12 card fragments: Luhn-valid plain + separated, Luhn-INVALID
+     # (must survive), 15/17-digit near-misses, repeated valid card
+     "4532015112830366", "4532-0151-1283-0366", "4532 0151 1283 0366",
+     "1234-5678-9012-3456", "123456789012345", "12345678901234567",
+     "4532015112830366 4532015112830366"]
 )
-_pii_text = st.lists(_pii_frag, min_size=1, max_size=6).map(" ".join)
+# r12: NULL texts — the null-text rule (counts 0, scrubbed text NULL)
+_pii_text = st.one_of(
+    st.none(), st.lists(_pii_frag, min_size=1, max_size=6).map(" ".join)
+)
+
+
+def _pii_python_replay(t):
+    """Python `re` replay of the staged EMAIL → CARD(Luhn) → PHONE → IP
+    count-then-replace spec — the engine-independent reference model."""
+    import re as _re
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        PII_CARD_PATTERN,
+        PII_PATTERNS,
+    )
+
+    if t is None:
+        return (0, 0, 0, 0, None)
+    pat, repl = PII_PATTERNS[0]
+    n_emails = len(_re.findall(pat, t))
+    t = _re.sub(pat, repl, t)
+
+    def luhn_ok(c):
+        digits = _re.sub(r"[- ]", "", c)
+        s = 0
+        for i, ch in enumerate(digits):  # 0-based even == 1-based odd
+            x = int(ch)
+            if i % 2 == 0:
+                x *= 2
+                if x > 9:
+                    x -= 9
+            s += x
+        return s % 10 == 0
+
+    valid = [c for c in _re.findall(PII_CARD_PATTERN, t) if luhn_ok(c)]
+    n_cards = len(valid)
+    for c in valid:  # fold in match order, \b-anchored, global
+        t = _re.sub(r"\b" + _re.escape(c) + r"\b", "<CARD>", t)
+    counts = [n_emails, n_cards]
+    for pat, repl in PII_PATTERNS[1:]:
+        counts.append(len(_re.findall(pat, t)))
+        t = _re.sub(pat, repl, t)
+    return (*counts, t)
 
 
 @settings(max_examples=10, deadline=None)
 @given(texts=st.lists(_pii_text, min_size=1, max_size=6))
 def test_pii_scrub_random_texts_match_python_re(spark, texts):
-    """r11 randomized pin: pii_scrub equals a Python `re` replay of the
-    staged count-then-replace spec on corpora drawn from adversarial
-    fragments — doubled '@', near-miss phones, version strings that look
-    like IPs, trailing dots, empty strings. Python re and Java regex
-    agree on the dialect-portable subset the patterns use, so the replay
-    is engine-independent."""
-    import re as _re
-
-    from mongo_polars_reconciliation_spark.extensions.text import (
-        PII_PATTERNS,
-        pii_scrub,
-    )
+    """r11 randomized pin (r12: + the Luhn card stage and NULL texts):
+    pii_scrub equals a Python `re` replay of the staged
+    count-then-replace spec on corpora drawn from adversarial fragments
+    — doubled '@', near-miss phones, version strings that look like IPs,
+    trailing dots, empty strings, Luhn-valid/invalid cards, 15/17-digit
+    near-misses, NULL texts. Python re and Java regex agree on the
+    dialect-portable subset the patterns use, so the replay is
+    engine-independent."""
+    from mongo_polars_reconciliation_spark.extensions.text import pii_scrub
 
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r["doc_id"]: (
-            r["n_emails"], r["n_phones"], r["n_ips"], r["text_scrubbed"]
+            r["n_emails"], r["n_cards"], r["n_phones"], r["n_ips"],
+            r["text_scrubbed"],
         )
         for r in pii_scrub(df).collect()
     }
-    want = {}
-    for did, t in rows:
-        counts = []
-        for pat, repl in PII_PATTERNS:
-            counts.append(len(_re.findall(pat, t)))
-            t = _re.sub(pat, repl, t)
-        want[did] = (*counts, t)
+    want = {did: _pii_python_replay(t) for did, t in rows}
     assert got == want
+
+
+def test_pii_scrub_luhn_edge_pins(spark):
+    """r12 handcrafted pins for the card stage: a Luhn-valid plain card,
+    the same card hyphen- and space-separated, a Luhn-INVALID run that
+    must survive to the output INTACT (and not half-match the later
+    phone/IP stages), a 17-digit run no \\b can split, and the NULL-text
+    doc (all counts 0, text NULL — the doc survives)."""
+    from mongo_polars_reconciliation_spark.extensions.text import pii_scrub
+
+    docs = [
+        (1, "pay 4532015112830366 today"),
+        (2, "card 4532-0151-1283-0366 on file"),
+        (3, "or 4532 0151 1283 0366 spaced"),
+        (4, "ref 1234-5678-9012-3456 code"),
+        (5, "run 12345678901234567 long"),
+        (6, None),
+        (7, "mixed a@b.co then 4532015112830366 then 555-123-4567"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_emails"], r["n_cards"], r["n_phones"], r["n_ips"],
+            r["text_scrubbed"],
+        )
+        for r in pii_scrub(df).collect()
+    }
+    assert got[1] == (0, 1, 0, 0, "pay <CARD> today")
+    assert got[2] == (0, 1, 0, 0, "card <CARD> on file")
+    assert got[3] == (0, 1, 0, 0, "or <CARD> spaced")
+    assert got[4] == (0, 0, 0, 0, "ref 1234-5678-9012-3456 code")
+    assert got[5] == (0, 0, 0, 0, "run 12345678901234567 long")
+    assert got[6] == (0, 0, 0, 0, None)
+    assert got[7] == (1, 1, 1, 0, "mixed <EMAIL> then <CARD> then <PHONE>")
 
 
 _gopher_word = st.sampled_from(
@@ -2159,7 +2259,12 @@ def test_stream_datacard_equals_batch_card(spark):
 _ld_line = st.sampled_from(
     ["footer", "header", "alpha beta", "x", "", "shared line", "unique-ish"]
 )
-_ld_text = st.lists(_ld_line, min_size=1, max_size=5).map("\n".join)
+# r12: NULL texts in the generator — the r11 verdict's defect (NULL-text
+# docs silently vanishing) lived exactly in the input class these pins
+# never generated. NULL scores as empty text (the repo-wide rule).
+_ld_text = st.one_of(
+    st.none(), st.lists(_ld_line, min_size=1, max_size=5).map("\n".join)
+)
 
 
 @settings(max_examples=8, deadline=None)
@@ -2168,7 +2273,7 @@ def test_line_dedup_random_corpora_match_model(spark, texts):
     """r10 randomized pin: corpus-wide line dedup equals the Python
     first-occurrence replay on hypothesis corpora drawn from a tiny line
     alphabet — maximal repetition pressure, empty lines, whole-duplicate
-    docs, and many docs that empty out entirely."""
+    docs, NULL-text docs (r12), and many docs that empty out entirely."""
     import hashlib
 
     from mongo_polars_reconciliation_spark.extensions.text import (
@@ -2184,7 +2289,7 @@ def test_line_dedup_random_corpora_match_model(spark, texts):
     seen = set()
     want = {}
     for did, t in rows:
-        lines = t.split("\n")
+        lines = (t or "").split("\n")
         kept = [ln for ln in lines if ln not in seen and not seen.add(ln)]
         md5 = (
             hashlib.md5("\n".join(kept).encode()).hexdigest() if kept else None
