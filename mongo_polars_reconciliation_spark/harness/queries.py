@@ -2981,87 +2981,36 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # touch only queries inside the driver's ~50-position budget, so their
 # fresh rows still verify final code. The r9 ledger is inside the dict.
 QUERIES = {
-    # ================= r11 DRIVER-VERIFICATION LEDGER =================
+    # ================= r12 DRIVER-VERIFICATION LEDGER =================
     # The driver checks the FIRST ~50 entries each round (budget exactly
-    # 50 in r5-r10). Ordering discipline (r5-r10 verdicts): this reorder
+    # 50 in r5-r11). Ordering discipline (r5-r11 verdicts): this reorder
     # is the round's LAST semantics-touching commit; any later change may
     # touch only queries inside the 50-position budget.
     #
-    # -- 1-39: the 39 r8-row rotation queries (r10 positions 51-89) --
-    #    VERDICT r10 ask #1: these MUST lead r11 (the persistence
-    #    round-trip family, the pre-r9 streaming skin, the core dedup
-    #    family, q1_pricing_summary and the sketch family — 3 rounds
-    #    stale otherwise). Order preserved from the r10 overflow listing.
-    # -- 40-44: ALL 5 NEW r11 queries --
-    #    the line-dedup TRIM face, curation v4 (the C4 line stage wired
-    #    into the flagship), temperature mixing at dyadic alpha=3/4,
-    #    the IVF-PQ k-NN graph SERVED from persisted artifacts, and
-    #    real-regex PII scrubbing. Zero never-checked queries.
-    # -- 45-49: the 5 CHANGED r11 queries --
-    #    text_line_dedup (md5 shuffle keys — value-identical, pinned),
-    #    text_mix_temperature (BIGINT → exact DECIMAL(38,0) weights, the
-    #    r10 advice overflow fix — values identical at any non-wrapping
-    #    scale), text_pack_shards_roundtrip (post-write one-file-per-
-    #    shard validation), curation_pipeline_v2/v3 (C4+Gopher gates
-    #    fused into one projection — default gate-off paths plan-
-    #    identical, re-verified conservatively).
-    # -- 50: sim_topk_lsh, the oldest r9-row query, pulled forward so
-    #    the r9 tail ages evenly (r9/r10 precedent).
-    # -- 51-93: remaining r9-row tail (43) — next round's rotation MUST
-    #    lead with these (they will be 3 rounds stale in r12).
-    # -- 94-138: r10-row tail (freshest).
+    # -- 1-43: the 43 r9-row rotation queries (r11 positions 51-93) --
+    #    VERDICT r11 ask #1: these MUST lead r12 (the events analytics
+    #    family, recall probes, BPE family, the v1 curation flagship and
+    #    the span/jaccard/knn dedup faces — 3 rounds stale otherwise).
+    #    Order preserved from the r11 overflow listing.
+    # -- 44-50: the 7 CHANGED r12 queries (no new queries this round;
+    #    the rotation debt consumed the budget, exactly as the r11
+    #    verdict directed) --
+    #    text_line_dedup + text_line_dedup_trim + curation_pipeline_v4
+    #    (the NULL-text silent-drop fix: NULL scores as empty text —
+    #    values unchanged on the non-null driver fixtures, pinned),
+    #    text_mix_temperature + text_mix_temperature_alpha (the n_max
+    #    window keys on single_partition_key() so WindowExec stops
+    #    warning — values identical), text_pii_scrub (the Luhn card
+    #    stage + the null-text rule + %11 fixture), and
+    #    text_pack_shards_roundtrip (narrowed empty-corpus exception
+    #    handling in the post-write validation).
+    # -- 51-95: r10-row tail (45) — next round's rotation MUST lead
+    #    with these (they will be 3 rounds stale in r13).
+    # -- 96-138: r11-row tail (freshest: the 39 r8-rotation queries
+    #    re-verified r11, plus sim_knn_join_ivfpq_served, sim_topk_lsh
+    #    and curation v2/v3).
     # ==================================================================
 
-    "text_lm_score": text_lm_score,
-    "stream_ingest_novel": stream_ingest_novel,
-    "text_heavy_hitters_cms": text_heavy_hitters_cms,
-    "text_cms_merge": text_cms_merge,
-    "stream_cms_counters": stream_cms_counters,
-    "text_bloom_decontaminate": text_bloom_decontaminate,
-    "events_hist_merge": events_hist_merge,
-    "text_split_leakage_safe": text_split_leakage_safe,
-    "dedup_source_overlap": dedup_source_overlap,
-    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
-    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
-    "recon_persist_roundtrip": recon_persist_roundtrip,
-    "recon_csv_roundtrip": recon_csv_roundtrip,
-    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
-    "recon_mongo_json_scan": recon_mongo_json_scan,
-    "recon_orc_roundtrip": recon_orc_roundtrip,
-    "stream_incremental_match": stream_incremental_match,
-    "stream_dedup_corpus": stream_dedup_corpus,
-    "stream_dedup": stream_dedup_events,
-    "stream_events_hourly": stream_events_hourly,
-    "stream_sessionize_agg": stream_sessionize_agg,
-    "stream_user_seq": stream_user_seq,
-    "stream_view_attribution": stream_view_attribution,
-    "text_lang_id": text_lang_id,
-    "text_quality": text_quality,
-    "text_token_count": text_token_count,
-    "recon_source_scan_filtered": recon_source_scan_filtered,
-    "text_split_assign": text_split_assign,
-    "text_sample_stratified": text_sample_stratified,
-    "events_funnel_windowed": events_funnel_windowed,
-    "dedup_exact": dedup_exact,
-    "dedup_simhash": dedup_simhash,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
-    "dedup_clusters": dedup_clusters_cc,
-    "dedup_clusters_star": dedup_clusters_star_cc,
-    "q1_pricing_summary": q1_pricing_summary,
-    "sim_topk_bruteforce": sim_topk_bruteforce,
-    "sim_topk_ivf": sim_topk_ivf,
-    "text_line_dedup_trim": text_line_dedup_trim,
-    "curation_pipeline_v4": curation_pipeline_v4,
-    "text_mix_temperature_alpha": text_mix_temperature_alpha,
-    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
-    "text_pii_scrub": text_pii_scrub,
-    "text_line_dedup": text_line_dedup,
-    "text_mix_temperature": text_mix_temperature,
-    "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
-    "curation_pipeline_v2": curation_pipeline_v2,
-    "curation_pipeline_v3": curation_pipeline_v3,
-    "sim_topk_lsh": sim_topk_lsh,
     "sim_contamination": sim_contamination,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
@@ -3105,6 +3054,13 @@ QUERIES = {
     "sim_semantic_dedup": sim_semantic_dedup,
     "recon_residual_internal": recon_residual_internal,
     "recon_residual_external": recon_residual_external,
+    "text_line_dedup": text_line_dedup,
+    "text_line_dedup_trim": text_line_dedup_trim,
+    "curation_pipeline_v4": curation_pipeline_v4,
+    "text_mix_temperature": text_mix_temperature,
+    "text_mix_temperature_alpha": text_mix_temperature_alpha,
+    "text_pii_scrub": text_pii_scrub,
+    "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
     "recon_zero_effect_pairs": recon_zero_effect_pairs,
     "recon_zero_effect_clean": recon_zero_effect_clean,
     "recon_tolerance_match": recon_tolerance_match,
@@ -3150,6 +3106,49 @@ QUERIES = {
     "sim_recall_probe": sim_recall_probe,
     "text_sample_fixed_k": text_sample_fixed_k,
     "dedup_ingest_incremental": dedup_ingest_incremental,
+    "text_lm_score": text_lm_score,
+    "stream_ingest_novel": stream_ingest_novel,
+    "text_heavy_hitters_cms": text_heavy_hitters_cms,
+    "text_cms_merge": text_cms_merge,
+    "stream_cms_counters": stream_cms_counters,
+    "text_bloom_decontaminate": text_bloom_decontaminate,
+    "events_hist_merge": events_hist_merge,
+    "text_split_leakage_safe": text_split_leakage_safe,
+    "dedup_source_overlap": dedup_source_overlap,
+    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
+    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
+    "recon_persist_roundtrip": recon_persist_roundtrip,
+    "recon_csv_roundtrip": recon_csv_roundtrip,
+    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
+    "recon_mongo_json_scan": recon_mongo_json_scan,
+    "recon_orc_roundtrip": recon_orc_roundtrip,
+    "stream_incremental_match": stream_incremental_match,
+    "stream_dedup_corpus": stream_dedup_corpus,
+    "stream_dedup": stream_dedup_events,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_sessionize_agg": stream_sessionize_agg,
+    "stream_user_seq": stream_user_seq,
+    "stream_view_attribution": stream_view_attribution,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "recon_source_scan_filtered": recon_source_scan_filtered,
+    "text_split_assign": text_split_assign,
+    "text_sample_stratified": text_sample_stratified,
+    "events_funnel_windowed": events_funnel_windowed,
+    "dedup_exact": dedup_exact,
+    "dedup_simhash": dedup_simhash,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
+    "dedup_clusters": dedup_clusters_cc,
+    "dedup_clusters_star": dedup_clusters_star_cc,
+    "q1_pricing_summary": q1_pricing_summary,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_topk_ivf": sim_topk_ivf,
+    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
+    "sim_topk_lsh": sim_topk_lsh,
+    "curation_pipeline_v2": curation_pipeline_v2,
+    "curation_pipeline_v3": curation_pipeline_v3,
 }
 
 
