@@ -1925,6 +1925,64 @@ def test_curation_v4_line_stage(spark):
     assert off == base
 
 
+def test_curation_v4_null_text_docs_compose(spark):
+    """r12: NULL-text docs through the full v4 composition. With the
+    NULL-text line-dedup fix a NULL doc now REACHES the downstream
+    stages (as empty text) instead of vanishing at the line stage —
+    this pins that (a) the flagship neither crashes nor double-counts
+    on NULL/empty input docs, (b) the stage≡standalone-pre-trim
+    composition law still holds on corpora containing them, and (c)
+    the gated output equals the line_dedup=False run (NULL/empty docs
+    carry no tokens, so every gate treats them identically either
+    way)."""
+    from mongo_polars_reconciliation_spark.extensions.curation import (
+        curate_corpus_v2,
+    )
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        line_dedup_trim,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota the"
+                " be to of and that have with more words for quality."),
+            (2, None),
+            (3, ""),
+            (4, "north south east west up down left right center middle"
+                " the be to of and that have with extra gate words."),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(999, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(
+            docs, bench, min_quality=0.0, line_dedup=True
+        ).collect()
+    }
+    trimmed = (
+        line_dedup_trim(docs)
+        .where(F.col("n_kept") > 0)
+        .select("doc_id", F.col("text_kept").alias("text"))
+    )
+    want = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(trimmed, bench, min_quality=0.0).collect()
+    }
+    assert got == want
+    off = {
+        r["pred_lang"]: (r["n_docs"], r["total_ws_tokens"])
+        for r in curate_corpus_v2(
+            docs, bench, min_quality=0.0, line_dedup=False
+        ).collect()
+    }
+    assert got == off
+    assert sum(n for n, _ in got.values()) == 2  # the two real docs
+
+
 _pii_frag = st.sampled_from(
     ["plain words here", "a.b@x.org", "john.doe@example.com", "555-123-4567",
      "192.168.1.77", "10.0.0.5", "not-a-phone 55-123-4567", "v1.2.3.4x",

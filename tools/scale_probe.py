@@ -286,8 +286,42 @@ def probe_line_dedup(spark, docs):
     return time.perf_counter() - t0
 
 
+def probe_pii_scrub(spark, docs):
+    """r12: PII scrub including the Luhn card stage — a zero-exchange
+    map projection whose cost must scale with scanned bytes and nothing
+    else. The blow-up injects a fixed doc_id-keyed FRACTION of
+    card/email/phone/IP hits (including a Luhn-invalid run the filter
+    must reject), so per-doc regex work is constant and total work
+    grows linearly by construction — superlinear growth here would mean
+    the candidate fold somehow became corpus-shaped."""
+    from mongo_polars_reconciliation_spark.extensions.text import pii_scrub
+
+    t = F.col("text")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                t, F.lit(" pay 4532-0151-1283-0366 or a@b.co at 10.0.0.5")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                t, F.lit(" ref 1234-5678-9012-3456 call 555-123-4567")
+            ),
+        )
+        .otherwise(t)
+        .alias("text"),
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    pii_scrub(injected).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("scale_probe", cpus=cpus, shuffle_partitions=cpus)
     spark.range(10).count()
@@ -302,7 +336,14 @@ def main() -> None:
         ("ivfpq_probe", emb_at, probe_ivfpq),
         # r11: line dedup with factor-hot shared footer lines
         ("line_dedup_trim", docs_at, probe_line_dedup),
+        # r12: the Luhn-staged PII scrub (map-only; linearity evidence)
+        ("pii_scrub", docs_at, probe_pii_scrub),
     ]
+    if only is not None:
+        unknown = only - {n for n, _, _ in probes}
+        if unknown:
+            raise SystemExit(f"scale_probe: unknown probe(s) {sorted(unknown)}")
+        probes = [p for p in probes if p[0] in only]
     for name, mk, run in probes:
         run(spark, mk(spark, 1))  # warm: JVM/codegen/scan caches
         t1 = run(spark, mk(spark, 1))
