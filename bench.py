@@ -180,9 +180,9 @@ def main() -> None:
     # denominator, so its sampling definition must never change between
     # rounds (extra control samples would deflate control_min and
     # inflate every >2 s query's normalized ratio against older records).
-    # NOTE the same caveat applies to the per-query MEANS of sub-2 s
-    # queries: from r11 on they average 4 samples (2 of them warmer)
-    # instead of 2 — compare MINS across rounds, as always.
+    # The per-query MEANS are immune since r12: mean() below slices
+    # ts[:reps], so extra samples tighten the MIN only (see the r12
+    # advice note at mean()).
     extra_reps_below_sec = 2.0
     extra_reps = 2
     control = "q1_pricing_summary"

@@ -294,21 +294,28 @@ PII_CARD_PATTERN = r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"
 def _luhn_valid(cand: Column) -> Column:
     """Luhn mod-10 validity of a 16-digit card candidate (separators
     stripped), as a pure built-in expression: with 16 digits, the
-    1-based ODD positions from the left are the every-second-from-the-
-    right digits the checksum doubles (subtracting 9 when the double
-    exceeds 9). ``substr``/arithmetic only — mirrors verbatim in any
-    SQL dialect, no UDF."""
-    digits = F.regexp_replace(cand, "[- ]", "")
+    1-based ODD positions from the left (0-based EVEN transform
+    indices) are the every-second-from-the-right digits the checksum
+    doubles (subtracting 9 when the double exceeds 9). split/arithmetic
+    only — mirrors verbatim in any SQL dialect, no UDF.
 
-    def term(i: Column) -> Column:
-        d = digits.substr(i, F.lit(1)).cast("int")
-        dbl = d * 2
+    Shape note (r12 review): the walk is a ``transform`` over
+    ``split(stripped, '')`` — the separator-stripping regexp_replace
+    appears ONCE in the expression tree. Higher-order-function lambdas
+    get no common-subexpression elimination, so the earlier
+    sequence(1,16) + substr(stripped, i, 1) form inlined (and
+    re-evaluated) the strip 16 times per candidate."""
+    chars = F.split(F.regexp_replace(cand, "[- ]", ""), "")
+
+    def term(d: Column, i: Column) -> Column:
+        x = d.cast("int")
+        dbl = x * 2
         return F.when(
-            i % 2 == 1, F.when(dbl > 9, dbl - 9).otherwise(dbl)
-        ).otherwise(d)
+            i % 2 == 0, F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        ).otherwise(x)
 
     total = F.aggregate(
-        F.transform(F.sequence(F.lit(1), F.lit(16)), term),
+        F.transform(chars, term),
         F.lit(0),
         lambda acc, x: acc + x,
     )

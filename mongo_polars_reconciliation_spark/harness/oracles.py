@@ -2658,20 +2658,23 @@ s1 AS (
   FROM docs_p
 ),
 cards AS (
+  -- the inner single-element list_transform binds the stripped digit
+  -- string ONCE per candidate (lambdas get no common-subexpression
+  -- elimination — an inlined strip would re-run per digit term);
+  -- string_split(s, '') walks the chars, 0-based even transform index
+  -- == 1-based odd Luhn position (1-based range index i -> i-1 parity
+  -- flip), mirroring the Spark expression exactly
   SELECT doc_id, text0, n_emails, text,
          list_filter(
            regexp_extract_all(text, '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b'),
-           c -> (list_sum(list_transform(range(1, 17), i ->
-             CASE WHEN i % 2 = 1
-                  THEN CASE
-                    WHEN 2 * CAST(substr(regexp_replace(c, '[- ]', '', 'g'),
-                                         i, 1) AS INT) > 9
-                    THEN 2 * CAST(substr(regexp_replace(c, '[- ]', '', 'g'),
-                                         i, 1) AS INT) - 9
-                    ELSE 2 * CAST(substr(regexp_replace(c, '[- ]', '', 'g'),
-                                         i, 1) AS INT) END
-                  ELSE CAST(substr(regexp_replace(c, '[- ]', '', 'g'),
-                                   i, 1) AS INT) END)) % 10 = 0)
+           c -> list_transform([regexp_replace(c, '[- ]', '', 'g')], s ->
+             (list_sum(list_transform(range(1, len(s) + 1), i ->
+               CASE WHEN i % 2 = 1
+                    THEN CASE WHEN 2 * CAST(substr(s, i, 1) AS INT) > 9
+                              THEN 2 * CAST(substr(s, i, 1) AS INT) - 9
+                              ELSE 2 * CAST(substr(s, i, 1) AS INT) END
+                    ELSE CAST(substr(s, i, 1) AS INT) END)) % 10 = 0)
+           )[1]
          ) AS valid
   FROM s1
 ),
