@@ -2622,12 +2622,50 @@ FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
 # the PREVIOUS stage's text (emails mask their host parts from the IP
 # stage), replacement is global ('g'). The CARD stage replays the
 # Spark-side semantics exactly: extract 16-digit candidates, keep only
-# those passing the Luhn mod-10 check (list_filter over substr digits —
-# 1-based odd positions doubled), count the valid matches, then
+# those passing the Luhn mod-10 check, count the valid matches, then
 # fold-replace each valid candidate \b-anchored in match order
 # (list_reduce seeded by list_prepend). NULL text: counts computed on
 # COALESCE(text,'') are 0; text_scrubbed stays NULL. The regex subset is
 # dialect-portable (no lookaround/backrefs), so Java and RE2 agree.
+#
+# The card stage is a standalone fragment so tests can drive it on
+# adversarial corpora directly (tests/test_properties.py runs it in
+# DuckDB against the Python `re` replay — the third side of the
+# Spark≡Python≡DuckDB triangle; the fixture-driven parity sweep only
+# exercises the three injected card shapes). It consumes a CTE named
+# s1 carrying (doc_id, ..., text) and yields sC with n_cards and the
+# card-scrubbed text.
+PII_CARD_STAGE_SQL = r"""cards AS (
+  -- the inner single-element list_transform binds the stripped digit
+  -- string ONCE per candidate (lambdas get no common-subexpression
+  -- elimination — an inlined strip would re-run per digit term);
+  -- string_split(s, '') walks the chars, 0-based even transform index
+  -- == 1-based odd Luhn position (1-based range index i -> i-1 parity
+  -- flip), mirroring the Spark expression exactly
+  SELECT *,
+         list_filter(
+           regexp_extract_all(text, '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b'),
+           c -> list_transform([regexp_replace(c, '[- ]', '', 'g')], s ->
+             (list_sum(list_transform(range(1, len(s) + 1), i ->
+               CASE WHEN i % 2 = 1
+                    THEN CASE WHEN 2 * CAST(substr(s, i, 1) AS INT) > 9
+                              THEN 2 * CAST(substr(s, i, 1) AS INT) - 9
+                              ELSE 2 * CAST(substr(s, i, 1) AS INT) END
+                    ELSE CAST(substr(s, i, 1) AS INT) END)) % 10 = 0)
+           )[1]
+         ) AS valid
+  FROM s1
+),
+sC AS (
+  SELECT * EXCLUDE (valid, text),
+         CAST(len(valid) AS BIGINT) AS n_cards,
+         list_reduce(
+           list_prepend(text, valid),
+           (acc, c) -> regexp_replace(acc, '\b' || c || '\b', '<CARD>', 'g')
+         ) AS text
+  FROM cards
+)"""
+
 ORACLES["text_pii_scrub"] = r"""
 WITH docs_p AS (
   SELECT doc_id,
@@ -2657,36 +2695,7 @@ s1 AS (
            AS text
   FROM docs_p
 ),
-cards AS (
-  -- the inner single-element list_transform binds the stripped digit
-  -- string ONCE per candidate (lambdas get no common-subexpression
-  -- elimination — an inlined strip would re-run per digit term);
-  -- string_split(s, '') walks the chars, 0-based even transform index
-  -- == 1-based odd Luhn position (1-based range index i -> i-1 parity
-  -- flip), mirroring the Spark expression exactly
-  SELECT doc_id, text0, n_emails, text,
-         list_filter(
-           regexp_extract_all(text, '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b'),
-           c -> list_transform([regexp_replace(c, '[- ]', '', 'g')], s ->
-             (list_sum(list_transform(range(1, len(s) + 1), i ->
-               CASE WHEN i % 2 = 1
-                    THEN CASE WHEN 2 * CAST(substr(s, i, 1) AS INT) > 9
-                              THEN 2 * CAST(substr(s, i, 1) AS INT) - 9
-                              ELSE 2 * CAST(substr(s, i, 1) AS INT) END
-                    ELSE CAST(substr(s, i, 1) AS INT) END)) % 10 = 0)
-           )[1]
-         ) AS valid
-  FROM s1
-),
-sC AS (
-  SELECT doc_id, text0, n_emails,
-         CAST(len(valid) AS BIGINT) AS n_cards,
-         list_reduce(
-           list_prepend(text, valid),
-           (acc, c) -> regexp_replace(acc, '\b' || c || '\b', '<CARD>', 'g')
-         ) AS text
-  FROM cards
-),
+""" + PII_CARD_STAGE_SQL + r""",
 s2 AS (
   SELECT doc_id, text0, n_emails, n_cards,
          CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))

@@ -2064,6 +2064,78 @@ def test_pii_scrub_random_texts_match_python_re(spark, texts):
     assert got == want
 
 
+def test_pii_card_stage_duckdb_matches_python_re():
+    """r12: the THIRD side of the card stage's engine triangle. The
+    fixture-driven parity sweep pins Spark≡DuckDB on the three injected
+    card shapes only, and the hypothesis replay pins Spark≡Python on
+    adversarial strings — this closes DuckDB≡Python on those same
+    adversarial strings, so a dialect drift in the oracle's
+    list_filter/list_reduce Luhn fragment can't hide behind benign
+    fixtures. Drives the ORACLE's actual SQL fragment
+    (harness.oracles.PII_CARD_STAGE_SQL), not a copy."""
+    import re as _re
+
+    import duckdb
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        PII_CARD_PATTERN,
+    )
+    from mongo_polars_reconciliation_spark.harness.oracles import (
+        PII_CARD_STAGE_SQL,
+    )
+
+    texts = [
+        "pay 4532015112830366 today",
+        "card 4532-0151-1283-0366 on file",
+        "or 4532 0151 1283 0366 spaced",
+        "ref 1234-5678-9012-3456 code",
+        "run 12345678901234567 long",               # 17 digits — no \b split
+        "short 123456789012345 run",                # 15 digits
+        "two 4532015112830366 and 4532015112830366",  # repeated valid card
+        "mixed 4532-0151 1283-0366 separators",
+        "overlap 1111-2222-3333-4444-5555 tail",
+        "adjacent x4532015112830366 no boundary",
+        "digits4532015112830366",                    # leading word char
+        "valid then invalid 4532015112830366 1234567890123456",
+        "",
+        "just words no digits at all",
+        "4532015112830366",                          # the whole text IS a card
+    ]
+
+    def luhn_ok(c):
+        digits = _re.sub(r"[- ]", "", c)
+        s = 0
+        for i, ch in enumerate(digits):
+            x = int(ch)
+            if i % 2 == 0:
+                x *= 2
+                if x > 9:
+                    x -= 9
+            s += x
+        return s % 10 == 0
+
+    want = {}
+    for did, t in enumerate(texts):
+        valid = [c for c in _re.findall(PII_CARD_PATTERN, t) if luhn_ok(c)]
+        out = t
+        for c in valid:
+            out = _re.sub(r"\b" + _re.escape(c) + r"\b", "<CARD>", out)
+        want[did] = (len(valid), out)
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "WITH s1 AS (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+        + " ) t(doc_id, text)),\n"
+        + PII_CARD_STAGE_SQL
+        + "\nSELECT doc_id, n_cards, text FROM sC",
+        texts,
+    ).fetchall()
+    con.close()
+    got = {r[0]: (r[1], r[2]) for r in rows}
+    assert got == want
+
+
 def test_pii_scrub_luhn_edge_pins(spark):
     """r12 handcrafted pins for the card stage: a Luhn-valid plain card,
     the same card hyphen- and space-separated, a Luhn-INVALID run that
