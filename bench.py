@@ -47,7 +47,6 @@ SECONDARY = [
     "dedup_clusters",
     "dedup_clusters_star",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh_capped",
     "text_quality",
     "text_ngram_freq",
     "text_repetition",
@@ -106,7 +105,6 @@ SECONDARY = [
     "mm_payload_near_dup",
     "stream_ingest_neardup",
     # r10 additions
-    "mm_payload_near_dup_capped",
     "sim_centroid_roundtrip",
     "sim_ingest_semantic",
     "dedup_ingest_waves",
@@ -211,6 +209,11 @@ def main() -> None:
     # that drift tooling would read as a phantom improvement. Extra
     # samples tighten the MIN only (their whole purpose); per-query
     # sample counts are recorded so tooling can see the policy.
+    # Caveat (r13, advice): r11 is the ONE round whose committed record
+    # computed sub-2 s means over all 4 adaptive samples (the policy
+    # landed in r11, the first-reps slice in r12) — r12+ means compared
+    # to the r11 record show a one-time phantom UPWARD step on those
+    # queries. Compare MINs across r11, as warmup_policy advises.
     def mean(ts: list[float]) -> float:
         head = ts[:reps]
         return round(sum(head) / len(head), 3)
@@ -264,7 +267,9 @@ def main() -> None:
             "definition older records were measured under; since r12 the "
             "MEAN too is computed over only the first `reps` samples "
             "(advice — extra warm samples were deflating sub-2 s means vs "
-            "pre-r11 records), so extra reps tighten the min ONLY"
+            "pre-r11 records), so extra reps tighten the min ONLY; "
+            "r11 is the one round whose sub-2 s means used all 4 samples "
+            "— compare MINs across r11"
         ),
         "fixture_warm_sec": fixture_warm,
         "sf": float(sf),

@@ -41,8 +41,9 @@ def curate_corpus(
     — the production corpus build should set it (default 1000) so one
     boilerplate band key can never turn the bucket self-join into B² pairs;
     ``None`` keeps exact mode. At test scale no bucket approaches the
-    default cap, so capped and exact results coincide — which is exactly
-    what the ``dedup_minhash_lsh_capped`` oracle query pins."""
+    default cap, so capped and exact results coincide — pinned on the
+    driver fixture by tests/test_lsh_cap.py (formerly the retired
+    ``dedup_minhash_lsh_capped`` oracle query's check)."""
     # 0. ONE narrow (id, text) projection feeds every stage (r8): the
     # exact-dedup digest and the keeper join each re-scanned the source
     # parquet before; checkpointing the projection makes the corpus text

@@ -21,6 +21,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mongo_polars_reconciliation_spark.extensions.ingest_kernel import (
+    admit_sequential,
+    combined_cap_keys,
+    digest_novel_keepers,
+    greedy_admit as _greedy_admit,  # shared kernel; re-exported — the
+    # similarity/multimodal ingest faces and the property tests import
+    # it from here (moved verbatim in r13, value-identical)
+)
+
 # Universal-hash constants: h_j(x) = (A_j * x + B_j) mod P. Deterministic
 # literals so the oracle SQL can reproduce them.
 MINHASH_P = 8191
@@ -78,23 +87,15 @@ def ingest_novel(
     the digest against the state. Both sides shuffle on the digest; a
     production state table is BUCKETED by text_hash so the anti-join is
     shuffle-free on the (huge) state side and only the new batch moves.
-    Nothing driver-side; output ≤ distinct-batch-digests rows."""
+    Nothing driver-side; output ≤ distinct-batch-digests rows. Body =
+    the shared kernel's phase-1 verbatim (ingest_kernel.py, r13) plus
+    this family's digest rule."""
     dg = F.md5(
         F.coalesce(F.col(text_col), F.lit("")).cast("binary")
     ).alias("__dg")
-    keepers = (
-        new_docs.select(F.col(id_col), dg)
-        .groupBy("__dg")
-        .agg(F.min(id_col).alias(id_col))
-    )
-    return (
-        keepers.join(
-            state_digests.select(F.col("text_hash").alias("__dg")),
-            "__dg",
-            "left_anti",
-        )
-        .select(F.col(id_col), F.col("__dg").alias("text_hash"))
-    )
+    return digest_novel_keepers(
+        new_docs.select(F.col(id_col), dg), state_digests, id_col, "text_hash"
+    ).select(F.col(id_col), F.col("__dg").alias("text_hash"))
 
 
 def band_state(
@@ -132,73 +133,6 @@ def band_state(
             "bband"
         ),
         F.col(id_col),
-    )
-
-
-def _greedy_admit(
-    candidates: DataFrame,
-    edges: DataFrame,
-    id_col: str,
-    max_iter: int = 25,
-) -> DataFrame:
-    """Sequential-arrival admission over a verified near-dup pair graph:
-    admit a doc iff NO already-ADMITTED lower id is a verified near-dup
-    of it — the greedy maximal independent set in id order, which is the
-    one rule that makes batched ingest equal doc-at-a-time ingest
-    (admission is indifferent to batch boundaries that respect id order,
-    and re-delivering an ingested batch admits nothing: every rejected
-    doc is, by construction, a verified near-dup of an admitted lower
-    doc that now sits in the state).
-
-    Keep-lowest-per-PAIR (curation's rule) or per-CLUSTER (connected
-    components) both break that contract: a doc can be dropped because
-    of a neighbor that itself was never admitted, so on re-delivery (or a
-    different batch split) nothing in the state blocks it and it slips
-    in. Measured on the r8 ingest pins' counter-example shapes in
-    tests/test_properties.py.
-
-    Iterative topological wave, one join + one groupBy per round: a node
-    is REJECTED once any lower neighbor is admitted, ADMITTED once every
-    lower neighbor is rejected (vacuously, when it has none). Statuses
-    are final once decided, so rounds needed = longest dependency chain
-    in the pair DAG (tiny for real near-dup graphs); ``max_iter`` is the
-    loud safety bound, and oracle-facing callers pin it to the unrolled
-    round count of their SQL mirror so the engines cannot silently
-    diverge. Status frames are localCheckpoint'ed per round (the lineage
-    lesson of dedup_clusters)."""
-    e = edges.select(F.col("lo"), F.col("hi")).localCheckpoint(eager=False)
-    status = candidates.select(
-        F.col(id_col).alias("node"), F.lit("U").alias("st")
-    ).localCheckpoint(eager=False)
-    for _ in range(max_iter):
-        low = (
-            e.join(status, e["lo"] == status["node"])
-            .groupBy("hi")
-            .agg(
-                F.max((F.col("st") == "A").cast("int")).alias("any_a"),
-                F.max((F.col("st") != "R").cast("int")).alias("any_nonr"),
-            )
-        )
-        status = (
-            status.join(low, status["node"] == low["hi"], "left")
-            .select(
-                F.col("node"),
-                F.when(F.col("st") != "U", F.col("st"))
-                .when(F.col("any_a") == 1, F.lit("R"))
-                .when(F.coalesce(F.col("any_nonr"), F.lit(0)) == 0, F.lit("A"))
-                .otherwise(F.lit("U"))
-                .alias("st"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        if status.where(F.col("st") == "U").count() == 0:
-            return status.where(F.col("st") == "A").select(
-                F.col("node").alias(id_col)
-            )
-    raise RuntimeError(
-        f"_greedy_admit did not converge in {max_iter} rounds — the verified "
-        "pair graph has a dependency chain longer than the bound; raise "
-        "max_iter (and the oracle's unrolled round count with it)"
     )
 
 
@@ -240,10 +174,14 @@ def ingest_novel_neardup(
     (batch, history) pairs, exact-Jaccard-verified at ``threshold`` over
     shingles — history shingles computed only for collision candidates;
     (3) the remaining batch docs' candidate pairs among THEMSELVES,
-    verified the same way, feed :func:`_greedy_admit` (sequential-
-    arrival greedy, see there for why per-pair/per-cluster keep-lowest
-    break idempotence). Docs with no shingles (< n tokens) are
-    exact-dedup-only by construction.
+    verified the same way, feed the shared admission tail
+    (``ingest_kernel.admit_sequential`` → ``greedy_admit``; see there
+    for why per-pair/per-cluster keep-lowest break idempotence). Docs
+    with no shingles (< n tokens) are exact-dedup-only by construction.
+    Phases 1 (digest keepers) and the hot-bucket cap are the kernel's
+    too (r13 extraction); this body keeps only the text-family pieces —
+    MinHash band keys, the ghost-row/survivor-exclusion rules below,
+    and exact-Jaccard verification.
 
     ``max_bucket_size`` (r10: extended from within-batch-only to BOTH
     collision joins, the ``ingest_novel_payloads`` treatment): a
@@ -272,17 +210,9 @@ def ingest_novel_neardup(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
     dg = F.md5(F.col(text_col).cast("binary")).alias("__dg")
-    keep1 = (
-        b.select(F.col(id_col), dg)
-        .groupBy("__dg")
-        .agg(F.min(id_col).alias(id_col))
-        .join(
-            state_digests.select(F.col("text_hash").alias("__dg")),
-            "__dg",
-            "left_anti",
-        )
-        .localCheckpoint(eager=False)
-    )
+    keep1 = digest_novel_keepers(
+        b.select(F.col(id_col), dg), state_digests, id_col, "text_hash"
+    ).localCheckpoint(eager=False)
     kept = b.join(keep1.select(id_col), id_col).localCheckpoint(eager=False)
 
     # batch band keys (wide signatures — the minhash_near_dups shape)
@@ -317,16 +247,7 @@ def ingest_novel_neardup(
         hits = hits.join(
             bk_h.select("bband").distinct(), "bband"
         ).localCheckpoint(eager=False)
-        nb = bk_h.groupBy("bband").agg(F.count(F.lit(1)).alias("__nb"))
-        nh = hits.groupBy("bband").agg(F.count(F.lit(1)).alias("__nh"))
-        ok = (
-            nb.join(nh, "bband", "left")
-            .where(
-                F.col("__nb") + F.coalesce(F.col("__nh"), F.lit(0))
-                <= max_bucket_size
-            )
-            .select("bband")
-        )
+        ok = combined_cap_keys(bk_h, hits, "bband", max_bucket_size)
         bk_h = bk_h.join(ok, "bband")
         hits = hits.join(ok, "bband")
     # Self-pairs (__bid == __hid) are impossible for legitimate input (ids
@@ -396,17 +317,12 @@ def ingest_novel_neardup(
     pairs = _pairs_from_band_keys(
         bk2.select(id_col, "band", "bkey"), id_col, max_bucket_size
     )
-    # checkpoint the verified edge set: it is consumed three times (both
-    # legs of the candidate-node union + the greedy loop's own leaf)
     edges = jaccard_verify(pairs, sh_b, id_col, threshold).select(
         F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
-    ).localCheckpoint(eager=False)
-    paired = edges.select(F.col("lo").alias(id_col)).unionByName(
-        edges.select(F.col("hi").alias(id_col))
-    ).distinct().localCheckpoint(eager=False)
-    admitted_mis = _greedy_admit(paired, edges, id_col, mis_max_iter)
-    unpaired = kept2.select(id_col).join(paired, id_col, "left_anti")
-    admitted = unpaired.unionByName(admitted_mis)
+    )
+    admitted = admit_sequential(
+        kept2.select(id_col), edges, id_col, mis_max_iter
+    )
     return keep1.join(admitted, id_col).select(
         F.col(id_col), F.col("__dg").alias("text_hash")
     )

@@ -85,7 +85,7 @@ def decode_image(payload_bytes: bytes) -> "object":
 
     STUB (SURVEY.md §2.9): raises so callers fail loudly rather than fake
     imagery; ``extract_features`` is the deterministic-fake path used by
-    tests and the oracle. Probed again 2026-08-15 (round 12): PIL, cv2,
+    tests and the oracle. Probed again 2026-08-15 (round 13): PIL, cv2,
     torchvision all absent and the container has no network (DNS fails) to
     install any — the stub stands."""
     raise NotImplementedError(
@@ -184,8 +184,9 @@ def payload_near_dups(
     whose overlap is MOSTLY degenerate blocks can fall under
     ``threshold`` — exactly the intended behavior, audited (never
     silent) via :func:`payload_dropped_buckets`. Default None = exact;
-    the ``mm_payload_near_dup_capped`` query pins capped ≡ exact on the
-    test fixture (no degenerate block there), the hot-bucket unit test
+    tests/test_lsh_cap.py pins capped ≡ exact on the driver fixture at
+    cap 1000 (no degenerate block there — formerly the retired
+    ``mm_payload_near_dup_capped`` query's check), the hot-bucket unit test
     pins the skip on a synthetic zero-padded corpus. Singleton buckets
     are always pruned — they cannot form a pair, and dropping them
     before the join shrinks both join inputs (the
@@ -325,23 +326,17 @@ def ingest_novel_payloads(
     same way, feeding the sequential-arrival greedy admission
     (batch-split + redelivery properties pinned in
     tests/test_properties.py)."""
-    from mongo_polars_reconciliation_spark.extensions.dedup import (
-        _greedy_admit,
+    from mongo_polars_reconciliation_spark.extensions.ingest_kernel import (
+        admit_sequential,
+        combined_cap_keys,
+        digest_novel_keepers,
     )
 
     empty_bin = F.lit("").cast("binary")
     dg = F.md5(F.coalesce(F.col(payload_col), empty_bin)).alias("__dg")
-    keep1 = (
-        new_mm.select(F.col(id_col), dg)
-        .groupBy("__dg")
-        .agg(F.min(id_col).alias(id_col))
-        .join(
-            state_digests.select(F.col("payload_hash").alias("__dg")),
-            "__dg",
-            "left_anti",
-        )
-        .localCheckpoint(eager=False)
-    )
+    keep1 = digest_novel_keepers(
+        new_mm.select(F.col(id_col), dg), state_digests, id_col, "payload_hash"
+    ).localCheckpoint(eager=False)
     kept = new_mm.join(keep1.select(id_col), id_col)
     bk = payload_block_state(
         kept, block_bytes, id_col, payload_col
@@ -360,16 +355,7 @@ def ingest_novel_payloads(
         .localCheckpoint(eager=False)
     )
     if max_bucket_size is not None:
-        nb = bk.groupBy("bblock").agg(F.count(F.lit(1)).alias("__nb"))
-        nh = hits.groupBy("bblock").agg(F.count(F.lit(1)).alias("__nh"))
-        ok = (
-            nb.join(nh, "bblock", "left")
-            .where(
-                F.col("__nb") + F.coalesce(F.col("__nh"), F.lit(0))
-                <= max_bucket_size
-            )
-            .select("bblock")
-        )
+        ok = combined_cap_keys(bk, hits, "bblock", max_bucket_size)
         bk = bk.join(ok, "bblock").localCheckpoint(eager=False)
         hits = hits.join(ok, "bblock")
     dropped_hist = (
@@ -444,17 +430,8 @@ def ingest_novel_payloads(
             >= threshold
         )
         .select(F.col("__ida").alias("lo"), F.col("__idb").alias("hi"))
-        .localCheckpoint(eager=False)
     )
-    paired = (
-        edges.select(F.col("lo").alias(id_col))
-        .unionByName(edges.select(F.col("hi").alias(id_col)))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    admitted_mis = _greedy_admit(paired, edges, id_col, mis_max_iter)
-    unpaired = kept2.join(paired, id_col, "left_anti")
-    admitted = unpaired.unionByName(admitted_mis)
+    admitted = admit_sequential(kept2, edges, id_col, mis_max_iter)
     return keep1.join(admitted, id_col).select(
         F.col(id_col), F.col("__dg").alias("payload_hash")
     )

@@ -1516,10 +1516,14 @@ def ingest_novel_semantic(
     (2) block collisions vs the assignment STATE → candidate (batch,
     history) pairs, cosine-verified against only the colliding history
     vectors; (3) survivors' within-batch block pairs verified the same
-    way feed the sequential-arrival greedy admission (_greedy_admit —
-    see there for why per-pair/per-cluster keep-lowest break redelivery
+    way feed the shared sequential-arrival admission tail
+    (``ingest_kernel.admit_sequential`` → ``greedy_admit`` — see there
+    for why per-pair/per-cluster keep-lowest break redelivery
     idempotence and batch-split equivalence; both properties pinned in
-    tests/test_properties.py for this operator too).
+    tests/test_properties.py for this operator too). This family has no
+    digest phase (an exact re-upload is cosine 1.0) and no hot-bucket
+    cap (block population is bounded by the fitted nlist geometry), so
+    only the tail is kernel code.
 
     Scale shape: phase 2's collision join hits a state table bucketed by
     blk (plan pin in tests/test_bucketing.py), so the accumulated
@@ -1528,8 +1532,8 @@ def ingest_novel_semantic(
     nprobe × block size like every fitted-block self-join. The Arrow
     pair-dot kernel scores each pair once; all cosines are 6-dp rounded
     before thresholding, so the DuckDB oracle replays every decision."""
-    from mongo_polars_reconciliation_spark.extensions.dedup import (
-        _greedy_admit,
+    from mongo_polars_reconciliation_spark.extensions.ingest_kernel import (
+        admit_sequential,
     )
 
     ba = probe_assignments(
@@ -1618,17 +1622,8 @@ def ingest_novel_semantic(
         )
         .where(F.col("__cos") >= threshold)
         .select(F.col("__ida").alias("lo"), F.col("__idb").alias("hi"))
-        .localCheckpoint(eager=False)
     )
-    paired = (
-        edges.select(F.col("lo").alias(id_col))
-        .unionByName(edges.select(F.col("hi").alias(id_col)))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    admitted_mis = _greedy_admit(paired, edges, id_col, mis_max_iter)
-    unpaired = kept.join(paired, id_col, "left_anti")
-    return unpaired.unionByName(admitted_mis)
+    return admit_sequential(kept, edges, id_col, mis_max_iter)
 
 
 def semantic_dedup(

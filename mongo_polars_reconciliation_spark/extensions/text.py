@@ -304,7 +304,17 @@ def _luhn_valid(cand: Column) -> Column:
     appears ONCE in the expression tree. Higher-order-function lambdas
     get no common-subexpression elimination, so the earlier
     sequence(1,16) + substr(stripped, i, 1) form inlined (and
-    re-evaluated) the strip 16 times per candidate."""
+    re-evaluated) the strip 16 times per candidate.
+
+    Version-floor dependency (r13, advice): this relies on
+    ``split(s, '')`` NOT emitting a trailing empty element — the
+    SPARK-40194 semantics, Spark >= 3.4. On older Spark the trailing
+    ``''`` would cast to a NULL int, poison the aggregate's sum, and
+    silently mark EVERY card Luhn-invalid (no redaction, counts 0) —
+    a silent failure, not a loud one. Safe on the pinned pyspark 4.1.2;
+    if the version floor ever drops below 3.4, append a
+    ``filter(chars, x -> x != '')`` (and the same in the oracle's
+    ``list_filter``)."""
     chars = F.split(F.regexp_replace(cand, "[- ]", ""), "")
 
     def term(d: Column, i: Column) -> Column:
@@ -348,6 +358,18 @@ def pii_scrub(
     Luhn-VALID matches; replacement folds over the valid candidates in
     match order, rewriting each one word-boundary-anchored — an invalid
     candidate (a random 16-digit run) is left intact and audited as 0.
+
+    Cross-class boundary (r13, advice — INTENDED): because CARD runs
+    before PHONE, the card candidate scan can match ACROSS a phone
+    number's tail — ``call 555-123-4567 8901 2345 6783`` yields the
+    candidate ``4567 8901 2345 6783``, which is Luhn-valid and is
+    redacted, leaving a mangled phone and n_phones=0 for that doc. This
+    over-redacts in the SAFE direction (more digits masked, never
+    fewer), is consistent across all three engines (the oracle and the
+    Python replay make the same choice), and is pinned by a hypothesis
+    fragment pairing a phone with a trailing digit run. A release gate
+    that must preserve phone audit counts in that corner would need a
+    lookbehind-free two-pass design — out of scope here.
 
     NULL text scores as EMPTY (r12, the r11 verdict's finding): all
     audit counts are 0 — not NULL — and ``text_scrubbed`` stays NULL
@@ -826,6 +848,62 @@ def _isqrt_dec_steps(df: DataFrame, src: str, out: str) -> DataFrame:
     return df.drop(t0, t1, t2)
 
 
+def _isqrt_unscale_steps(
+    df: DataFrame, root_col: str, q_col: str, denom: int, out: str
+) -> DataFrame:
+    """Append ``out`` = exact isqrt of DECIMAL(38,0) ``q_col``, seeded
+    from ``root_col`` = isqrt of the SAME quotient computed at a
+    ``denom``²-finer scale (the α=3/4 fusion, r13: w_{1/2} recovered
+    from the q4 chain's first root instead of a second full Newton
+    chain). Precondition: with x the underlying real quotient,
+    ``q_col`` = floor(x) and ``root_col`` = isqrt(floor(x·denom²)) —
+    exactly the ``_div_exact(n_max·d², n)`` / ``isqrt(_div_exact(
+    n_max·d⁴, n))`` pair, since floor(x·d²) absorbs the outer floor.
+
+    Exactness: c = root DIV denom = floor(sqrt(floor(x·d²))/d) and
+    isqrt(floor(x)) are both floors of reals inside [√(x−1), √x]
+    (lower: floor(x·d²) ≥ floor(x)·d²; upper: √x < √(floor(x)+1) ≤
+    √floor(x)+1), an interval of width < 1, and c ≥ isqrt(floor(x)),
+    so c ∈ {w, w+1}: ONE down-correction lands on the spec value,
+    bit-identically (property-pinned vs math.isqrt across the full
+    decimal range and vs the unfused chain). The up-correction is the
+    module-standard belt — it cannot fire for an in-contract seed.
+
+    ANSI overflow discipline (the _isqrt_dec_steps rules): the seed is
+    clamped to isqrt(10^38−1) before its plain square (at q near the
+    decimal ceiling, w+1 squared would overflow and ANSI THROWS); the
+    up-correction uses try_multiply (NULL-on-overflow compares false —
+    the correct branch). NULL must propagate, not corrupt: a NULL seed
+    (non-ANSI overflow of the finer-scale chain) rides through least()
+    — which SKIPS null operands — as the smax clamp, so the final
+    branch re-derives NULL from either input being NULL (downstream,
+    mix_temperature's loud raise_error guard fires on the NULL weight
+    exactly as with the unfused chain)."""
+    q = F.col(q_col).cast("decimal(38,0)")
+    one = F.lit(1).cast("decimal(38,0)")
+    dd = F.lit(denom).cast("decimal(38,0)")
+    smax = F.lit(_ISQRT_DEC_MAX).cast("decimal(38,0)")
+    t = f"__{out}_c"
+    df = df.withColumn(
+        t, F.least(_div_exact(F.col(root_col), dd), smax)
+    )
+    c = F.col(t)
+    df = df.withColumn(t, F.when(c * c > q, c - one).otherwise(c))
+    c = F.col(t)
+    df = df.withColumn(
+        t,
+        F.when(F.try_multiply(c + one, c + one) <= q, c + one).otherwise(c),
+    )
+    df = df.withColumn(
+        out,
+        F.when(
+            q.isNull() | F.col(root_col).isNull(),
+            F.lit(None).cast("decimal(38,0)"),
+        ).otherwise(F.col(t)),
+    )
+    return df.drop(t)
+
+
 def mix_temperature(
     df: DataFrame,
     strata_col: str,
@@ -923,10 +1001,15 @@ def mix_temperature(
         wdf = _isqrt_dec_steps(wdf, "__q4", "__r4")
         wdf = _isqrt_dec_steps(wdf, "__r4", "__w")
     else:  # (3, 4): binary-expansion product w_{1/2} · w_{1/4} / denom
+        # fused chain (r13, VERDICT r12 #3): both roots come off the ONE
+        # q4 Newton chain — r4 = isqrt(q4) already carries w_{1/2} at
+        # denom-finer scale, so it is recovered by exact floor division
+        # + a ±1 ladder (:func:`_isqrt_unscale_steps`, bit-identical by
+        # the interval argument there) instead of a second full chain.
         wdf = wdf.withColumn("__q2", _div_exact(nmax * dd * dd, n))
         wdf = wdf.withColumn("__q4", _div_exact(nmax * dd * dd * dd * dd, n))
-        wdf = _isqrt_dec_steps(wdf, "__q2", "__wh")
         wdf = _isqrt_dec_steps(wdf, "__q4", "__r4")
+        wdf = _isqrt_unscale_steps(wdf, "__r4", "__q2", denom, "__wh")
         wdf = _isqrt_dec_steps(wdf, "__r4", "__wq4")
         wdf = wdf.withColumn(
             "__w", _div_exact(F.col("__wh") * F.col("__wq4"), dd)

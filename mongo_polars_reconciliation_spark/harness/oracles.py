@@ -922,12 +922,6 @@ FROM docs_aug GROUP BY 1
 """,
     "dedup_minhash_lsh": "WITH " + MINHASH_PAIR_CTES
     + "\nSELECT id_a, id_b, jacc_r FROM mh_pairs",
-    # capped variant: the Spark side runs with max_bucket_size=1000 (the
-    # production hot-bucket guard), and no test-scale bucket approaches the
-    # cap, so the correct answer IS exact mode — same CTEs; a divergence
-    # means the guard changed semantics when it should only bound cost
-    "dedup_minhash_lsh_capped": "WITH " + MINHASH_PAIR_CTES
-    + "\nSELECT id_a, id_b, jacc_r FROM mh_pairs",
     "dedup_clusters": "WITH RECURSIVE " + MINHASH_PAIR_CTES + """,
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM mh_pairs
@@ -3469,12 +3463,6 @@ HAVING FLOOR(CAST(COUNT(*) AS DOUBLE)
 # the one-batch admission (greedy batch-split property, property-pinned),
 # so the oracle is the batch oracle.
 ORACLES["stream_ingest_neardup"] = ORACLES["dedup_ingest_neardup"]
-
-# Capped payload near-dup (r10): on this fixture no block bucket exceeds
-# the cap, so capped == exact bit-for-bit (pinned in tests/test_lsh_cap.py)
-# and the query shares the exact oracle — the dedup_minhash_lsh_capped
-# treatment.
-ORACLES["mm_payload_near_dup_capped"] = ORACLES["mm_payload_near_dup"]
 
 # Centroid artifact round-trip (r10): fit -> parquet -> load -> assign is
 # bit-identical to fit-then-assign (parquet doubles are exact; property-

@@ -922,18 +922,12 @@ def dedup_minhash_lsh(spark, sf_dir) -> DataFrame:
     return minhash_near_dups(build_documents_aug(spark, sf_dir), hash_mode="poly")
 
 
-def dedup_minhash_lsh_capped(spark, sf_dir) -> DataFrame:
-    """MinHash-LSH with the production hot-bucket guard ENGAGED
-    (max_bucket_size=1000): the cap's groupBy/filter/join path runs for
-    real, and because no test-scale bucket approaches 1000 docs the result
-    must equal exact mode — the oracle therefore checks that the guard
-    configuration is semantics-preserving, not just that it exists."""
-    from mongo_polars_reconciliation_spark.extensions.dedup import minhash_near_dups
-    from mongo_polars_reconciliation_spark.harness.fixtures import build_documents_aug
-
-    return minhash_near_dups(
-        build_documents_aug(spark, sf_dir), hash_mode="poly", max_bucket_size=1000
-    )
+# dedup_minhash_lsh_capped RETIRED r13 (VERDICT r12 #5, registry
+# consolidation): the face was dedup_minhash_lsh plus the hot-bucket
+# guard at 1000, sharing the uncapped oracle — its entire check is
+# carried verbatim by
+# tests/test_lsh_cap.py::test_minhash_capped_equals_uncapped_on_fixture;
+# cap-ENGAGED behavior stays pinned by the hot-bucket tests there.
 
 
 def dedup_simhash(spark, sf_dir) -> DataFrame:
@@ -2387,27 +2381,12 @@ def mm_payload_near_dup(spark, sf_dir) -> DataFrame:
     )
 
 
-def mm_payload_near_dup_capped(spark, sf_dir) -> DataFrame:
-    """Production-mode payload near-dup probe (r10): the hot-bucket cap
-    set (1000, the LSH default) — a corpus-sized bucket of one common
-    aligned block (zero padding, shared format headers) is skipped
-    before the self-join instead of going quadratic. On this fixture no
-    block bucket exceeds the cap, so the output is bit-identical to
-    exact mode (pinned in tests/test_lsh_cap.py) and the query shares
-    the exact oracle — the ``dedup_minhash_lsh_capped`` treatment."""
-    from mongo_polars_reconciliation_spark.extensions.multimodal import (
-        payload_near_dups,
-    )
-    from mongo_polars_reconciliation_spark.harness.fixtures import (
-        build_mm_payload_aug,
-    )
-
-    return payload_near_dups(
-        build_mm_payload_aug(spark, sf_dir),
-        block_bytes=64,
-        threshold=0.5,
-        max_bucket_size=1000,
-    )
+# mm_payload_near_dup_capped RETIRED r13 (VERDICT r12 #5, registry
+# consolidation): the face was the uncapped query plus the hot-bucket
+# guard at 1000, sharing the uncapped oracle — its entire check (the
+# guard is semantics-preserving on this fixture) is carried verbatim by
+# tests/test_lsh_cap.py::test_payload_capped_equals_uncapped_on_fixture;
+# cap-ENGAGED behavior stays pinned by the hot-block tests there.
 
 
 def mm_payload_ingest(spark, sf_dir) -> DataFrame:
@@ -3086,7 +3065,6 @@ QUERIES = {
     "sim_ingest_semantic": sim_ingest_semantic,
     "dedup_ingest_waves": dedup_ingest_waves,
     "mm_payload_ingest": mm_payload_ingest,
-    "mm_payload_near_dup_capped": mm_payload_near_dup_capped,
     "dedup_clusters_quality": dedup_clusters_quality,
     "stream_ingest_semantic": stream_ingest_semantic,
     "stream_ingest_payloads": stream_ingest_payloads,
@@ -3139,7 +3117,6 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_simhash": dedup_simhash,
     "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_minhash_lsh_capped": dedup_minhash_lsh_capped,
     "dedup_clusters": dedup_clusters_cc,
     "dedup_clusters_star": dedup_clusters_star_cc,
     "q1_pricing_summary": q1_pricing_summary,

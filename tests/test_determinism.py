@@ -42,7 +42,7 @@ def _sorted_rows(df):
      "text_bpe_vocab_roundtrip", "text_quality_c4",
      "mm_payload_dedup", "mm_payload_near_dup",
      # r10 operators
-     "mm_payload_near_dup_capped", "sim_centroid_roundtrip",
+     "sim_centroid_roundtrip",
      "sim_ingest_semantic", "dedup_ingest_waves", "mm_payload_ingest",
      "dedup_clusters_quality", "sim_topk_pq", "sim_topk_ivfpq",
      "text_quality_gopher", "text_lm_buckets", "text_datacard_merge",

@@ -67,6 +67,33 @@ def test_uncapped_equals_generous_cap(spark):
     )
 
 
+def test_minhash_capped_equals_uncapped_on_fixture(spark):
+    """r13 (VERDICT r12 #5, registry consolidation): the exact
+    configuration the retired ``dedup_minhash_lsh_capped`` driver query
+    ran — ``minhash_near_dups(build_documents_aug, hash_mode='poly',
+    max_bucket_size=1000)`` at sf0.001 — is bit-identical to exact
+    mode, because no fixture bucket approaches the cap. This pin is the
+    retired query's oracle check verbatim (the query shared the
+    uncapped face's oracle), so the guard-is-semantics-preserving
+    property stays verified every run; the cap-ENGAGED behavior is
+    pinned by the hot-bucket tests above."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        minhash_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.harness.fixtures import (
+        build_documents_aug,
+    )
+
+    docs = build_documents_aug(spark, "/root/testdata/sf0.001")
+    exact = minhash_near_dups(docs, hash_mode="poly")
+    capped = minhash_near_dups(
+        docs, hash_mode="poly", max_bucket_size=1000
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+
+
 def test_wide_signatures_equal_long(spark):
     """The production wide signature path (one groupBy, 12 min columns,
     row-local band keys) must produce exactly the long form's values and
@@ -164,9 +191,12 @@ def test_payload_dropped_buckets_audit_names_the_block(spark):
 
 def test_payload_capped_equals_uncapped_on_fixture(spark):
     """On the mm payload fixture (no degenerate common block) the capped
-    probe is bit-identical to exact mode — the dedup_minhash_lsh_capped
-    treatment; mm_payload_near_dup_capped shares the exact oracle on the
-    strength of this pin."""
+    probe is bit-identical to exact mode. This is the retired
+    ``mm_payload_near_dup_capped`` driver query's configuration verbatim
+    (it shared the uncapped face's oracle; retired r13 per VERDICT r12
+    #5 — this pin now carries the guard-is-semantics-preserving
+    property; cap-ENGAGED behavior is pinned by the hot-block tests
+    above)."""
     from mongo_polars_reconciliation_spark.extensions.multimodal import (
         payload_near_dups,
     )

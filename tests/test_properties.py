@@ -1991,7 +1991,15 @@ _pii_frag = st.sampled_from(
      # (must survive), 15/17-digit near-misses, repeated valid card
      "4532015112830366", "4532-0151-1283-0366", "4532 0151 1283 0366",
      "1234-5678-9012-3456", "123456789012345", "12345678901234567",
-     "4532015112830366 4532015112830366"]
+     "4532015112830366 4532015112830366",
+     # r13 (advice): cross-class boundary — a phone followed by a digit
+     # run lets the CARD candidate scan match across the phone's tail:
+     # '4567 8901 2345 6783' IS Luhn-valid and redacts, mangling the
+     # phone (the documented intended over-redaction direction), while
+     # the '…6789' variant is Luhn-INVALID so the phone must survive
+     # the card stage untouched and still count as a phone
+     "call 555-123-4567 8901 2345 6783",
+     "call 555-123-4567 8901 2345 6789"]
 )
 # r12: NULL texts — the null-text rule (counts 0, scrubbed text NULL)
 _pii_text = st.one_of(
@@ -2639,6 +2647,66 @@ def test_isqrt_dec_and_div_exact_match_python(spark):
         ).collect()
     }
     assert gotd == {(str(a), str(b)): str(a // b) for a, b in pairs}
+
+
+def test_isqrt_unscale_matches_python(spark):
+    """r13 (VERDICT r12 #3, the α=3/4 fusion): recovering w_{1/2} from
+    the q4 chain's first root — c = r4 DIV d, ±1 ladder against q2 —
+    is bit-identical to math.isqrt(q2) across the contract domain,
+    including x just above/below perfect squares (where c = w+1 and the
+    down-correction MUST fire), huge quotients near the decimal
+    ceiling, tiny x < 1 (q2 = 0), and a NULL seed (non-ANSI overflow),
+    which must propagate as NULL — never the smax clamp."""
+    import math
+    import random
+
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        _isqrt_unscale_steps,
+    )
+
+    rng = random.Random(13)
+    cases = []  # (q2, q4, d) with q2=floor(x), q4=floor(x·d²), x=N/n
+    for d in (10_000, 7, 2):
+        dmax = (10**38 - 1) // (d * d)
+        seeds = [1, 2, 3, d * d - 1, d * d, d * d + 1]
+        for k in (3, 10**9 + 7, 3037000499):
+            if k * k <= dmax:
+                # near-squares of x: the c = w+1 shapes
+                seeds += [k * k - 1, k * k, k * k + 1]
+        seeds += [rng.randrange(1, dmax) for _ in range(20)]
+        seeds += [dmax - 1, dmax]
+        for N in seeds:
+            for n in (1, 3, rng.randrange(1, 10**6)):
+                if N * d * d // n >= 1 or True:
+                    cases.append((N * d * d // n, N * d**4 // n, d))
+        # tiny x < 1: q2 = 0 while the finer scale still has mass
+        cases += [(0, d * d // 2, d), (0, 1, d)]
+    rows = [
+        (str(q2), str(math.isqrt(q4)), d, str(math.isqrt(q2)))
+        for q2, q4, d in cases
+    ]
+    df = spark.createDataFrame(
+        rows, "q2s string, r4s string, d int, want string"
+    ).withColumn("q2", F.col("q2s").cast("decimal(38,0)")).withColumn(
+        "r4", F.col("r4s").cast("decimal(38,0)")
+    )
+    for d in (10_000, 7, 2):
+        part = _isqrt_unscale_steps(
+            df.where(F.col("d") == d), "r4", "q2", d, "wh"
+        )
+        bad = part.where(
+            F.col("wh").cast("string") != F.col("want")
+        ).count()
+        assert bad == 0, f"denom={d}"
+    # NULL seed or NULL quotient → NULL out (not the smax clamp)
+    ndf = spark.createDataFrame(
+        [("4", None), (None, "2"), (None, None)],
+        "q2s string, r4s string",
+    ).withColumn("q2", F.col("q2s").cast("decimal(38,0)")).withColumn(
+        "r4", F.col("r4s").cast("decimal(38,0)")
+    )
+    out = _isqrt_unscale_steps(ndf, "r4", "q2", 2, "wh").collect()
+    assert all(r["wh"] is None for r in out)
 
 
 def test_mix_temperature_alpha_weights_and_rates(spark):

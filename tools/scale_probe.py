@@ -286,6 +286,60 @@ def probe_line_dedup(spark, docs):
     return time.perf_counter() - t0
 
 
+def probe_curation_v4(spark, docs):
+    """r13 (VERDICT r12 #4): the FLAGSHIP composition — exact dedup →
+    line-dedup TRIM → LSH near-dup → repetition → decontamination → LM
+    gate → quality gate → per-language stats — probed end-to-end. Each
+    stage has linear posture individually (line dedup and pii carry
+    their own probes); this probe exists to catch a superlinear STAGE
+    INTERACTION — e.g. the line stage's cleaned text feeding the
+    shingle stage with corpus-shaped blow-up — which per-stage probes
+    cannot see. Same footer injection as the line-dedup probe (hot
+    shared lines scale with the factor); the bench side stays at its
+    natural size (decontamination cost is driven by the corpus side).
+    Output is the per-language stats frame — sketch-sized — so noop
+    write time is pipeline time."""
+    from mongo_polars_reconciliation_spark.extensions.curation import (
+        curate_corpus_v2,
+    )
+
+    footer = "shared boilerplate footer"
+    t = F.col("text")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(t, F.lit("\n" + footer))
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(t, F.lit("\n" + footer + "\nsecond shared footer")),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit(footer + "\n"), t))
+        .otherwise(t)
+        .alias("text"),
+    ).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("en"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("de"))
+        .otherwise(F.lit("fr")),
+    ).localCheckpoint(eager=True)
+    bench = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .where(F.col("doc_id") % 10 == 7)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    curate_corpus_v2(
+        injected,
+        bench,
+        max_bucket_size=1000,
+        lm_threshold_q=32800,
+        line_dedup=True,
+    ).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def probe_pii_scrub(spark, docs):
     """r12: PII scrub including the Luhn card stage — a zero-exchange
     map projection whose cost must scale with scanned bytes and nothing
@@ -338,6 +392,8 @@ def main() -> None:
         ("line_dedup_trim", docs_at, probe_line_dedup),
         # r12: the Luhn-staged PII scrub (map-only; linearity evidence)
         ("pii_scrub", docs_at, probe_pii_scrub),
+        # r13: the flagship composition — stage-interaction watchdog
+        ("curation_v4", docs_at, probe_curation_v4),
     ]
     if only is not None:
         unknown = only - {n for n, _, _ in probes}
