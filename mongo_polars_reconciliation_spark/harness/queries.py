@@ -2960,36 +2960,128 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # touch only queries inside the driver's ~50-position budget, so their
 # fresh rows still verify final code. The r9 ledger is inside the dict.
 QUERIES = {
-    # ================= r12 DRIVER-VERIFICATION LEDGER =================
+    # ================= r13 DRIVER-VERIFICATION LEDGER =================
     # The driver checks the FIRST ~50 entries each round (budget exactly
-    # 50 in r5-r11). Ordering discipline (r5-r11 verdicts): this reorder
+    # 50 in r5-r12). Ordering discipline (r5-r12 verdicts): this reorder
     # is the round's LAST semantics-touching commit; any later change may
     # touch only queries inside the 50-position budget.
     #
-    # -- 1-43: the 43 r9-row rotation queries (r11 positions 51-93) --
-    #    VERDICT r11 ask #1: these MUST lead r12 (the events analytics
-    #    family, recall probes, BPE family, the v1 curation flagship and
-    #    the span/jaccard/knn dedup faces — 3 rounds stale otherwise).
-    #    Order preserved from the r11 overflow listing.
-    # -- 44-50: the 7 CHANGED r12 queries (no new queries this round;
-    #    the rotation debt consumed the budget, exactly as the r11
-    #    verdict directed) --
-    #    text_line_dedup + text_line_dedup_trim + curation_pipeline_v4
-    #    (the NULL-text silent-drop fix: NULL scores as empty text —
-    #    values unchanged on the non-null driver fixtures, pinned),
-    #    text_mix_temperature + text_mix_temperature_alpha (the n_max
-    #    window keys on single_partition_key() so WindowExec stops
-    #    warning — values identical), text_pii_scrub (the Luhn card
-    #    stage + the null-text rule + %11 fixture), and
-    #    text_pack_shards_roundtrip (narrowed empty-corpus exception
-    #    handling in the post-write validation).
-    # -- 51-95: r10-row tail (45) — next round's rotation MUST lead
-    #    with these (they will be 3 rounds stale in r13).
-    # -- 96-138: r11-row tail (freshest: the 39 r8-rotation queries
-    #    re-verified r11, plus sim_knn_join_ivfpq_served, sim_topk_lsh
-    #    and curation v2/v3).
+    # -- 1-44: the r10-row rotation block (r12 positions 51-95, minus
+    #    mm_payload_near_dup_capped which was RETIRED this round per
+    #    VERDICT r12 #5 — its check is carried verbatim by
+    #    tests/test_lsh_cap.py). VERDICT r12 ask #1: these MUST lead
+    #    r13 (3 rounds stale otherwise). Order preserved from the r12
+    #    overflow listing. The 8 ingest-family queries in this block
+    #    (dedup_ingest_*, sim_ingest_semantic, mm_payload_ingest,
+    #    stream_ingest_{neardup,semantic,payloads}) are ALSO the
+    #    queries changed by the r13 ingest-kernel extraction — their
+    #    re-verification here is the rotation's free slot trick, so the
+    #    thrice-carried refactor obligation closes at zero extra cost.
+    # -- 45-46: the 2 remaining CHANGED r13 queries —
+    #    text_mix_temperature + text_mix_temperature_alpha (the
+    #    alpha=3/4 fused isqrt chain; the alpha=1/2 branch is
+    #    byte-identical and values are pinned bit-identical, but the
+    #    shared function body changed, so both faces re-verify).
+    # -- 47-50: the 4 STALEST r11-row queries, freshened with the spare
+    #    budget (no new queries this round — consolidation policy,
+    #    VERDICT r12 #5): text_lm_score, stream_ingest_novel,
+    #    text_heavy_hitters_cms, text_cms_merge.
+    # -- 51-88: r11-row tail (38) — next round's rotation MUST lead
+    #    with these (they will be 3 rounds stale in r14; 12 slots then
+    #    remain, enough for a changed-query budget for the first time
+    #    since r10).
+    # -- 89-136: r12/r13-row tail (freshest: the r12 rotation block and
+    #    the 7 r12-changed queries).
     # ==================================================================
 
+    "recon_zero_effect_pairs": recon_zero_effect_pairs,
+    "recon_zero_effect_clean": recon_zero_effect_clean,
+    "recon_tolerance_match": recon_tolerance_match,
+    "recon_cascade_summary": recon_cascade_summary,
+    "recon_duplicate_losers_strict": recon_duplicate_losers_strict,
+    "recon_state_merge_upsert": recon_state_merge_upsert,
+    "recon_match_on_names": recon_match_on_names,
+    "recon_cascade_three_pass": recon_cascade_three_pass,
+    "recon_summary_doc": recon_summary_doc,
+    "recon_subset_dedup_keep_last": recon_subset_dedup_keep_last,
+    "recon_amount_quantiles": recon_amount_quantiles,
+    "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
+    "recon_remanent_lookup": recon_remanent_lookup,
+    "recon_union_remanent_dedup": recon_union_remanent_dedup,
+    "events_funnel": events_funnel,
+    "events_props_extract": events_props_extract,
+    "events_anomaly_mad": events_anomaly_mad,
+    "text_bpe_pairs": text_bpe_pairs,
+    "text_lang_confusion": text_lang_confusion,
+    "events_user_kmv": events_user_kmv,
+    "events_kmv_merge": events_kmv_merge,
+    "sim_centroid_roundtrip": sim_centroid_roundtrip,
+    "sim_ingest_semantic": sim_ingest_semantic,
+    "dedup_ingest_waves": dedup_ingest_waves,
+    "mm_payload_ingest": mm_payload_ingest,
+    "dedup_clusters_quality": dedup_clusters_quality,
+    "stream_ingest_semantic": stream_ingest_semantic,
+    "stream_ingest_payloads": stream_ingest_payloads,
+    "sim_topk_pq": sim_topk_pq,
+    "sim_topk_ivfpq": sim_topk_ivfpq,
+    "sim_knn_join_ivfpq": sim_knn_join_ivfpq,
+    "text_quality_gopher": text_quality_gopher,
+    "text_lm_buckets": text_lm_buckets,
+    "text_datacard_merge": text_datacard_merge,
+    "stream_datacard": stream_datacard,
+    "dedup_ingest_neardup": dedup_ingest_neardup,
+    "stream_ingest_neardup": stream_ingest_neardup,
+    "mm_payload_near_dup": mm_payload_near_dup,
+    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
+    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
+    "text_quality_c4": text_quality_c4,
+    "sim_recall_probe": sim_recall_probe,
+    "text_sample_fixed_k": text_sample_fixed_k,
+    "dedup_ingest_incremental": dedup_ingest_incremental,
+    "text_mix_temperature": text_mix_temperature,
+    "text_mix_temperature_alpha": text_mix_temperature_alpha,
+    "text_lm_score": text_lm_score,
+    "stream_ingest_novel": stream_ingest_novel,
+    "text_heavy_hitters_cms": text_heavy_hitters_cms,
+    "text_cms_merge": text_cms_merge,
+    "stream_cms_counters": stream_cms_counters,
+    "text_bloom_decontaminate": text_bloom_decontaminate,
+    "events_hist_merge": events_hist_merge,
+    "text_split_leakage_safe": text_split_leakage_safe,
+    "dedup_source_overlap": dedup_source_overlap,
+    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
+    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
+    "recon_persist_roundtrip": recon_persist_roundtrip,
+    "recon_csv_roundtrip": recon_csv_roundtrip,
+    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
+    "recon_mongo_json_scan": recon_mongo_json_scan,
+    "recon_orc_roundtrip": recon_orc_roundtrip,
+    "stream_incremental_match": stream_incremental_match,
+    "stream_dedup_corpus": stream_dedup_corpus,
+    "stream_dedup": stream_dedup_events,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_sessionize_agg": stream_sessionize_agg,
+    "stream_user_seq": stream_user_seq,
+    "stream_view_attribution": stream_view_attribution,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "recon_source_scan_filtered": recon_source_scan_filtered,
+    "text_split_assign": text_split_assign,
+    "text_sample_stratified": text_sample_stratified,
+    "events_funnel_windowed": events_funnel_windowed,
+    "dedup_exact": dedup_exact,
+    "dedup_simhash": dedup_simhash,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters_cc,
+    "dedup_clusters_star": dedup_clusters_star_cc,
+    "q1_pricing_summary": q1_pricing_summary,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_topk_ivf": sim_topk_ivf,
+    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
+    "sim_topk_lsh": sim_topk_lsh,
+    "curation_pipeline_v2": curation_pipeline_v2,
+    "curation_pipeline_v3": curation_pipeline_v3,
     "sim_contamination": sim_contamination,
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
@@ -3036,96 +3128,8 @@ QUERIES = {
     "text_line_dedup": text_line_dedup,
     "text_line_dedup_trim": text_line_dedup_trim,
     "curation_pipeline_v4": curation_pipeline_v4,
-    "text_mix_temperature": text_mix_temperature,
-    "text_mix_temperature_alpha": text_mix_temperature_alpha,
     "text_pii_scrub": text_pii_scrub,
     "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
-    "recon_zero_effect_pairs": recon_zero_effect_pairs,
-    "recon_zero_effect_clean": recon_zero_effect_clean,
-    "recon_tolerance_match": recon_tolerance_match,
-    "recon_cascade_summary": recon_cascade_summary,
-    "recon_duplicate_losers_strict": recon_duplicate_losers_strict,
-    "recon_state_merge_upsert": recon_state_merge_upsert,
-    "recon_match_on_names": recon_match_on_names,
-    "recon_cascade_three_pass": recon_cascade_three_pass,
-    "recon_summary_doc": recon_summary_doc,
-    "recon_subset_dedup_keep_last": recon_subset_dedup_keep_last,
-    "recon_amount_quantiles": recon_amount_quantiles,
-    "recon_state_merge_keep_existing": recon_state_merge_keep_existing,
-    "recon_remanent_lookup": recon_remanent_lookup,
-    "recon_union_remanent_dedup": recon_union_remanent_dedup,
-    "events_funnel": events_funnel,
-    "events_props_extract": events_props_extract,
-    "events_anomaly_mad": events_anomaly_mad,
-    "text_bpe_pairs": text_bpe_pairs,
-    "text_lang_confusion": text_lang_confusion,
-    "events_user_kmv": events_user_kmv,
-    "events_kmv_merge": events_kmv_merge,
-    "sim_centroid_roundtrip": sim_centroid_roundtrip,
-    "sim_ingest_semantic": sim_ingest_semantic,
-    "dedup_ingest_waves": dedup_ingest_waves,
-    "mm_payload_ingest": mm_payload_ingest,
-    "dedup_clusters_quality": dedup_clusters_quality,
-    "stream_ingest_semantic": stream_ingest_semantic,
-    "stream_ingest_payloads": stream_ingest_payloads,
-    "sim_topk_pq": sim_topk_pq,
-    "sim_topk_ivfpq": sim_topk_ivfpq,
-    "sim_knn_join_ivfpq": sim_knn_join_ivfpq,
-    "text_quality_gopher": text_quality_gopher,
-    "text_lm_buckets": text_lm_buckets,
-    "text_datacard_merge": text_datacard_merge,
-    "stream_datacard": stream_datacard,
-    "dedup_ingest_neardup": dedup_ingest_neardup,
-    "stream_ingest_neardup": stream_ingest_neardup,
-    "mm_payload_near_dup": mm_payload_near_dup,
-    "sim_knn_join_multiprobe": sim_knn_join_multiprobe,
-    "sim_semantic_dedup_fitted": sim_semantic_dedup_fitted,
-    "text_quality_c4": text_quality_c4,
-    "sim_recall_probe": sim_recall_probe,
-    "text_sample_fixed_k": text_sample_fixed_k,
-    "dedup_ingest_incremental": dedup_ingest_incremental,
-    "text_lm_score": text_lm_score,
-    "stream_ingest_novel": stream_ingest_novel,
-    "text_heavy_hitters_cms": text_heavy_hitters_cms,
-    "text_cms_merge": text_cms_merge,
-    "stream_cms_counters": stream_cms_counters,
-    "text_bloom_decontaminate": text_bloom_decontaminate,
-    "events_hist_merge": events_hist_merge,
-    "text_split_leakage_safe": text_split_leakage_safe,
-    "dedup_source_overlap": dedup_source_overlap,
-    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
-    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
-    "recon_persist_roundtrip": recon_persist_roundtrip,
-    "recon_csv_roundtrip": recon_csv_roundtrip,
-    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
-    "recon_mongo_json_scan": recon_mongo_json_scan,
-    "recon_orc_roundtrip": recon_orc_roundtrip,
-    "stream_incremental_match": stream_incremental_match,
-    "stream_dedup_corpus": stream_dedup_corpus,
-    "stream_dedup": stream_dedup_events,
-    "stream_events_hourly": stream_events_hourly,
-    "stream_sessionize_agg": stream_sessionize_agg,
-    "stream_user_seq": stream_user_seq,
-    "stream_view_attribution": stream_view_attribution,
-    "text_lang_id": text_lang_id,
-    "text_quality": text_quality,
-    "text_token_count": text_token_count,
-    "recon_source_scan_filtered": recon_source_scan_filtered,
-    "text_split_assign": text_split_assign,
-    "text_sample_stratified": text_sample_stratified,
-    "events_funnel_windowed": events_funnel_windowed,
-    "dedup_exact": dedup_exact,
-    "dedup_simhash": dedup_simhash,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_clusters": dedup_clusters_cc,
-    "dedup_clusters_star": dedup_clusters_star_cc,
-    "q1_pricing_summary": q1_pricing_summary,
-    "sim_topk_bruteforce": sim_topk_bruteforce,
-    "sim_topk_ivf": sim_topk_ivf,
-    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
-    "sim_topk_lsh": sim_topk_lsh,
-    "curation_pipeline_v2": curation_pipeline_v2,
-    "curation_pipeline_v3": curation_pipeline_v3,
 }
 
 
