@@ -315,9 +315,9 @@ def ingest_novel_payloads(
     sane precisely because the state is bucketed by bblock: the key
     semi-join reads only the matching buckets exchange-free, never the
     full history (capped ≡ uncapped pinned on the fixture). The text
-    ingest currently caps only its within-batch phase; this
-    restrict-to-touched-buckets-then-count pattern applies to its band
-    state just as well and is the natural follow-up there.
+    ingest applies the same restrict-to-touched-buckets-then-count
+    pattern to its band state (r10); since r13 both families share the
+    count-and-filter itself (``ingest_kernel.combined_cap_keys``).
 
     Scale shape: phase 1 is the digest-bucketed anti-join; phase 2's
     collision join hits the bblock-bucketed state (plan pin in
