@@ -286,6 +286,34 @@ def probe_line_dedup(spark, docs):
     return time.perf_counter() - t0
 
 
+def probe_clusters_star(spark, docs):
+    """r13: star-contraction connected components over the MinHash
+    near-dup pair graph. The prefixed-token blow-up makes each copy's
+    pair graph independent of the others', so edges grow linearly with
+    the factor while component structure (and hence the O(log n) round
+    count) stays fixed — the measured ratio should be ~linear, with the
+    constant per-round driver latency (one fingerprint action per
+    star round) pulling it BELOW the data ratio at this scale. A
+    superlinear ratio would mean a round's groupBy/join stopped
+    partitioning by node id. Pairs are materialized before the clock so
+    only the clustering is timed."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        dedup_clusters_star,
+        minhash_near_dups,
+    )
+
+    docs = docs.localCheckpoint(eager=True)
+    pairs = minhash_near_dups(docs, hash_mode="poly").localCheckpoint(
+        eager=True
+    )
+    ids = docs.select("doc_id").localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    dedup_clusters_star(pairs, ids).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - t0
+
+
 def probe_curation_v4(spark, docs):
     """r13 (VERDICT r12 #4): the FLAGSHIP composition — exact dedup →
     line-dedup TRIM → LSH near-dup → repetition → decontamination → LM
@@ -394,6 +422,8 @@ def main() -> None:
         ("pii_scrub", docs_at, probe_pii_scrub),
         # r13: the flagship composition — stage-interaction watchdog
         ("curation_v4", docs_at, probe_curation_v4),
+        # r13: star-CC round scaling over the near-dup pair graph
+        ("clusters_star", docs_at, probe_clusters_star),
     ]
     if only is not None:
         unknown = only - {n for n, _, _ in probes}
