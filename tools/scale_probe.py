@@ -314,6 +314,24 @@ def probe_clusters_star(spark, docs):
     return time.perf_counter() - t0
 
 
+def probe_ngram_jaccard(spark, docs):
+    """r13: exact n-gram Jaccard via the stop-shingle-capped inverted
+    index. The within-shingle self-join is the one place a quadratic
+    could hide (≤ max_df² pairs per shared shingle); the prefixed-token
+    blow-up keeps copies' shingles disjoint, so every shingle's document
+    frequency — and hence the self-join's per-key fanout — is unchanged
+    while the index grows linearly. A superlinear ratio would mean the
+    df cap or the df≥2 joinable cut stopped doing its job."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = docs.localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    ngram_jaccard_pairs(docs).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def probe_curation_v4(spark, docs):
     """r13 (VERDICT r12 #4): the FLAGSHIP composition — exact dedup →
     line-dedup TRIM → LSH near-dup → repetition → decontamination → LM
@@ -424,6 +442,8 @@ def main() -> None:
         ("curation_v4", docs_at, probe_curation_v4),
         # r13: star-CC round scaling over the near-dup pair graph
         ("clusters_star", docs_at, probe_clusters_star),
+        # r13: capped inverted-index self-join fanout
+        ("ngram_jaccard", docs_at, probe_ngram_jaccard),
     ]
     if only is not None:
         unknown = only - {n for n, _, _ in probes}
