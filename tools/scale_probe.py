@@ -314,6 +314,28 @@ def probe_clusters_star(spark, docs):
     return time.perf_counter() - t0
 
 
+def probe_simhash(spark, docs):
+    """r13: SimHash pigeonhole near-dup — completes the near-dup trio
+    (minhash and ngram_jaccard above). Signature work is map-linear; the
+    block self-join's candidate set grows with real near-dup structure
+    (linear under the disjoint-token blow-up) PLUS random block
+    collisions, which are ~n²/(4·2^16) by birthday arithmetic —
+    negligible at probe scale but a real asymptote: a corpus whose doc
+    count approaches the 262k bucket space needs SIMHASH_BLOCK_BITS
+    raised (more, smaller blocks) to keep the pair work linear, the
+    standard Hamming-LSH parameter scaling."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        simhash_near_dups,
+    )
+
+    docs = docs.localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    simhash_near_dups(docs, hash_mode="poly").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - t0
+
+
 def probe_ngram_jaccard(spark, docs):
     """r13: exact n-gram Jaccard via the stop-shingle-capped inverted
     index. The within-shingle self-join is the one place a quadratic
@@ -444,6 +466,8 @@ def main() -> None:
         ("clusters_star", docs_at, probe_clusters_star),
         # r13: capped inverted-index self-join fanout
         ("ngram_jaccard", docs_at, probe_ngram_jaccard),
+        # r13: Hamming-LSH block collisions (near-dup trio complete)
+        ("simhash", docs_at, probe_simhash),
     ]
     if only is not None:
         unknown = only - {n for n, _, _ in probes}
