@@ -319,11 +319,19 @@ def probe_simhash(spark, docs):
     (minhash and ngram_jaccard above). Signature work is map-linear; the
     block self-join's candidate set grows with real near-dup structure
     (linear under the disjoint-token blow-up) PLUS random block
-    collisions, which are ~n²/(4·2^16) by birthday arithmetic —
-    negligible at probe scale but a real asymptote: a corpus whose doc
-    count approaches the 262k bucket space needs SIMHASH_BLOCK_BITS
-    raised (more, smaller blocks) to keep the pair work linear, the
-    standard Hamming-LSH parameter scaling."""
+    collisions: a random pair collides on any given block with
+    probability 2^-BLOCK_BITS, so the expected colliding candidate
+    pairs are ~BLOCKS·C(n,2)/2^BLOCK_BITS = 4·C(n,2)/2^16 ≈ n²/2^15 —
+    negligible at probe scale but a real asymptote (ADVICE r13: the
+    earlier ~n²/(4·2^16) figure undercounted by ~8×). Collision-safe
+    scaling needs a LARGER per-block bucket space, i.e. MORE bits per
+    block — which, with the pigeonhole constraint BLOCKS > max_hamming
+    and BLOCKS·BLOCK_BITS ≤ signature width, requires a longer
+    signature (e.g. 128-bit with 4×32-bit blocks). Merely raising
+    SIMHASH_BLOCK_BITS past 16 under the 64-bit signature would shift
+    blocks past bit 63 (degenerate bvals), and LOWERING it (more,
+    smaller blocks) shrinks the bucket space and INCREASES random
+    collisions."""
     from mongo_polars_reconciliation_spark.extensions.dedup import (
         simhash_near_dups,
     )
