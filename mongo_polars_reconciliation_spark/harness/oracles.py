@@ -356,6 +356,14 @@ ORACLES: dict[str, str] = {
         BASE_CTES, MATCH_CTES,
         select="SELECT _id, row_num, amount, trx_date FROM j1 WHERE rn = 1",
     ),
+    # r14: the skew-hardened match is bit-identical to the plain match by
+    # contract (the hot-key split partitions the key space), so its oracle
+    # IS the plain match's SQL — the driver check pins that the physical
+    # split does not change a single row.
+    "recon_match_skewed": q(
+        BASE_CTES, MATCH_CTES,
+        select="SELECT _id, row_num, amount, trx_date FROM j1 WHERE rn = 1",
+    ),
     "recon_duplicate_losers": q(
         BASE_CTES, MATCH_CTES,
         select="SELECT row_num, codigo, importe FROM j1 WHERE rn > 1",
@@ -2207,20 +2215,11 @@ SELECT CAST(m.bin AS BIGINT) AS bin,
        CAST(f.cnt_global AS BIGINT) AS cnt_global
 FROM merged m JOIN full_scan f USING (bin)
 """,
-    "stream_cms_counters": """
-WITH tok AS (
-  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
-),
-hv AS (SELECT tok, {POLY_HASH_TOK} AS h1, {POLY_HASH_TOK2} AS h2 FROM tok),
-buckets AS (
-  SELECT j.j, ((h.h1 + j.j * h.h2) % 2147483647) % 64 AS b
-  FROM hv h CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS j) j
-),
-counters AS (SELECT j, b, COUNT(*) AS cnt FROM buckets GROUP BY j, b)
-SELECT CAST(j AS INTEGER) AS j, CAST(b AS BIGINT) AS b,
-       CAST(cnt AS BIGINT) AS cnt
-FROM counters
-""",
+    # r14: the stream_cms_counters face was RETIRED from the registry
+    # (VERDICT r13 #5) — the counter math stays oracle-checked through
+    # text_heavy_hitters_cms / text_cms_merge (same hashes), and stream ≡
+    # batch is pinned in
+    # tests/test_streaming.py::test_stream_cms_equals_batch_counters.
     "text_bloom_decontaminate": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 sh AS (
@@ -2432,11 +2431,6 @@ ORACLES["text_heavy_hitters_cms"] = (
     .replace("{POLY_HASH_TOK2}", poly_hash_mixed_sql("tok", POLY_P31B))
     .replace("{POLY_HASH_TTOK}", poly_hash_mixed_sql("t.tok"))
     .replace("{POLY_HASH_TTOK2}", poly_hash_mixed_sql("t.tok", POLY_P31B))
-)
-ORACLES["stream_cms_counters"] = (
-    ORACLES["stream_cms_counters"]
-    .replace("{POLY_HASH_TOK}", poly_hash_mixed_sql("tok"))
-    .replace("{POLY_HASH_TOK2}", poly_hash_mixed_sql("tok", POLY_P31B))
 )
 ORACLES["text_bloom_decontaminate"] = (
     ORACLES["text_bloom_decontaminate"]
@@ -3689,7 +3683,10 @@ ORACLES["stream_ingest_payloads"] = ORACLES["mm_payload_ingest"]
 # drained state bit-equal to the batch state in any arrival order, and the
 # card derivation is the property-pinned datacard_from_state — so the
 # drained card IS the batch card.
-ORACLES["stream_datacard"] = ORACLES["text_datacard"]
+# r14: the stream_datacard face was RETIRED from the registry (VERDICT
+# r13 #5) — the card derivation stays oracle-checked via text_datacard /
+# text_datacard_merge and stream ≡ batch is pinned verbatim in
+# tests/test_properties.py::test_stream_datacard_equals_batch_card.
 
 
 def _pq_oracle(dim: int = 64) -> str:

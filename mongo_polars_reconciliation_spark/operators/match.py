@@ -117,3 +117,131 @@ def match_records(
     ``split_winners_losers`` so residuals can reuse the candidate frame."""
     ranked = match_candidates(a, b, cfg, broadcast_b=broadcast_b, cache=cache)
     return split_winners_losers(ranked, cfg)
+
+
+# --- skew-hardened variant (r14, VERDICT r13 #2) ------------------------------
+
+
+def hot_match_keys(
+    a: DataFrame, b: DataFrame, cfg: ReconConfig, hot_threshold: int
+) -> DataFrame:
+    """Key tuples whose COMBINED row count (A side + B side) reaches
+    ``hot_threshold`` — the keys whose sort-merge task would be a monster
+    at scale (per-key join fanout nA·nB ≤ (combined/2)², so the combined
+    count bounds it). SURVEY §4 names the reconciliation keys as
+    skew-prone at 100× — VOID rows cluster on amounts, a hot settlement
+    date dominates a day's file (reference keys: src/config.py:10-20).
+
+    One union-all of the two key projections + one hash aggregate (map-side
+    combine), mirroring the ingest kernel's ``combined_cap_keys``
+    discipline: counting both sides, not just one, catches skew whichever
+    side carries it. Returns the key frame A-named; it stays a DataFrame —
+    never collected — and is broadcast by the caller for the semi/anti
+    splits. NULL key components land in the frame harmlessly: equality
+    semi-joins never match them, so NULL-keyed rows stay in the
+    sort-merge branch, where the inner join drops them exactly as the
+    unsalted join does."""
+    ka = cfg.a_columns
+    keys_a = a.select(*[F.col(c) for c in ka])
+    keys_b = b.select(
+        *[F.col(kb).alias(kaa) for kaa, kb in zip(ka, cfg.b_columns, strict=True)]
+    )
+    return (
+        keys_a.unionByName(keys_b)
+        .groupBy(*ka)
+        .agg(F.count(F.lit(1)).alias("__nk"))
+        .where(F.col("__nk") >= F.lit(hot_threshold))
+        .select(*ka)
+    )
+
+
+def match_candidates_skewed(
+    a: DataFrame,
+    b: DataFrame,
+    cfg: ReconConfig,
+    hot_threshold: int | None = None,
+    hot_keys: DataFrame | None = None,
+    cache=None,
+) -> DataFrame:
+    """``match_candidates`` with a hot-key split plan: rows whose key tuple
+    is HOT (combined count ≥ ``hot_threshold``, or caller-supplied
+    ``hot_keys``) join via broadcast of B's hot slice; everything else
+    takes the normal sort-merge path. Output is BIT-IDENTICAL to
+    ``match_candidates`` — the split partitions the key space, an inner
+    equi-join distributes over that partition, and every A ``_id``'s
+    candidate group lives entirely inside one branch (an id has one key
+    tuple), so the per-branch arbitration windows rank exactly the groups
+    the single window would.
+
+    This is the salted-agg pattern applied to J1 (``functions/skew.py``
+    handles aggregation; this handles the match join): AQE skew-join
+    splitting is the first line of defense, but it only splits the
+    STREAMED side of a sort-merge — a key hot on BOTH sides still builds
+    its full fanout in one task's merge. Here the hot slice never enters
+    the shuffle at all.
+
+    Scale contract: ``hot_threshold`` must be set so the hot KEY count is
+    small and B's hot slice fits in a broadcast (a few hot amounts/dates
+    — millions of rows — is the design point; the threshold is a tuning
+    knob, not auto-derived, so the plan is deterministic). The hot-key
+    frame itself is aggregate-sized and is broadcast for the semi/anti
+    splits — nothing is collected to the driver."""
+    if hot_keys is None:
+        if hot_threshold is None:
+            raise ValueError("need hot_threshold or an explicit hot_keys frame")
+        hot_keys = hot_match_keys(a, b, cfg, hot_threshold)
+    hk_a = F.broadcast(hot_keys)
+    # USING-join semantics pull the key columns to the front; re-select the
+    # original order so both branches (and the plain plan) share one schema
+    a_hot = a.join(hk_a, on=cfg.a_columns, how="left_semi").select(*a.columns)
+    a_rest = a.join(hk_a, on=cfg.a_columns, how="left_anti").select(*a.columns)
+    hk_b = F.broadcast(
+        hot_keys.select(
+            *[
+                F.col(kaa).alias(kb)
+                for kaa, kb in zip(cfg.a_columns, cfg.b_columns, strict=True)
+            ]
+        )
+    )
+    b_hot = b.join(hk_b, on=cfg.b_columns, how="left_semi").select(*b.columns)
+    b_rest = b.join(hk_b, on=cfg.b_columns, how="left_anti").select(*b.columns)
+    # The two match joins are built inline rather than through
+    # ``match_candidates``: the split frames share the hot-key subtree, so
+    # the analyzer de-duplicates the right side's expression IDs at join
+    # time and ``match_candidates``' drop-by-parent-reference would
+    # silently no-op, leaking B's key columns into the output. Key names
+    # are prefix-disjoint from A's by construction (``prepare_external``),
+    # so dropping by NAME is exact. One arbitration window then runs over
+    # the union — identical discipline, one shuffle on the id.
+    rest_joined = a_rest.join(b_rest, _join_cond(a_rest, b_rest, cfg), "inner")
+    hot_joined = a_hot.join(
+        F.broadcast(b_hot), _join_cond(a_hot, b_hot, cfg), "inner"
+    )
+    joined = rest_joined.unionByName(hot_joined).drop(*cfg.b_columns)
+    order_col = cfg.ext_row_number_col
+    w = Window.partitionBy(cfg.id_col).orderBy(F.col(order_col).asc_nulls_last())
+    grp = Window.partitionBy(cfg.id_col)
+    ranked = joined.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(grp)
+    )
+    if cache is not None:
+        ranked = cache(ranked)
+    return ranked
+
+
+def match_records_skewed(
+    a: DataFrame,
+    b: DataFrame,
+    cfg: ReconConfig,
+    hot_threshold: int | None = None,
+    hot_keys: DataFrame | None = None,
+    cache=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Skew-hardened ``match_records``: same ``(matched, loser_b_rows)``
+    contract and bit-identical output (reference ``match_records``,
+    src/reconciliatior.py:66-74 — the semantics don't change, only the
+    physical join strategy under a hot key)."""
+    ranked = match_candidates_skewed(
+        a, b, cfg, hot_threshold=hot_threshold, hot_keys=hot_keys, cache=cache
+    )
+    return split_winners_losers(ranked, cfg)

@@ -104,3 +104,155 @@ def test_null_keys_never_match(spark):
     assert matched.count() == 0
     assert residual_internal(a, b, CFG).count() == 1
     assert residual_external(b, a, CFG).count() == 1
+
+
+# --- skew-hardened match (r14, VERDICT r13 #2) --------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_ab(spark):
+    """Deliberately skewed fixture: key ("HOT", 7.0) carries ~half of A and
+    3 candidates on B (duplicate arbitration inside the hot branch); the
+    long tail is unique 1:1 keys plus residuals on both sides."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 400).select(
+        F.concat(F.lit("a"), F.col("id")).alias("_id"),
+        F.when(F.col("id") < 200, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("T"), F.col("id")))
+        .alias("transaction_code"),
+        F.when(F.col("id") < 200, F.lit(7.0))
+        .otherwise(F.col("id").cast("double"))
+        .alias("approved_transaction_amount"),
+    )
+    b_raw = spark.range(0, 380).select(
+        F.col("id").alias("ord"),
+        F.when(F.col("id") < 3, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("T"), F.col("id") + 200))
+        .alias("codigo"),
+        F.when(F.col("id") < 3, F.lit("7.0"))
+        .otherwise((F.col("id") + 200).cast("string"))
+        .alias("importe"),
+        F.concat(F.lit("x"), F.col("id")).alias("payload"),
+    )
+    b = prepare_external(b_raw, CFG, order_by=["ord"]).drop("ext_ord")
+    return a.localCheckpoint(), b.localCheckpoint()
+
+
+def test_match_skewed_equals_plain(skewed_ab):
+    """Bit-identity: the hot-key split partitions the key space, so winners
+    AND losers equal the single-join plan's row-for-row (both arbitrate by
+    ext_file_row_number inside per-branch id groups that cannot straddle
+    the split — an id has one key tuple)."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        match_records_skewed,
+    )
+
+    a, b = skewed_ab
+    matched_p, losers_p = match_records(a, b, CFG)
+    matched_s, losers_s = match_records_skewed(a, b, CFG, hot_threshold=50)
+    assert rows(matched_s) == rows(matched_p)
+    assert rows(losers_s) == rows(losers_p)
+    assert matched_s.columns == matched_p.columns
+    assert losers_s.columns == losers_p.columns
+    # the fixture actually engages BOTH branches: 200 hot A rows x 3 B
+    # candidates -> 200 winners + 400 losers in the hot branch; the tail
+    # overlap T203..T399 contributes 197 1:1 winners via sort-merge
+    assert matched_s.count() == 200 + 197
+    assert losers_s.count() == 400
+
+
+def test_match_skewed_strict_compat_equals_plain(skewed_ab):
+    """The faithful middle-drop bug arbitration also survives the split."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        match_records_skewed,
+    )
+
+    a, b = skewed_ab
+    cfg = ReconConfig(keys=CFG.keys, strict_compat=True)
+    matched_p, losers_p = match_records(a, b, cfg)
+    matched_s, losers_s = match_records_skewed(a, b, cfg, hot_threshold=50)
+    assert rows(matched_s) == rows(matched_p)
+    assert rows(losers_s) == rows(losers_p)
+
+
+def test_match_skewed_plan_broadcasts_hot_slice(spark, skewed_ab):
+    """Plan pin: the hot slice joins via BroadcastHashJoin (it never enters
+    a shuffle) while the tail keeps sort-merge. autoBroadcastJoinThreshold
+    is disabled so the pin can't pass by Spark size-estimating the whole
+    small fixture into a broadcast — only the explicit hot-slice hint (and
+    the aggregate-sized hot-key splitter frames) may broadcast."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        match_candidates_skewed,
+    )
+
+    a, b = skewed_ab
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ranked = match_candidates_skewed(a, b, CFG, hot_threshold=50)
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    inner_bcast = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "Inner" in ln
+    ]
+    inner_smj = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln and "Inner" in ln
+    ]
+    assert inner_bcast, plan  # the hot match join is broadcast
+    assert inner_smj, plan    # the tail match join still sort-merges
+
+
+def test_hot_match_keys_counts_both_sides(spark):
+    """A key can be hot from either side: combined count (nA+nB) decides,
+    mirroring the ingest kernel's combined_cap_keys discipline."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        hot_match_keys,
+    )
+
+    a = spark.createDataFrame(
+        [("a1", "AHOT", 1.0)] * 6 + [("a2", "BHOT", 2.0), ("a3", "COLD", 3.0)],
+        ["_id", "transaction_code", "approved_transaction_amount"],
+    )
+    b = prepare_external(
+        spark.createDataFrame(
+            [(i, "BHOT", "2.0") for i in range(6)] + [(9, "COLD", "3.0")],
+            ["ord", "codigo", "importe"],
+        ),
+        CFG, order_by=["ord"],
+    ).drop("ext_ord")
+    hot = rows(hot_match_keys(a, b, CFG, hot_threshold=6))
+    assert hot == [("AHOT", 1.0), ("BHOT", 2.0)]
+
+
+def test_match_skewed_null_keys_and_arg_contract(spark):
+    """NULL-keyed rows stay in the sort-merge branch and drop out of the
+    inner join exactly as in the plain plan; hot_threshold or hot_keys is
+    required; a caller-supplied hot_keys frame is honored as-is."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        match_records_skewed,
+    )
+
+    a = spark.createDataFrame(
+        [("a1", None, 1.0), ("a2", "T1", 1.0)],
+        "`_id` string, transaction_code string, approved_transaction_amount double",
+    )
+    b = prepare_external(
+        spark.createDataFrame(
+            [(1, None, "1.0"), (2, "T1", "1.0")],
+            "ord int, codigo string, importe string",
+        ),
+        CFG, order_by=["ord"],
+    ).drop("ext_ord")
+    matched, _ = match_records_skewed(a, b, CFG, hot_threshold=2)
+    assert rows(matched, "_id") == [("a2",)]
+    with pytest.raises(ValueError, match="hot_threshold"):
+        match_records_skewed(a, b, CFG)
+    explicit = spark.createDataFrame(
+        [("T1", 1.0)], ["transaction_code", "approved_transaction_amount"]
+    )
+    matched_e, _ = match_records_skewed(a, b, CFG, hot_keys=explicit)
+    assert rows(matched_e, "_id") == [("a2",)]

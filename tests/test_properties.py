@@ -2375,15 +2375,20 @@ def test_ivfpq_knn_degenerates_to_exact_graph(spark):
 def test_stream_datacard_equals_batch_card(spark):
     """r10: the drained streaming datacard equals the batch
     corpus_datacard row-for-row — counts and DECIMAL sums commute with
-    micro-batching, and the card derivation runs on the drained state."""
+    micro-batching, and the card derivation runs on the drained state.
+    r14: this is now the CARRYING pin for the RETIRED registry face
+    stream_datacard (VERDICT r13 #5) — the card math stays oracle-checked
+    through text_datacard/text_datacard_merge; stream ≡ batch lives here."""
     from mongo_polars_reconciliation_spark.extensions.text import (
         corpus_datacard,
     )
-    from mongo_polars_reconciliation_spark.harness.queries import QUERIES
+    from mongo_polars_reconciliation_spark.harness.queries import (
+        stream_datacard,
+    )
 
     sf_dir = "/root/testdata/sf0.001"
     streamed = sorted(
-        tuple(r) for r in QUERIES["stream_datacard"](spark, sf_dir).collect()
+        tuple(r) for r in stream_datacard(spark, sf_dir).collect()
     )
     batch = sorted(
         tuple(r)

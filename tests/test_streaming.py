@@ -656,3 +656,30 @@ def test_compact_payload_state_closes_the_loop(spark):
         desc = _bucket_spec(spark, tables[face])
         assert desc.get("Num Buckets") == "4", (face, desc)
         assert key in desc.get("Bucket Columns", ""), (face, desc)
+
+
+def test_stream_cms_equals_batch_counters(spark):
+    """r14 carrying pin for the RETIRED registry face stream_cms_counters
+    (VERDICT r13 #5): the drained complete-mode CMS state equals the batch
+    sketch's (j, b) counters bit-for-bit — counter increments are plain
+    sums, so they commute with micro-batching. The counter MATH itself
+    stays independently oracle-checked through text_heavy_hitters_cms and
+    text_cms_merge (same hashes, DuckDB-recomputed); this pin carries the
+    one thing the retired face added — stream ≡ batch."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        cms_merge_check,
+    )
+    from mongo_polars_reconciliation_spark.harness.queries import (
+        stream_cms_counters,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = sorted(
+        tuple(r) for r in stream_cms_counters(spark, sf_dir).collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = sorted(
+        (r["j"], r["b"], r["cnt_global"])
+        for r in cms_merge_check(docs).collect()
+    )
+    assert streamed == batch

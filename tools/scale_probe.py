@@ -449,6 +449,78 @@ def probe_pii_scrub(spark, docs):
     return time.perf_counter() - t0
 
 
+def probe_admit_depth(spark) -> None:
+    """r14 (VERDICT r13 #4): bound the ONE driver-side loop the ingest
+    family keeps — ``greedy_admit``'s round count — against graph depth,
+    empirically. Rounds needed = longest dependency chain in the pair DAG
+    (each round finalizes the next node of the deepest chain: a node is
+    admitted only once ALL its lower neighbors are rejected, and the
+    deepest chain alternates A/R down its spine one hop per round).
+
+    Worst case: a PATH graph 0–1–…–d, where the chain is the whole graph
+    — measured rounds = d+1 (node k finalizes in round k+1; the round
+    count is found by bisecting the smallest ``max_iter`` that converges,
+    leaning on the kernel's loud convergence error so the kernel itself
+    stays untouched — max_iter=25 therefore tolerates dependency chains
+    up to depth 24). Real case: the verified MinHash
+    near-dup pair graph of the SF corpus — duplicate clusters are
+    star-shaped (one early id paired with its copies), so chains are
+    short and rounds stay far under the ``max_iter=25`` default. The
+    emitted line records both; if real-graph rounds ever approach the
+    default, raise ``mis_max_iter`` (and the oracles' unrolled round
+    count with it) per the kernel's convergence error message."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        minhash_near_dups,
+    )
+    from mongo_polars_reconciliation_spark.extensions.ingest_kernel import (
+        greedy_admit,
+    )
+
+    def rounds_needed(nodes, edges, cap, want_admitted=None):
+        lo_b, hi_b = 1, cap
+        while lo_b < hi_b:
+            mid = (lo_b + hi_b) // 2
+            try:
+                n = greedy_admit(nodes, edges, "doc_id", max_iter=mid).count()
+                if want_admitted is not None:
+                    assert n == want_admitted, (n, want_admitted)
+                hi_b = mid
+            except RuntimeError:
+                lo_b = mid + 1
+        return lo_b
+
+    out = {"probe": "admit_depth", "max_iter_default": 25, "path_rounds": {}}
+    for depth in (8, 16, 24):
+        nodes = spark.range(0, depth + 1).select(F.col("id").alias("doc_id"))
+        edges = spark.range(0, depth).select(
+            F.col("id").alias("lo"), (F.col("id") + 1).alias("hi")
+        )
+        # id-order greedy MIS on a path admits exactly the even nodes
+        out["path_rounds"][str(depth)] = rounds_needed(
+            nodes, edges, depth + 2, want_admitted=depth // 2 + 1
+        )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edges = (
+        minhash_near_dups(docs, hash_mode="poly")
+        .select(F.col("id_a").alias("lo"), F.col("id_b").alias("hi"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("lo").alias("doc_id"))
+        .unionByName(edges.select(F.col("hi").alias("doc_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out["real_graph"] = {
+        "nodes": nodes.count(),
+        "edges": edges.count(),
+        "rounds": rounds_needed(nodes, edges, 25),
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
@@ -477,11 +549,17 @@ def main() -> None:
         # r13: Hamming-LSH block collisions (near-dup trio complete)
         ("simhash", docs_at, probe_simhash),
     ]
+    # depth probes emit their own line shape (rounds, not a 1x/Nx ratio)
+    special = [("admit_depth", probe_admit_depth)]
     if only is not None:
-        unknown = only - {n for n, _, _ in probes}
+        known = {n for n, _, _ in probes} | {n for n, _ in special}
+        unknown = only - known
         if unknown:
             raise SystemExit(f"scale_probe: unknown probe(s) {sorted(unknown)}")
         probes = [p for p in probes if p[0] in only]
+        special = [p for p in special if p[0] in only]
+    for name, run in special:
+        run(spark)
     for name, mk, run in probes:
         run(spark, mk(spark, 1))  # warm: JVM/codegen/scan caches
         t1 = run(spark, mk(spark, 1))
