@@ -2980,40 +2980,86 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # touch only queries inside the driver's ~50-position budget, so their
 # fresh rows still verify final code. The r9 ledger is inside the dict.
 QUERIES = {
-    # ================= r13 DRIVER-VERIFICATION LEDGER =================
+    # ================= r14 DRIVER-VERIFICATION LEDGER =================
     # The driver checks the FIRST ~50 entries each round (budget exactly
-    # 50 in r5-r12). Ordering discipline (r5-r12 verdicts): this reorder
+    # 50 in r5-r13). Ordering discipline (r5-r13 verdicts): this reorder
     # is the round's LAST semantics-touching commit; any later change may
     # touch only queries inside the 50-position budget.
     #
-    # -- 1-44: the r10-row rotation block (r12 positions 51-95, minus
-    #    mm_payload_near_dup_capped which was RETIRED this round per
-    #    VERDICT r12 #5 — its check is carried verbatim by
-    #    tests/test_lsh_cap.py). VERDICT r12 ask #1: these MUST lead
-    #    r13 (3 rounds stale otherwise). Order preserved from the r12
-    #    overflow listing. The 8 ingest-family queries in this block
-    #    (dedup_ingest_*, sim_ingest_semantic, mm_payload_ingest,
-    #    stream_ingest_{neardup,semantic,payloads}) are ALSO the
-    #    queries changed by the r13 ingest-kernel extraction — their
-    #    re-verification here is the rotation's free slot trick, so the
-    #    thrice-carried refactor obligation closes at zero extra cost.
-    # -- 45-46: the 2 remaining CHANGED r13 queries —
-    #    text_mix_temperature + text_mix_temperature_alpha (the
-    #    alpha=3/4 fused isqrt chain; the alpha=1/2 branch is
-    #    byte-identical and values are pinned bit-identical, but the
-    #    shared function body changed, so both faces re-verify).
-    # -- 47-50: the 4 STALEST r11-row queries, freshened with the spare
-    #    budget (no new queries this round — consolidation policy,
-    #    VERDICT r12 #5): text_lm_score, stream_ingest_novel,
-    #    text_heavy_hitters_cms, text_cms_merge.
-    # -- 51-88: r11-row tail (38) — next round's rotation MUST lead
-    #    with these (they will be 3 rounds stale in r14; 12 slots then
-    #    remain, enough for a changed-query budget for the first time
-    #    since r10).
-    # -- 89-136: r12/r13-row tail (freshest: the r12 rotation block and
-    #    the 7 r12-changed queries).
+    # -- 1-37: the r11-row rotation block (r13 positions 51-88 in
+    #    preserved order, minus stream_cms_counters which was RETIRED
+    #    this round per VERDICT r13 #5 — its stream-≡-batch check is
+    #    carried verbatim by tests/test_streaming.py::
+    #    test_stream_cms_equals_batch_counters and its counter math by
+    #    the text_heavy_hitters_cms / text_cms_merge oracles).
+    #    VERDICT r13 #1: these MUST lead r14 (3 rounds stale otherwise).
+    # -- 38: the round's ONE new query — recon_match_skewed (VERDICT r13
+    #    #2: skew-join hardening for the reconciliation match; shares
+    #    recon_match_exact's oracle because the hot-key split is pinned
+    #    bit-identical).
+    # -- 39-50: the 12 STALEST r12-row queries, freshened with the spare
+    #    budget (stalest = earliest position in the r12 ledger, the same
+    #    tie-break r13 used for its four r11 picks).
+    # -- 51-99: r13-row tail (49: the r13 ledger in preserved order,
+    #    minus stream_datacard, RETIRED this round — its stream-≡-batch
+    #    check is carried by tests/test_properties.py::
+    #    test_stream_datacard_equals_batch_card and its card math by the
+    #    text_datacard / text_datacard_merge oracles). r15's rotation
+    #    leads with these.
+    # -- 100-135: r12-row tail (36) — after the r13 block, r15 freshens
+    #    from the front of this block (r12-ledger order preserved).
     # ==================================================================
 
+    "text_bloom_decontaminate": text_bloom_decontaminate,
+    "events_hist_merge": events_hist_merge,
+    "text_split_leakage_safe": text_split_leakage_safe,
+    "dedup_source_overlap": dedup_source_overlap,
+    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
+    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
+    "recon_persist_roundtrip": recon_persist_roundtrip,
+    "recon_csv_roundtrip": recon_csv_roundtrip,
+    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
+    "recon_mongo_json_scan": recon_mongo_json_scan,
+    "recon_orc_roundtrip": recon_orc_roundtrip,
+    "stream_incremental_match": stream_incremental_match,
+    "stream_dedup_corpus": stream_dedup_corpus,
+    "stream_dedup": stream_dedup_events,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_sessionize_agg": stream_sessionize_agg,
+    "stream_user_seq": stream_user_seq,
+    "stream_view_attribution": stream_view_attribution,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "recon_source_scan_filtered": recon_source_scan_filtered,
+    "text_split_assign": text_split_assign,
+    "text_sample_stratified": text_sample_stratified,
+    "events_funnel_windowed": events_funnel_windowed,
+    "dedup_exact": dedup_exact,
+    "dedup_simhash": dedup_simhash,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters_cc,
+    "dedup_clusters_star": dedup_clusters_star_cc,
+    "q1_pricing_summary": q1_pricing_summary,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_topk_ivf": sim_topk_ivf,
+    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
+    "sim_topk_lsh": sim_topk_lsh,
+    "curation_pipeline_v2": curation_pipeline_v2,
+    "curation_pipeline_v3": curation_pipeline_v3,
+    "recon_match_skewed": recon_match_skewed,
+    "sim_contamination": sim_contamination,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
+    "text_mix_epochs": text_mix_epochs,
+    "events_retention": events_retention,
+    "events_daily_type_pivot": events_daily_type_pivot,
+    "events_rollup": events_rollup,
+    "events_user_running_value": events_user_running_value,
+    "events_asof_last_view": events_asof_last_view,
+    "events_daily_rollup2": events_hourly_from_daily_rollup,
     "recon_zero_effect_pairs": recon_zero_effect_pairs,
     "recon_zero_effect_clean": recon_zero_effect_clean,
     "recon_tolerance_match": recon_tolerance_match,
@@ -3021,7 +3067,6 @@ QUERIES = {
     "recon_duplicate_losers_strict": recon_duplicate_losers_strict,
     "recon_state_merge_upsert": recon_state_merge_upsert,
     "recon_match_on_names": recon_match_on_names,
-    "recon_match_skewed": recon_match_skewed,
     "recon_cascade_three_pass": recon_cascade_three_pass,
     "recon_summary_doc": recon_summary_doc,
     "recon_subset_dedup_keep_last": recon_subset_dedup_keep_last,
@@ -3064,55 +3109,6 @@ QUERIES = {
     "stream_ingest_novel": stream_ingest_novel,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,
-    "text_bloom_decontaminate": text_bloom_decontaminate,
-    "events_hist_merge": events_hist_merge,
-    "text_split_leakage_safe": text_split_leakage_safe,
-    "dedup_source_overlap": dedup_source_overlap,
-    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
-    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
-    "recon_persist_roundtrip": recon_persist_roundtrip,
-    "recon_csv_roundtrip": recon_csv_roundtrip,
-    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
-    "recon_mongo_json_scan": recon_mongo_json_scan,
-    "recon_orc_roundtrip": recon_orc_roundtrip,
-    "stream_incremental_match": stream_incremental_match,
-    "stream_dedup_corpus": stream_dedup_corpus,
-    "stream_dedup": stream_dedup_events,
-    "stream_events_hourly": stream_events_hourly,
-    "stream_sessionize_agg": stream_sessionize_agg,
-    "stream_user_seq": stream_user_seq,
-    "stream_view_attribution": stream_view_attribution,
-    "text_lang_id": text_lang_id,
-    "text_quality": text_quality,
-    "text_token_count": text_token_count,
-    "recon_source_scan_filtered": recon_source_scan_filtered,
-    "text_split_assign": text_split_assign,
-    "text_sample_stratified": text_sample_stratified,
-    "events_funnel_windowed": events_funnel_windowed,
-    "dedup_exact": dedup_exact,
-    "dedup_simhash": dedup_simhash,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_clusters": dedup_clusters_cc,
-    "dedup_clusters_star": dedup_clusters_star_cc,
-    "q1_pricing_summary": q1_pricing_summary,
-    "sim_topk_bruteforce": sim_topk_bruteforce,
-    "sim_topk_ivf": sim_topk_ivf,
-    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
-    "sim_topk_lsh": sim_topk_lsh,
-    "curation_pipeline_v2": curation_pipeline_v2,
-    "curation_pipeline_v3": curation_pipeline_v3,
-    "sim_contamination": sim_contamination,
-    "events_hourly": events_hourly,
-    "events_sessionize": events_sessionize,
-    "mm_decode_features": mm_decode_features,
-    "mm_frame_sample": mm_frame_sample,
-    "text_mix_epochs": text_mix_epochs,
-    "events_retention": events_retention,
-    "events_daily_type_pivot": events_daily_type_pivot,
-    "events_rollup": events_rollup,
-    "events_user_running_value": events_user_running_value,
-    "events_asof_last_view": events_asof_last_view,
-    "events_daily_rollup2": events_hourly_from_daily_rollup,
     "events_top_users_per_type": events_top_users_per_type,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_pack_sequences": text_pack_sequences,
