@@ -185,7 +185,15 @@ def match_candidates_skewed(
     — millions of rows — is the design point; the threshold is a tuning
     knob, not auto-derived, so the plan is deterministic). The hot-key
     frame itself is aggregate-sized and is broadcast for the semi/anti
-    splits — nothing is collected to the driver."""
+    splits — nothing is collected to the driver.
+
+    When to reach for it (measured, NOTES_r14): the split pays off on
+    FANOUT-HEAVY hot keys — nA·nB large enough that one sort-merge task
+    producing the pairs is the stage straggler (20k×2k ⇒ ×0.86 even on
+    local[32], and the gap widens with executor count). A merely
+    FREQUENT key with trivial fanout (1M×3) makes the split pure
+    overhead (the arbitration window dominates and already
+    distributes); leave those to the plain plan + AQE."""
     if hot_keys is None:
         if hot_threshold is None:
             raise ValueError("need hot_threshold or an explicit hot_keys frame")
