@@ -4236,3 +4236,35 @@ def test_ivfpq_rows_come_from_probed_cells_and_rerank_is_exact(spark):
     }
     for r in rows:
         assert bf[r["vec_id"]] == r["cos_r"], r
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ra=_rows,
+    rb=_rows,
+    thr=st.sampled_from([1, 2, 4, 50]),
+    strict=st.booleans(),
+)
+def test_match_skewed_equals_plain_property(spark, ra, rb, thr, strict):
+    """r14: the hot-key split is bit-identical to the plain match for ANY
+    key distribution and ANY threshold — including the degenerate splits
+    (thr=1: everything hot, the sort-merge branch is empty; thr=50: nothing
+    hot, the broadcast branch is empty) and both arbitration modes. The
+    tiny alphabet forces key collisions, k>=3 duplicate groups (the strict
+    middle-drop shape), and empty sides."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        match_records_skewed,
+    )
+
+    cfg = ReconConfig(keys=CFG.keys, strict_compat=strict)
+    a, b = _frames(spark, ra, rb)
+    matched_p, losers_p = match_records(a, b, cfg)
+    matched_s, losers_s = match_records_skewed(a, b, cfg, hot_threshold=thr)
+    assert matched_s.columns == matched_p.columns
+    assert losers_s.columns == losers_p.columns
+    assert sorted(map(tuple, matched_s.collect())) == sorted(
+        map(tuple, matched_p.collect())
+    )
+    assert sorted(map(tuple, losers_s.collect())) == sorted(
+        map(tuple, losers_p.collect())
+    )

@@ -521,6 +521,104 @@ def probe_admit_depth(spark) -> None:
     print(json.dumps(out))
 
 
+def probe_match_skew(spark, factor: int = 4) -> None:
+    """r14: A/B the skew-hardened match against the plain sort-merge plan
+    on a fanout-heavy fixture at 1x and {factor}x — the evidence behind
+    ``match_records_skewed``'s contract (NOTES_r14): one monster key
+    whose nA·nB pair production is a single sort-merge task's straggler
+    work, plus a 1:1 tail. The hot side scales with the factor (nA =
+    5000·f against a fixed 2000-row B slice — hot pairs grow linearly,
+    preserving the workload's complexity class) and so does the tail.
+
+    What it measures is the CROSSOVER, which is the whole 100 TB
+    argument: at small fanout the split's fixed costs (key aggregate +
+    semi/anti passes) lose to the straggler it removes, and as fanout
+    grows the plain plan's wall-clock grows FASTER than the skewed
+    plan's (its growth rides one task; the broadcast branch's rides the
+    whole cluster), so the split wins from some scale on — expect
+    plain_ratio > skewed_ratio and speedup rising with the factor,
+    crossing 1 within this probe's range. Auto-broadcast is disabled
+    inside the probe so Spark cannot size-estimate the plain plan into a
+    broadcast and vacate the comparison."""
+    from mongo_polars_reconciliation_spark.config import KeyPair, ReconConfig
+    from mongo_polars_reconciliation_spark.operators.match import (
+        match_records,
+        match_records_skewed,
+    )
+    from mongo_polars_reconciliation_spark.sources.external import (
+        prepare_external,
+    )
+
+    cfg = ReconConfig(
+        keys=[
+            KeyPair("transaction_code", "codigo", None),
+            KeyPair("approved_transaction_amount", "importe", "double"),
+        ]
+    )
+
+    def fixture(f: int):
+        hot_a, hot_b, tail = 5_000 * f, 2_000, 250_000 * f
+        a = (
+            spark.range(0, hot_a + tail)
+            .select(
+                F.concat(F.lit("a"), F.col("id")).alias("_id"),
+                F.when(F.col("id") < hot_a, F.lit("HOT"))
+                .otherwise(F.concat(F.lit("T"), F.col("id")))
+                .alias("transaction_code"),
+                F.when(F.col("id") < hot_a, F.lit(7.0))
+                .otherwise(F.col("id").cast("double"))
+                .alias("approved_transaction_amount"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        b_raw = spark.range(0, hot_b + tail).select(
+            F.col("id").alias("ord"),
+            F.when(F.col("id") < hot_b, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("T"), F.col("id") + hot_a - hot_b))
+            .alias("codigo"),
+            F.when(F.col("id") < hot_b, F.lit("7.0"))
+            .otherwise((F.col("id") + hot_a - hot_b).cast("string"))
+            .alias("importe"),
+        )
+        b = prepare_external(b_raw, cfg, order_by=["ord"]).localCheckpoint(
+            eager=True
+        )
+        return a, b
+
+    def clock(fn) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()[0].write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 2)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = {"probe": "match_skew", "factor": factor}
+        for f, tag in ((1, "1x"), (factor, f"{factor}x")):
+            a, b = fixture(f)
+            tp = clock(lambda: match_records(a, b, cfg))
+            ts = clock(
+                lambda: match_records_skewed(a, b, cfg, hot_threshold=4_000)
+            )
+            out[tag] = {
+                "plain_sec": tp,
+                "skewed_sec": ts,
+                "speedup": round(tp / ts, 2) if ts > 0 else None,
+            }
+        out["plain_ratio"] = round(
+            out[f"{factor}x"]["plain_sec"] / out["1x"]["plain_sec"], 2
+        )
+        out["skewed_ratio"] = round(
+            out[f"{factor}x"]["skewed_sec"] / out["1x"]["skewed_sec"], 2
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    print(json.dumps(out))
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
@@ -549,8 +647,9 @@ def main() -> None:
         # r13: Hamming-LSH block collisions (near-dup trio complete)
         ("simhash", docs_at, probe_simhash),
     ]
-    # depth probes emit their own line shape (rounds, not a 1x/Nx ratio)
-    special = [("admit_depth", probe_admit_depth)]
+    # special probes emit their own line shape (rounds / A-vs-B timings,
+    # not the plain 1x/Nx ratio)
+    special = [("admit_depth", probe_admit_depth), ("match_skew", probe_match_skew)]
     if only is not None:
         known = {n for n, _, _ in probes} | {n for n, _ in special}
         unknown = only - known
