@@ -535,9 +535,14 @@ def probe_match_skew(spark, factor: int = 4) -> None:
     semi/anti passes) lose to the straggler it removes, and as fanout
     grows the plain plan's wall-clock grows FASTER than the skewed
     plan's (its growth rides one task; the broadcast branch's rides the
-    whole cluster), so the split wins from some scale on — expect
-    plain_ratio > skewed_ratio and speedup rising with the factor,
-    crossing 1 within this probe's range. Auto-broadcast is disabled
+    whole cluster), so the split wins from some scale on. The ROBUST
+    expectation is the ordering — plain_ratio > skewed_ratio and
+    speedup rising with the factor; the absolute crossover point sits
+    around this probe's top scale on local[32] and flaps with ambient
+    load (measured r14: speedup 0.77→0.91 interleaved-dedicated,
+    0.89→1.09 sequential-dedicated — a shared memory bus understates a
+    straggler that would serialize a whole stage on a real cluster).
+    Auto-broadcast is disabled
     inside the probe so Spark cannot size-estimate the plain plan into a
     broadcast and vacate the comparison."""
     from mongo_polars_reconciliation_spark.config import KeyPair, ReconConfig
@@ -585,13 +590,10 @@ def probe_match_skew(spark, factor: int = 4) -> None:
         )
         return a, b
 
-    def clock(fn) -> float:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()[0].write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 2)
+    def clock_once(fn) -> float:
+        t0 = time.perf_counter()
+        fn()[0].write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -599,10 +601,21 @@ def probe_match_skew(spark, factor: int = 4) -> None:
         out = {"probe": "match_skew", "factor": factor}
         for f, tag in ((1, "1x"), (factor, f"{factor}x")):
             a, b = fixture(f)
-            tp = clock(lambda: match_records(a, b, cfg))
-            ts = clock(
-                lambda: match_records_skewed(a, b, cfg, hot_threshold=4_000)
-            )
+            # INTERLEAVED reps (the bench_recheck discipline): an ambient
+            # load spike lands on both plans alike instead of biasing
+            # whichever ran second; mins are compared.
+            tp = ts = float("inf")
+            for _ in range(3):
+                tp = min(tp, clock_once(lambda: match_records(a, b, cfg)))
+                ts = min(
+                    ts,
+                    clock_once(
+                        lambda: match_records_skewed(
+                            a, b, cfg, hot_threshold=4_000
+                        )
+                    ),
+                )
+            tp, ts = round(tp, 2), round(ts, 2)
             out[tag] = {
                 "plain_sec": tp,
                 "skewed_sec": ts,
