@@ -19,8 +19,20 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from mongo_polars_reconciliation_spark.harness import queries as _qmod
 from mongo_polars_reconciliation_spark.harness.queries import QUERIES
 from mongo_polars_reconciliation_spark.session import get_spark
+
+# r15: curation_pipeline / _v2 / _v3 were RETIRED from the driver registry
+# (VERDICT r14 #2; carrying pins in tests/test_curation_parity.py at both
+# gate scales) but STAY TIMED: curation_pipeline is a frozen HEADLINE
+# member (cross-round total comparability) and v2/v3 keep their per-query
+# secondary history. The harness functions remain; this map shadows the
+# registry for bench lookups only.
+BENCH_FNS = dict(QUERIES)
+for _retired in ("curation_pipeline", "curation_pipeline_v2",
+                 "curation_pipeline_v3"):
+    BENCH_FNS[_retired] = getattr(_qmod, _retired)
 
 HEADLINE = [
     "recon_cascade_summary",
@@ -191,14 +203,14 @@ def main() -> None:
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            BENCH_FNS[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             ts.append(round(time.perf_counter() - t0, 3))
         if name != control and min(ts) < extra_reps_below_sec:
             for _ in range(extra_reps):
                 t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                BENCH_FNS[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 ts.append(round(time.perf_counter() - t0, 3))

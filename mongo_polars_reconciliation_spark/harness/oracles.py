@@ -479,6 +479,24 @@ UNION ALL
 SELECT 'z_eff_a', COUNT(*), {DEC_SUM} FROM ze
 """,
     ),
+    # r15: the skew-knob cascade is bit-identical to the plain cascade by
+    # contract (ExactPass(hot_threshold) only changes the exact pass's
+    # physical join strategy — operators/match.py key-space-partition
+    # argument), so its oracle IS recon_cascade_summary's SQL: the driver
+    # check pins that the pipeline-integrated split does not change a
+    # single bucket row.
+    "recon_cascade_skewed": q(
+        BASE_CTES, ZE_CTES,
+        select=CASCADE_TAIL_CTES + f"""
+SELECT 'a_to_b_mt' AS bucket, COUNT(*) AS n, {DEC_SUM} AS amount_sum FROM mt_all
+UNION ALL
+SELECT 'a_to_b_nmt', COUNT(*), {DEC_SUM} FROM a_nmt
+UNION ALL
+SELECT 'b_to_a_nmt', COUNT(*), 0.0 FROM b_nmt
+UNION ALL
+SELECT 'z_eff_a', COUNT(*), {DEC_SUM} FROM ze
+""",
+    ),
     # The roundtrip query's values are what the CASCADE produces — the disk
     # roundtrip (stage → time-partitioned move → re-read, and the summary
     # doc re-read) must be value-preserving, which is exactly what this
@@ -2523,6 +2541,13 @@ cflag AS (
 ),
 kept4 AS MATERIALIZED (SELECT * FROM kept3 WHERE doc_id NOT IN (SELECT doc_id FROM cflag)),
 """
+# r15: the curation_pipeline / _v2 / _v3 faces were RETIRED from the
+# registry (VERDICT r14 #2, registry consolidation) — curation_pipeline_v4
+# remains the driver face for the composition ladder. These oracle entries
+# REMAIN on purpose: tests/test_curation_parity.py re-runs the full former
+# driver check (Spark vs DuckDB, count+schema+values) against them at both
+# gate scales every round. oracle_sql() filters by QUERIES membership, so
+# the driver never sees them.
 _v1_head, _v1_tail = ORACLES["curation_pipeline"].split("qual AS (", 1)
 ORACLES["curation_pipeline_v2"] = (
     _v1_head + _V2_GATES + "qual AS (" + _v1_tail.replace("FROM kept2", "FROM kept4")

@@ -155,6 +155,27 @@ def recon_cascade_summary(spark, sf_dir) -> DataFrame:
     return rc.summary(amount_col="amount")
 
 
+def recon_cascade_skewed(spark, sf_dir) -> DataFrame:
+    """r15 (VERDICT r14 #2): the flagship cascade with its exact pass routed
+    through the skew-hardened match — ``ExactPass(hot_threshold=4)`` reaches
+    ``match_candidates_skewed`` via ``plans/pipeline.py``, so the 100 TB
+    flagship path can engage the hot-key split. Buckets are bit-identical
+    to ``recon_cascade_summary`` by the r14 key-space-partition argument
+    (the split changes only the physical join strategy; reference cascade
+    semantics, src/reconciliatior.py:66-74 + 201-206, unchanged), so the
+    face shares its oracle SQL verbatim — the driver check IS the
+    bit-identity check at pipeline level. The threshold is fixture-low
+    (4, same as ``recon_match_skewed``: 16 hot keys at sf0.001, 165 at
+    sf0.01) so BOTH branches engage at both gate scales."""
+    cfg, a, b = _ab(spark, sf_dir)
+    rc = Reconciliation(cfg, a, b)
+    rc.run(
+        [ExactPass(hot_threshold=4), TolerancePass(TOLERANCE_RULES)],
+        zero_effect_rules=[ZE_RULE],
+    )
+    return rc.summary(amount_col="amount")
+
+
 def recon_duplicate_losers_strict(spark, sf_dir) -> DataFrame:
     """strict_compat arbitration (SURVEY.md §2.4 faithful-bug): with k>=3
     duplicate candidates only the LAST goes back to the residual bucket —
@@ -3045,8 +3066,16 @@ QUERIES = {
     "sim_topk_ivf": sim_topk_ivf,
     "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
     "sim_topk_lsh": sim_topk_lsh,
-    "curation_pipeline_v2": curation_pipeline_v2,
-    "curation_pipeline_v3": curation_pipeline_v3,
+    # curation_pipeline_v2 / curation_pipeline_v3 RETIRED r15 (VERDICT r14
+    # #2, registry consolidation): strict composition rungs of the ladder
+    # whose top (curation_pipeline_v4) stays a driver face and whose every
+    # stage is an independently driver-checked operator face (dedup_exact,
+    # dedup_minhash_lsh, text_repetition, text_contamination, text_quality*,
+    # text_lm_score/_buckets). Their FULL former driver check — DuckDB
+    # oracle parity on count+schema+values, at BOTH gate scales — is
+    # carried verbatim by tests/test_curation_parity.py; the harness
+    # functions and oracle SQL remain to back that pin, and bench.py still
+    # times them (frozen membership / secondary history).
     "recon_match_skewed": recon_match_skewed,
     "sim_contamination": sim_contamination,
     "events_hourly": events_hourly,
@@ -3128,7 +3157,11 @@ QUERIES = {
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "text_quality_gate": text_quality_gate,
-    "curation_pipeline": curation_pipeline,
+    # curation_pipeline (v1) RETIRED r15 — same consolidation as v2/v3
+    # above (v1 is the shortest rung: exact dedup → near-dup → quality
+    # gate → stats, every stage driver-checked standalone); full parity
+    # carried by tests/test_curation_parity.py at both gate scales. Still
+    # TIMED by bench.py (it is a frozen HEADLINE member).
     "text_datacard": text_datacard,
     "text_ngram_novelty": text_ngram_novelty,
     "text_split_cluster_safe": text_split_cluster_safe,
@@ -3145,6 +3178,10 @@ QUERIES = {
     "curation_pipeline_v4": curation_pipeline_v4,
     "text_pii_scrub": text_pii_scrub,
     "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
+    # r15 WIP: new face appended for development; the rotation commit
+    # (the round's LAST semantics-touching commit) moves it into the
+    # top-50 verification budget at position 50.
+    "recon_cascade_skewed": recon_cascade_skewed,
 }
 
 

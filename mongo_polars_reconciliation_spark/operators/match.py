@@ -155,6 +155,61 @@ def hot_match_keys(
     )
 
 
+def hot_match_keys_auto(
+    a: DataFrame,
+    b: DataFrame,
+    cfg: ReconConfig,
+    broadcast_budget_rows: int = 1_000_000,
+    min_fanout: int = 32,
+) -> DataFrame:
+    """Budget-derived hot-key frame (r15, VERDICT r14 #4): makes the
+    "hot keys are few and B's hot slice is broadcastable" contract of
+    ``match_candidates_skewed`` a deterministic sizing rule instead of a
+    hand-picked threshold. Pass the result as ``hot_keys=``.
+
+    Rule: rank key tuples by combined A+B row count descending (ties
+    broken by the key values, so the pick is deterministic), then keep
+    the fattest keys while their CUMULATIVE B-side row count still fits
+    ``broadcast_budget_rows`` — the budget bounds exactly what the hot
+    branch broadcasts (B's hot slice), so the chosen set is
+    broadcastable BY CONSTRUCTION. ``min_fanout`` floors the candidate
+    set: keys below it never pay the split (the plain sort-merge handles
+    them fine — NOTES_r14's fanout-light lesson), and it is what keeps
+    the ranking window's input aggregate-sized at any scale (at most
+    total_rows/min_fanout keys survive the filter, and in a skewed
+    workload only the handful of monsters do), so the single global
+    window below is a sort over a tiny frame, not over the key space.
+
+    Everything stays a DataFrame — one union-all key aggregate (the same
+    shape ``hot_match_keys`` builds, plus a per-side count), one filter,
+    one window — nothing is collected to the driver. Budget sizing: a
+    broadcast row of the prepared-B schema is a few hundred bytes, so
+    the 1M-row default targets the few-hundred-MB broadcast range;
+    size it to executor memory, not to the data volume."""
+    ka = cfg.a_columns
+    keys_a = a.select(*[F.col(c) for c in ka]).withColumn("__b", F.lit(0))
+    keys_b = b.select(
+        *[F.col(kb).alias(kaa) for kaa, kb in zip(ka, cfg.b_columns, strict=True)]
+    ).withColumn("__b", F.lit(1))
+    counts = (
+        keys_a.unionByName(keys_b)
+        .groupBy(*ka)
+        .agg(
+            F.count(F.lit(1)).alias("__nk"),
+            F.sum("__b").alias("__nb"),
+        )
+        .where(F.col("__nk") >= F.lit(min_fanout))
+    )
+    w = Window.orderBy(
+        F.col("__nk").desc(), *[F.col(c).asc_nulls_last() for c in ka]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        counts.withColumn("__cum_nb", F.sum("__nb").over(w))
+        .where(F.col("__cum_nb") <= F.lit(broadcast_budget_rows))
+        .select(*ka)
+    )
+
+
 def match_candidates_skewed(
     a: DataFrame,
     b: DataFrame,
@@ -170,8 +225,10 @@ def match_candidates_skewed(
     ``match_candidates`` — the split partitions the key space, an inner
     equi-join distributes over that partition, and every A ``_id``'s
     candidate group lives entirely inside one branch (an id has one key
-    tuple), so the per-branch arbitration windows rank exactly the groups
-    the single window would.
+    tuple). The branches are UNIONED first and then ONE arbitration
+    window runs over the union (see the inline comment below) — do not
+    refactor this into per-branch windows: ``__cnt`` would break if a
+    group ever straddled branches.
 
     This is the salted-agg pattern applied to J1 (``functions/skew.py``
     handles aggregation; this handles the match join): AQE skew-join
@@ -183,9 +240,23 @@ def match_candidates_skewed(
     Scale contract: ``hot_threshold`` must be set so the hot KEY count is
     small and B's hot slice fits in a broadcast (a few hot amounts/dates
     — millions of rows — is the design point; the threshold is a tuning
-    knob, not auto-derived, so the plan is deterministic). The hot-key
+    knob, not auto-derived, so the plan is deterministic — see
+    ``hot_match_keys_auto`` for a budget-derived rule). The hot-key
     frame itself is aggregate-sized and is broadcast for the semi/anti
     splits — nothing is collected to the driver.
+
+    Input-materialization contract (r15, advice): this plan reads A and B
+    THREE times each (the key aggregate, the semi/anti split, the match
+    join) and the derived ``hot_keys`` aggregate feeds four joins whose
+    broadcast exchanges are not all plan-identical (``hk_b`` is a
+    different projection), so callers should ``persist``/
+    ``localCheckpoint`` A and B before the skewed plan — otherwise the
+    uncached inputs (and through them the key aggregate) can be
+    recomputed per consumer at scale. The engine's own callers already
+    comply: the cascade checkpoints its pass inputs
+    (``plans/pipeline.py:_persist``) and the driver faces read the
+    eagerly-checkpointed ``_ab`` fixture. A caller-supplied ``hot_keys``
+    frame should likewise be materialized if its lineage is expensive.
 
     When to reach for it (measured, NOTES_r14): the split pays off on
     FANOUT-HEAVY hot keys — nA·nB large enough that one sort-merge task

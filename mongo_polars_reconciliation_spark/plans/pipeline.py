@@ -38,6 +38,7 @@ from mongo_polars_reconciliation_spark.config import (
 )
 from mongo_polars_reconciliation_spark.operators.match import (
     match_candidates,
+    match_candidates_skewed,
     split_winners_losers,
 )
 from mongo_polars_reconciliation_spark.operators.residuals import (
@@ -57,10 +58,22 @@ class ExactPass:
     ``keys``: optional per-pass key set (a subset of the run config's pairs,
     since the prepared B frame only carries ``ext_``/``exd_`` columns for
     those) — the reference's cascade re-matches residuals on different key
-    configs between steps (src/reconciliation.py:66-73, new_rc_step)."""
+    configs between steps (src/reconciliation.py:66-73, new_rc_step).
+
+    ``hot_threshold`` (r15, VERDICT r14 #2): when set, the pass's match
+    join runs the skew-hardened plan (``match_candidates_skewed`` — hot
+    key tuples broadcast B's hot slice, the tail sort-merges) instead of
+    the single sort-merge join. Output is bit-identical by the key-space-
+    partition argument (operators/match.py), so this changes ONLY the
+    physical strategy; reference semantics (src/reconciliatior.py:66-74)
+    are untouched. Default ``None`` keeps the plain plan + AQE — the knob
+    is for fanout-heavy hot keys (the NOTES_r14 A/B contract), not any
+    frequent key. Mutually exclusive with ``broadcast_b`` (if all of B
+    broadcasts, there is no monster shuffle task to split away)."""
 
     broadcast_b: bool = False
     keys: tuple = ()
+    hot_threshold: int | None = None
 
 
 @dataclass(frozen=True)
@@ -114,11 +127,28 @@ class Reconciliation:
         self.a_df = self._persist(clean)
         self.z_eff_a = _union(self.z_eff_a, pairs)
 
-    def match_records(self, broadcast_b: bool = False) -> None:
-        ranked = match_candidates(
-            self.a_df, self.b_df, self.cfg, broadcast_b=broadcast_b,
-            cache=self._persist,
-        )
+    def match_records(
+        self, broadcast_b: bool = False, hot_threshold: int | None = None
+    ) -> None:
+        if hot_threshold is not None:
+            if broadcast_b:
+                raise ValueError(
+                    "broadcast_b and hot_threshold are mutually exclusive: "
+                    "a fully-broadcast B has no shuffle task to split away"
+                )
+            # the skewed plan re-reads both inputs for its key aggregate and
+            # semi/anti splits; the pass inputs are already _persist'ed by
+            # run()/new_rc_step(), satisfying the operator's input-
+            # materialization contract (operators/match.py)
+            ranked = match_candidates_skewed(
+                self.a_df, self.b_df, self.cfg, hot_threshold=hot_threshold,
+                cache=self._persist,
+            )
+        else:
+            ranked = match_candidates(
+                self.a_df, self.b_df, self.cfg, broadcast_b=broadcast_b,
+                cache=self._persist,
+            )
         matched, loser_b = split_winners_losers(ranked, self.cfg)
         self._candidates = ranked
         self.a_to_b_mt = _union(self.a_to_b_mt, matched)
@@ -174,7 +204,9 @@ class Reconciliation:
                     from dataclasses import replace
 
                     self.cfg = replace(base_cfg, keys=list(p.keys))
-                self.match_records(broadcast_b=p.broadcast_b)
+                self.match_records(
+                    broadcast_b=p.broadcast_b, hot_threshold=p.hot_threshold
+                )
                 self.not_match_records()
                 self.cfg = base_cfg
             else:

@@ -228,6 +228,64 @@ def test_hot_match_keys_counts_both_sides(spark):
     assert hot == [("AHOT", 1.0), ("BHOT", 2.0)]
 
 
+def test_hot_match_keys_auto_budget_rule(spark):
+    """r15 (VERDICT r14 #4): the budget rule keeps the fattest keys while
+    their cumulative B-side row count fits the broadcast budget, floors the
+    candidate set at min_fanout, and breaks combined-count ties by key
+    value (deterministic pick)."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        hot_match_keys_auto,
+    )
+
+    # per-key layout: (key, nA, nB) -> combined
+    #   K1: 2+10=12, K2: 6+4=10, K3: 8+2=10 (tie with K2), K4: 1+1=2
+    a = spark.createDataFrame(
+        [("a", "K1", 1.0)] * 2 + [("a", "K2", 2.0)] * 6
+        + [("a", "K3", 3.0)] * 8 + [("a", "K4", 4.0)],
+        ["_id", "transaction_code", "approved_transaction_amount"],
+    )
+    b = prepare_external(
+        spark.createDataFrame(
+            [(i, "K1", "1.0") for i in range(10)]
+            + [(20 + i, "K2", "2.0") for i in range(4)]
+            + [(30 + i, "K3", "3.0") for i in range(2)]
+            + [(40, "K4", "4.0")],
+            ["ord", "codigo", "importe"],
+        ),
+        CFG, order_by=["ord"],
+    ).drop("ext_ord")
+    # budget 14: K1 (cum nB 10) + K2 (cum 14) fit; K3 (cum 16) does not.
+    # K2 enters before K3 on the tie because "K2" < "K3".
+    got = rows(hot_match_keys_auto(a, b, CFG, broadcast_budget_rows=14,
+                                   min_fanout=3))
+    assert got == [("K1", 1.0), ("K2", 2.0)]
+    # min_fanout floors the candidate set regardless of budget headroom
+    got_all = rows(hot_match_keys_auto(a, b, CFG, broadcast_budget_rows=10**6,
+                                       min_fanout=3))
+    assert got_all == [("K1", 1.0), ("K2", 2.0), ("K3", 3.0)]
+    # the whole frame stays declarative: nothing above collected anything
+    # until rows() did
+
+
+def test_hot_match_keys_auto_feeds_skewed_match(skewed_ab):
+    """The auto-derived frame drops into match_records_skewed as hot_keys
+    and the bit-identity still holds (the rule is just another way to pick
+    the key-space partition)."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        hot_match_keys_auto,
+        match_records_skewed,
+    )
+
+    a, b = skewed_ab
+    hot = hot_match_keys_auto(a, b, CFG, broadcast_budget_rows=100,
+                              min_fanout=50)
+    assert rows(hot) == [("HOT", 7.0)]  # the rule finds the monster key
+    matched_p, losers_p = match_records(a, b, CFG)
+    matched_s, losers_s = match_records_skewed(a, b, CFG, hot_keys=hot)
+    assert rows(matched_s) == rows(matched_p)
+    assert rows(losers_s) == rows(losers_p)
+
+
 def test_match_skewed_null_keys_and_arg_contract(spark):
     """NULL-keyed rows stay in the sort-merge branch and drop out of the
     inner join exactly as in the plain plan; hot_threshold or hot_keys is

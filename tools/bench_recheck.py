@@ -34,7 +34,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from mongo_polars_reconciliation_spark.harness.queries import QUERIES
+# r15: look up through bench.py's BENCH_FNS (registry + the retired-but-
+# still-benched curation faces) so any benched query can be adjudicated.
+from bench import BENCH_FNS as QUERIES
 from mongo_polars_reconciliation_spark.session import get_spark
 
 

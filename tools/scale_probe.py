@@ -487,6 +487,15 @@ def probe_admit_depth(spark) -> None:
                 hi_b = mid
             except RuntimeError:
                 lo_b = mid + 1
+        # r15 (advice): the bisection never tests `cap` itself — if every
+        # midpoint fails, lo_b drifts up to cap and would be reported as
+        # the measured round count for a graph that actually needs MORE
+        # than cap rounds. One verification run at the reported bound
+        # closes that hole: the kernel's loud convergence error propagates
+        # if lo_b does not in fact converge.
+        n = greedy_admit(nodes, edges, "doc_id", max_iter=lo_b).count()
+        if want_admitted is not None:
+            assert n == want_admitted, (n, want_admitted)
         return lo_b
 
     out = {"probe": "admit_depth", "max_iter_default": 25, "path_rounds": {}}
@@ -521,6 +530,114 @@ def probe_admit_depth(spark) -> None:
     print(json.dumps(out))
 
 
+def _skew_cfg():
+    from mongo_polars_reconciliation_spark.config import KeyPair, ReconConfig
+
+    return ReconConfig(
+        keys=[
+            KeyPair("transaction_code", "codigo", None),
+            KeyPair("approved_transaction_amount", "importe", "double"),
+        ]
+    )
+
+
+def _skew_fixture(spark, cfg, f: int):
+    """The match_skew fixture (r14): one monster key ("HOT", 7.0) with
+    nA = 5000·f against a fixed 2000-row B slice, plus a 250k·f 1:1 tail
+    (each tail key combined count 2). Shared by the A/B probe and the
+    hot-key sizing-rule probe."""
+    from mongo_polars_reconciliation_spark.sources.external import (
+        prepare_external,
+    )
+
+    hot_a, hot_b, tail = 5_000 * f, 2_000, 250_000 * f
+    a = (
+        spark.range(0, hot_a + tail)
+        .select(
+            F.concat(F.lit("a"), F.col("id")).alias("_id"),
+            F.when(F.col("id") < hot_a, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("T"), F.col("id")))
+            .alias("transaction_code"),
+            F.when(F.col("id") < hot_a, F.lit(7.0))
+            .otherwise(F.col("id").cast("double"))
+            .alias("approved_transaction_amount"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    b_raw = spark.range(0, hot_b + tail).select(
+        F.col("id").alias("ord"),
+        F.when(F.col("id") < hot_b, F.lit("HOT"))
+        .otherwise(F.concat(F.lit("T"), F.col("id") + hot_a - hot_b))
+        .alias("codigo"),
+        F.when(F.col("id") < hot_b, F.lit("7.0"))
+        .otherwise((F.col("id") + hot_a - hot_b).cast("string"))
+        .alias("importe"),
+    )
+    b = prepare_external(b_raw, cfg, order_by=["ord"]).localCheckpoint(
+        eager=True
+    )
+    return a, b
+
+
+def probe_hot_auto(spark) -> None:
+    """r15 (VERDICT r14 #4): evidence that the budget-derived sizing rule
+    (``operators/match.py:hot_match_keys_auto``) picks a sane hot-key set
+    on the skew fixture. Expectations the emitted line witnesses:
+
+    * under a realistic budget (1M rows) the rule picks EXACTLY the
+      monster key — the 1:1 tail (combined count 2 per key) sits below
+      ``min_fanout`` and never pays the split;
+    * the implied threshold it reports (min combined count among picked
+      keys, 7000 here) is the deterministic equivalent of the hand knob:
+      any ``hot_threshold`` in (tail_max_combined, implied] yields the
+      same key-space partition;
+    * a budget SMALLER than the hot B slice (1000 < 2000) picks nothing —
+      the rule never overfills the broadcast, it degrades to the plain
+      plan instead."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        hot_match_keys_auto,
+    )
+
+    cfg = _skew_cfg()
+    a, b = _skew_fixture(spark, cfg, 1)
+    ka = cfg.a_columns
+    counts = (
+        a.select(*ka)
+        .unionByName(
+            b.select(
+                *[
+                    F.col(kb).alias(kaa)
+                    for kaa, kb in zip(ka, cfg.b_columns, strict=True)
+                ]
+            )
+        )
+        .groupBy(*ka)
+        .agg(F.count(F.lit(1)).alias("nk"))
+    )
+    picked = hot_match_keys_auto(a, b, cfg, broadcast_budget_rows=1_000_000)
+    picked_counts = counts.join(picked, on=ka).agg(
+        F.count(F.lit(1)).alias("n"), F.min("nk").alias("implied")
+    ).collect()[0]
+    tail_max = counts.join(picked, on=ka, how="left_anti").agg(
+        F.max("nk")
+    ).collect()[0][0]
+    monster = picked.where(
+        (F.col(ka[0]) == "HOT") & (F.col(ka[1]) == 7.0)
+    ).count()
+    too_small = hot_match_keys_auto(
+        a, b, cfg, broadcast_budget_rows=1_000
+    ).count()
+    print(json.dumps({
+        "probe": "hot_auto",
+        "budget_rows": 1_000_000,
+        "picked_keys": picked_counts["n"],
+        "picked_has_monster": monster == 1,
+        "implied_threshold": picked_counts["implied"],
+        "tail_max_combined": tail_max,
+        "too_small_budget_picks": too_small,
+    }))
+
+
 def probe_match_skew(spark, factor: int = 4) -> None:
     """r14: A/B the skew-hardened match against the plain sort-merge plan
     on a fanout-heavy fixture at 1x and {factor}x — the evidence behind
@@ -545,50 +662,15 @@ def probe_match_skew(spark, factor: int = 4) -> None:
     Auto-broadcast is disabled
     inside the probe so Spark cannot size-estimate the plain plan into a
     broadcast and vacate the comparison."""
-    from mongo_polars_reconciliation_spark.config import KeyPair, ReconConfig
     from mongo_polars_reconciliation_spark.operators.match import (
         match_records,
         match_records_skewed,
     )
-    from mongo_polars_reconciliation_spark.sources.external import (
-        prepare_external,
-    )
 
-    cfg = ReconConfig(
-        keys=[
-            KeyPair("transaction_code", "codigo", None),
-            KeyPair("approved_transaction_amount", "importe", "double"),
-        ]
-    )
+    cfg = _skew_cfg()
 
     def fixture(f: int):
-        hot_a, hot_b, tail = 5_000 * f, 2_000, 250_000 * f
-        a = (
-            spark.range(0, hot_a + tail)
-            .select(
-                F.concat(F.lit("a"), F.col("id")).alias("_id"),
-                F.when(F.col("id") < hot_a, F.lit("HOT"))
-                .otherwise(F.concat(F.lit("T"), F.col("id")))
-                .alias("transaction_code"),
-                F.when(F.col("id") < hot_a, F.lit(7.0))
-                .otherwise(F.col("id").cast("double"))
-                .alias("approved_transaction_amount"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        b_raw = spark.range(0, hot_b + tail).select(
-            F.col("id").alias("ord"),
-            F.when(F.col("id") < hot_b, F.lit("HOT"))
-            .otherwise(F.concat(F.lit("T"), F.col("id") + hot_a - hot_b))
-            .alias("codigo"),
-            F.when(F.col("id") < hot_b, F.lit("7.0"))
-            .otherwise((F.col("id") + hot_a - hot_b).cast("string"))
-            .alias("importe"),
-        )
-        b = prepare_external(b_raw, cfg, order_by=["ord"]).localCheckpoint(
-            eager=True
-        )
-        return a, b
+        return _skew_fixture(spark, cfg, f)
 
     def clock_once(fn) -> float:
         t0 = time.perf_counter()
@@ -662,7 +744,12 @@ def main() -> None:
     ]
     # special probes emit their own line shape (rounds / A-vs-B timings,
     # not the plain 1x/Nx ratio)
-    special = [("admit_depth", probe_admit_depth), ("match_skew", probe_match_skew)]
+    special = [
+        ("admit_depth", probe_admit_depth),
+        ("match_skew", probe_match_skew),
+        # r15: budget-derived hot-key sizing rule evidence
+        ("hot_auto", probe_hot_auto),
+    ]
     if only is not None:
         known = {n for n, _, _ in probes} | {n for n, _ in special}
         unknown = only - known
