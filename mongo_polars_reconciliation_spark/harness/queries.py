@@ -3001,94 +3001,33 @@ def stream_incremental_match(spark, sf_dir) -> DataFrame:
 # touch only queries inside the driver's ~50-position budget, so their
 # fresh rows still verify final code. The r9 ledger is inside the dict.
 QUERIES = {
-    # ================= r14 DRIVER-VERIFICATION LEDGER =================
+    # ================= r15 DRIVER-VERIFICATION LEDGER =================
     # The driver checks the FIRST ~50 entries each round (budget exactly
-    # 50 in r5-r13). Ordering discipline (r5-r13 verdicts): this reorder
+    # 50 in r5-r14). Ordering discipline (r5-r14 verdicts): this reorder
     # is the round's LAST semantics-touching commit; any later change may
     # touch only queries inside the 50-position budget.
     #
-    # -- 1-37: the r11-row rotation block (r13 positions 51-88 in
-    #    preserved order, minus stream_cms_counters which was RETIRED
-    #    this round per VERDICT r13 #5 — its stream-≡-batch check is
-    #    carried verbatim by tests/test_streaming.py::
-    #    test_stream_cms_equals_batch_counters and its counter math by
-    #    the text_heavy_hitters_cms / text_cms_merge oracles).
-    #    VERDICT r13 #1: these MUST lead r14 (3 rounds stale otherwise).
-    # -- 38: the round's ONE new query — recon_match_skewed (VERDICT r13
-    #    #2: skew-join hardening for the reconciliation match; shares
-    #    recon_match_exact's oracle because the hot-key split is pinned
-    #    bit-identical).
-    # -- 39-50: the 12 STALEST r12-row queries, freshened with the spare
-    #    budget (stalest = earliest position in the r12 ledger, the same
-    #    tie-break r13 used for its four r11 picks).
-    # -- 51-99: r13-row tail (49: the r13 ledger in preserved order,
-    #    minus stream_datacard, RETIRED this round — its stream-≡-batch
-    #    check is carried by tests/test_properties.py::
-    #    test_stream_datacard_equals_batch_card and its card math by the
-    #    text_datacard / text_datacard_merge oracles). r15's rotation
-    #    leads with these.
-    # -- 100-135: r12-row tail (36) — after the r13 block, r15 freshens
-    #    from the front of this block (r12-ledger order preserved).
+    # Registry 133 this round (135 - 3 retired + 1 new): curation_pipeline
+    # / _v2 / _v3 RETIRED (VERDICT r14 #2) behind the full-strength DuckDB
+    # parity pins in tests/test_curation_parity.py (both gate scales);
+    # harness functions + oracle SQL remain, bench.py still times them.
+    #
+    # -- 1-49: the r13-row rotation block (the r14 ledger positions 51-99
+    #    in preserved order). VERDICT r14 #1: these MUST lead r15.
+    # -- 50: the round's ONE new query — recon_cascade_skewed (VERDICT
+    #    r14 #2: the hot_threshold knob threaded through the cascade;
+    #    shares recon_cascade_summary's oracle because the pipeline-level
+    #    split is pinned bit-identical).
+    # -- 51-98: r14-row tail (48: the r14 top-50 in preserved order minus
+    #    the two retired curation faces). r16's rotation leads with these.
+    # -- 99-133: r12-row tail (35: minus retired curation_pipeline) —
+    #    STALEST block (last checked r12, 3 rounds by r15 close); the r15
+    #    budget (49 mandated + 1 new face) left no freshening slots, so
+    #    r16 must freshen from the FRONT of this block with whatever
+    #    budget remains after its 48-row mandated lead (that leaves 2
+    #    slots — consolidation can free more).
     # ==================================================================
 
-    "text_bloom_decontaminate": text_bloom_decontaminate,
-    "events_hist_merge": events_hist_merge,
-    "text_split_leakage_safe": text_split_leakage_safe,
-    "dedup_source_overlap": dedup_source_overlap,
-    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
-    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
-    "recon_persist_roundtrip": recon_persist_roundtrip,
-    "recon_csv_roundtrip": recon_csv_roundtrip,
-    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
-    "recon_mongo_json_scan": recon_mongo_json_scan,
-    "recon_orc_roundtrip": recon_orc_roundtrip,
-    "stream_incremental_match": stream_incremental_match,
-    "stream_dedup_corpus": stream_dedup_corpus,
-    "stream_dedup": stream_dedup_events,
-    "stream_events_hourly": stream_events_hourly,
-    "stream_sessionize_agg": stream_sessionize_agg,
-    "stream_user_seq": stream_user_seq,
-    "stream_view_attribution": stream_view_attribution,
-    "text_lang_id": text_lang_id,
-    "text_quality": text_quality,
-    "text_token_count": text_token_count,
-    "recon_source_scan_filtered": recon_source_scan_filtered,
-    "text_split_assign": text_split_assign,
-    "text_sample_stratified": text_sample_stratified,
-    "events_funnel_windowed": events_funnel_windowed,
-    "dedup_exact": dedup_exact,
-    "dedup_simhash": dedup_simhash,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_clusters": dedup_clusters_cc,
-    "dedup_clusters_star": dedup_clusters_star_cc,
-    "q1_pricing_summary": q1_pricing_summary,
-    "sim_topk_bruteforce": sim_topk_bruteforce,
-    "sim_topk_ivf": sim_topk_ivf,
-    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
-    "sim_topk_lsh": sim_topk_lsh,
-    # curation_pipeline_v2 / curation_pipeline_v3 RETIRED r15 (VERDICT r14
-    # #2, registry consolidation): strict composition rungs of the ladder
-    # whose top (curation_pipeline_v4) stays a driver face and whose every
-    # stage is an independently driver-checked operator face (dedup_exact,
-    # dedup_minhash_lsh, text_repetition, text_contamination, text_quality*,
-    # text_lm_score/_buckets). Their FULL former driver check — DuckDB
-    # oracle parity on count+schema+values, at BOTH gate scales — is
-    # carried verbatim by tests/test_curation_parity.py; the harness
-    # functions and oracle SQL remain to back that pin, and bench.py still
-    # times them (frozen membership / secondary history).
-    "recon_match_skewed": recon_match_skewed,
-    "sim_contamination": sim_contamination,
-    "events_hourly": events_hourly,
-    "events_sessionize": events_sessionize,
-    "mm_decode_features": mm_decode_features,
-    "mm_frame_sample": mm_frame_sample,
-    "text_mix_epochs": text_mix_epochs,
-    "events_retention": events_retention,
-    "events_daily_type_pivot": events_daily_type_pivot,
-    "events_rollup": events_rollup,
-    "events_user_running_value": events_user_running_value,
-    "events_asof_last_view": events_asof_last_view,
-    "events_daily_rollup2": events_hourly_from_daily_rollup,
     "recon_zero_effect_pairs": recon_zero_effect_pairs,
     "recon_zero_effect_clean": recon_zero_effect_clean,
     "recon_tolerance_match": recon_tolerance_match,
@@ -3138,6 +3077,56 @@ QUERIES = {
     "stream_ingest_novel": stream_ingest_novel,
     "text_heavy_hitters_cms": text_heavy_hitters_cms,
     "text_cms_merge": text_cms_merge,
+    "recon_cascade_skewed": recon_cascade_skewed,
+    "text_bloom_decontaminate": text_bloom_decontaminate,
+    "events_hist_merge": events_hist_merge,
+    "text_split_leakage_safe": text_split_leakage_safe,
+    "dedup_source_overlap": dedup_source_overlap,
+    "sim_topk_ivf_fitted": sim_topk_ivf_fitted,
+    "dedup_embedding_cosine_fitted": dedup_embedding_cosine_fitted,
+    "recon_persist_roundtrip": recon_persist_roundtrip,
+    "recon_csv_roundtrip": recon_csv_roundtrip,
+    "recon_csv_sink_roundtrip": recon_csv_sink_roundtrip,
+    "recon_mongo_json_scan": recon_mongo_json_scan,
+    "recon_orc_roundtrip": recon_orc_roundtrip,
+    "stream_incremental_match": stream_incremental_match,
+    "stream_dedup_corpus": stream_dedup_corpus,
+    "stream_dedup": stream_dedup_events,
+    "stream_events_hourly": stream_events_hourly,
+    "stream_sessionize_agg": stream_sessionize_agg,
+    "stream_user_seq": stream_user_seq,
+    "stream_view_attribution": stream_view_attribution,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_count": text_token_count,
+    "recon_source_scan_filtered": recon_source_scan_filtered,
+    "text_split_assign": text_split_assign,
+    "text_sample_stratified": text_sample_stratified,
+    "events_funnel_windowed": events_funnel_windowed,
+    "dedup_exact": dedup_exact,
+    "dedup_simhash": dedup_simhash,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters_cc,
+    "dedup_clusters_star": dedup_clusters_star_cc,
+    "q1_pricing_summary": q1_pricing_summary,
+    "sim_topk_bruteforce": sim_topk_bruteforce,
+    "sim_topk_ivf": sim_topk_ivf,
+    "sim_knn_join_ivfpq_served": sim_knn_join_ivfpq_served,
+    "sim_topk_lsh": sim_topk_lsh,
+    "recon_match_skewed": recon_match_skewed,
+    "sim_contamination": sim_contamination,
+    "events_hourly": events_hourly,
+    "events_sessionize": events_sessionize,
+    "mm_decode_features": mm_decode_features,
+    "mm_frame_sample": mm_frame_sample,
+    "text_mix_epochs": text_mix_epochs,
+    "events_retention": events_retention,
+    "events_daily_type_pivot": events_daily_type_pivot,
+    "events_rollup": events_rollup,
+    "events_user_running_value": events_user_running_value,
+    "events_asof_last_view": events_asof_last_view,
+    "events_daily_rollup2": events_hourly_from_daily_rollup,
+    # -- r12 tail (freshening pool, r12-ledger order preserved) --
     "events_top_users_per_type": events_top_users_per_type,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_pack_sequences": text_pack_sequences,
@@ -3157,11 +3146,6 @@ QUERIES = {
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_encode": text_bpe_encode,
     "text_quality_gate": text_quality_gate,
-    # curation_pipeline (v1) RETIRED r15 — same consolidation as v2/v3
-    # above (v1 is the shortest rung: exact dedup → near-dup → quality
-    # gate → stats, every stage driver-checked standalone); full parity
-    # carried by tests/test_curation_parity.py at both gate scales. Still
-    # TIMED by bench.py (it is a frozen HEADLINE member).
     "text_datacard": text_datacard,
     "text_ngram_novelty": text_ngram_novelty,
     "text_split_cluster_safe": text_split_cluster_safe,
@@ -3178,10 +3162,6 @@ QUERIES = {
     "curation_pipeline_v4": curation_pipeline_v4,
     "text_pii_scrub": text_pii_scrub,
     "text_pack_shards_roundtrip": text_pack_shards_roundtrip,
-    # r15 WIP: new face appended for development; the rotation commit
-    # (the round's LAST semantics-touching commit) moves it into the
-    # top-50 verification budget at position 50.
-    "recon_cascade_skewed": recon_cascade_skewed,
 }
 
 
