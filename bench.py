@@ -142,6 +142,8 @@ SECONDARY = [
     "text_pii_scrub",
     # r14 additions
     "recon_match_skewed",
+    # r15 additions
+    "recon_cascade_skewed",
 ]
 
 
