@@ -85,7 +85,7 @@ def decode_image(payload_bytes: bytes) -> "object":
 
     STUB (SURVEY.md §2.9): raises so callers fail loudly rather than fake
     imagery; ``extract_features`` is the deterministic-fake path used by
-    tests and the oracle. Probed again 2026-08-16 (round 15): PIL, cv2,
+    tests and the oracle. Probed again 2026-08-16 (round 16): PIL, cv2,
     torchvision all absent and the container has no network (DNS fails) to
     install any — the stub stands."""
     raise NotImplementedError(

@@ -126,7 +126,7 @@ def test_upsert_state_table_transactional_merge(spark):
         pytest.skip(
             "no Delta/Iceberg jar on the classpath — MERGE INTO branch "
             "covered by statement pin + capability-gate tests. Vendoring "
-            "re-attempted 2026-08-16 (round 15): `pip download delta-spark` "
+            "re-attempted 2026-08-16 (round 16): `pip download delta-spark` "
             "fails DNS resolution (no network in container), no delta/"
             "iceberg jar anywhere on the filesystem (`find / -name "
             "'*delta*.jar'` empty)"
