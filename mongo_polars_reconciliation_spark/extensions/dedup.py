@@ -215,12 +215,17 @@ def ingest_novel_neardup(
     ).localCheckpoint(eager=False)
     kept = b.join(keep1.select(id_col), id_col).localCheckpoint(eager=False)
 
-    # batch band keys (wide signatures — the minhash_near_dups shape)
-    sh_b_base = shingles(kept, id_col, text_col, n)
+    # batch band keys (wide signatures — the minhash_near_dups shape);
+    # r16: array-form checkpoint so per-doc sizes are row-local (see
+    # shingle_sets / minhash_near_dups — one full-frame aggregation
+    # removed per verify, bit-identical)
+    sets_b_base = shingle_sets(kept, id_col, text_col, n)
     target = new_docs.sparkSession.sparkContext.defaultParallelism
-    if sh_b_base.rdd.getNumPartitions() < target:
-        sh_b_base = sh_b_base.repartition(target, F.col(id_col))
-    sh_b = sh_b_base.localCheckpoint(eager=False)
+    if sets_b_base.rdd.getNumPartitions() < target:
+        sets_b_base = sets_b_base.repartition(target, F.col(id_col))
+    sets_b = sets_b_base.localCheckpoint(eager=False)
+    sh_b = sets_b.select(F.col(id_col), F.explode("__shset").alias("shingle"))
+    sizes_b = sets_b.select(F.col(id_col), F.size("__shset").alias("sz"))
     bk = _band_keys_wide(
         minhash_signatures_wide(_shingle_ids(sh_b, hash_mode), id_col, num_hashes),
         id_col,
@@ -291,13 +296,20 @@ def ingest_novel_neardup(
     ).join(
         cand_hist.select(F.col("__hid").alias(id_col)).distinct(), id_col
     ).join(keep1.select(id_col), id_col, "left_anti").distinct()
-    # checkpoint the combined shingle frame: jaccard_verify consumes it
-    # three times (sizes + both intersection joins) and the history side
-    # would otherwise re-run its semi-join + shingle explode per
-    # consumption (sh_b is already materialized above)
-    sh_all = shingles(hist_docs, id_col, text_col, n).unionByName(
-        sh_b
+    # checkpoint the combined shingle-ARRAY frame: jaccard_verify consumes
+    # it three times (sizes + both intersection joins) and the history
+    # side would otherwise re-run its semi-join + shingle extraction per
+    # consumption (sets_b is already materialized above); sizes are
+    # row-local from the arrays — no groupBy over the combined frame
+    sets_all = shingle_sets(hist_docs, id_col, text_col, n).unionByName(
+        sets_b
     ).localCheckpoint(eager=False)
+    sh_all = sets_all.select(
+        F.col(id_col), F.explode("__shset").alias("shingle")
+    )
+    sizes_all = sets_all.select(
+        F.col(id_col), F.size("__shset").alias("sz")
+    )
     dropped_hist = jaccard_verify(
         cand_hist.select(
             F.col("__hid").alias("id_a"), F.col("__bid").alias("id_b")
@@ -305,6 +317,7 @@ def ingest_novel_neardup(
         sh_all,
         id_col,
         threshold,
+        sizes=sizes_all,
     ).select(F.col("id_b").alias(id_col)).distinct()
     kept2 = kept.join(dropped_hist, id_col, "left_anti").localCheckpoint(
         eager=False
@@ -317,7 +330,7 @@ def ingest_novel_neardup(
     pairs = _pairs_from_band_keys(
         bk2.select(id_col, "band", "bkey"), id_col, max_bucket_size
     )
-    edges = jaccard_verify(pairs, sh_b, id_col, threshold).select(
+    edges = jaccard_verify(pairs, sh_b, id_col, threshold, sizes=sizes_b).select(
         F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
     )
     admitted = admit_sequential(
@@ -353,6 +366,51 @@ def shingles(
             ).alias("shingle"),
         )
         .where(F.col("shingle").isNotNull())
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document distinct-shingle ARRAY — the pre-explode form of
+    :func:`shingles` (r16 optimization round): ``(id, __shset)`` such that
+    ``sets.select(id, explode(__shset))`` is row-identical to
+    ``shingles(df)``. Checkpointing THIS frame instead of the exploded one
+    lets consumers derive both the exploded rows (map-only explode) and
+    the per-doc set size (row-local ``size(__shset)``) without the
+    groupBy-count shuffle ``jaccard_verify`` otherwise pays over the full
+    shingle frame — one whole-corpus aggregation removed per verify
+    (guide §2.4), identical values by construction."""
+    idx = ", ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .where(F.size("toks") >= n)
+        .select(
+            F.col(id_col),
+            # the size guard is REPEATED inside the expression: when a
+            # downstream explode is collapsed into this projection the
+            # optimizer can evaluate it on rows the Filter would have
+            # dropped (observed: Generate pushed through a Union), and a
+            # sub-n token array would then index out of bounds under ANSI
+            # — the CASE makes the expression total; surviving rows are
+            # untouched. The null filter mirrors shingles()'s post-explode
+            # isNotNull guard (defensive: concat_ws over in-bounds tokens
+            # is never NULL, but the two forms must stay row-identical by
+            # construction, not by argument).
+            F.filter(
+                F.array_distinct(
+                    F.expr(
+                        f"CASE WHEN size(toks) >= {n} THEN "
+                        f"transform(sequence(0, size(toks)-{n}), i -> concat_ws(' ', {idx})) "
+                        f"ELSE array() END"
+                    )
+                ),
+                lambda x: x.isNotNull(),
+            ).alias("__shset"),
+        )
     )
 
 
@@ -557,11 +615,21 @@ def jaccard_verify(
     sh: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only. Intersection via
     shingle join, union by |A|+|B|−∩; rounded before thresholding so the
-    decision is reproducible across engines."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    decision is reproducible across engines.
+
+    ``sizes`` (r16): optional precomputed ``(id, sz)`` per-doc distinct-
+    shingle counts. Callers holding the :func:`shingle_sets` array form
+    pass the row-local ``size(__shset)`` projection and skip the groupBy
+    aggregation over the full shingle frame — at 100 TB that aggregation
+    shuffles one row per corpus document for a verify that touches only
+    the candidate docs. Value-identical: the exploded row count per doc
+    IS the array size."""
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), ["id_b", "shingle"])
@@ -606,7 +674,7 @@ def minhash_near_dups(
     same driver-planning bottleneck measured on the cascade (see
     plans/pipeline.py module doc).
 
-    The shingle frame is hash-repartitioned on the doc id before the
+    The shingle-set frame is hash-repartitioned on the doc id before the
     checkpoint ONLY when its natural partitioning is narrower than the
     target: the downstream per-character polynomial hash is the CPU-heavy
     step, and a small corpus read from few parquet splits would otherwise
@@ -623,13 +691,22 @@ def minhash_near_dups(
     extraction twice and trades ONE saved shuffle for interpreted
     higher-order-function evaluation of the 12 hash minima, while this
     path's signature aggregation is whole-stage-codegen'd."""
-    sh_base = shingles(df, id_col, text_col, n)
+    # r16: the checkpointed frame is the per-doc shingle ARRAY, not the
+    # exploded rows — the exploded form is a map-only explode away for
+    # the signature pipeline and the verify's intersection joins, and the
+    # per-doc set size becomes a row-local size(__shset) instead of a
+    # groupBy-count over the whole shingle frame (one corpus-wide
+    # aggregation removed from every near-dup run; bit-identical, the
+    # explode of the array IS the old frame row-for-row)
+    sets_base = shingle_sets(df, id_col, text_col, n)
     target = (
         shingle_partitions or df.sparkSession.sparkContext.defaultParallelism
     )
-    if sh_base.rdd.getNumPartitions() < target:
-        sh_base = sh_base.repartition(target, F.col(id_col))
-    sh = sh_base.localCheckpoint(eager=False)
+    if sets_base.rdd.getNumPartitions() < target:
+        sets_base = sets_base.repartition(target, F.col(id_col))
+    sets = sets_base.localCheckpoint(eager=False)
+    sh = sets.select(F.col(id_col), F.explode("__shset").alias("shingle"))
+    sizes = sets.select(F.col(id_col), F.size("__shset").alias("sz"))
     # wide signature path: ONE groupBy(doc) with 12 min columns + row-local
     # band keys — two fewer shuffles than the long (doc,j) form, same values
     sigs_wide = minhash_signatures_wide(
@@ -646,7 +723,7 @@ def minhash_near_dups(
     pairs = _pairs_from_band_keys(
         band_key, id_col, max_bucket_size
     ).localCheckpoint(eager=False)
-    return jaccard_verify(pairs, sh, id_col, threshold)
+    return jaccard_verify(pairs, sh, id_col, threshold, sizes=sizes)
 
 
 def simhash_signatures(

@@ -121,6 +121,7 @@ def greedy_admit(
     edges: DataFrame,
     id_col: str,
     max_iter: int = 25,
+    inputs_materialized: bool = False,
 ) -> DataFrame:
     """Sequential-arrival admission over a verified near-dup pair graph:
     admit a doc iff NO already-ADMITTED lower id is a verified near-dup
@@ -148,11 +149,24 @@ def greedy_admit(
     diverge. Status frames are localCheckpoint'ed per round (the lineage
     lesson of dedup_clusters). The per-round ``.count()`` is the one
     bounded driver-side loop the ingest family keeps — it reads a
-    status frame of |paired batch nodes| rows, never the corpus."""
-    e = edges.select(F.col("lo"), F.col("hi")).localCheckpoint(eager=False)
+    status frame of |paired batch nodes| rows, never the corpus.
+
+    ``inputs_materialized`` (r16, optimization round): when the caller
+    already owns checkpoints of BOTH inputs (``admit_sequential`` does —
+    it checkpoints the edge set and the paired-node frame), the entry
+    checkpoints here would each copy an already-materialized leaf through
+    one more job (measured: the admission tail of a converged-in-one-
+    round batch spends ~1 s in fixed job overhead, not compute). Skipping
+    them reads the map-only projections straight off the caller's leaves;
+    per-round status checkpoints are unchanged. Default False keeps the
+    self-contained behavior for direct callers."""
+    e = edges.select(F.col("lo"), F.col("hi"))
     status = candidates.select(
         F.col(id_col).alias("node"), F.lit("U").alias("st")
-    ).localCheckpoint(eager=False)
+    )
+    if not inputs_materialized:
+        e = e.localCheckpoint(eager=False)
+        status = status.localCheckpoint(eager=False)
     for _ in range(max_iter):
         low = (
             e.join(status, e["lo"] == status["node"])
@@ -209,6 +223,10 @@ def admit_sequential(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    admitted_mis = greedy_admit(paired, edges, id_col, mis_max_iter)
+    # both inputs are checkpointed right here, so the greedy loop must not
+    # stack a second boundary under either (r16 — see greedy_admit)
+    admitted_mis = greedy_admit(
+        paired, edges, id_col, mis_max_iter, inputs_materialized=True
+    )
     unpaired = kept_ids.join(paired, id_col, "left_anti")
     return unpaired.unionByName(admitted_mis)

@@ -4326,3 +4326,85 @@ def test_match_skewed_equals_plain_property(spark, ra, rb, thr, strict):
     assert sorted(map(tuple, losers_s.collect())) == sorted(
         map(tuple, losers_p.collect())
     )
+
+
+def test_pq_fit_fused_equals_sequential_kmeans_per_subspace(spark):
+    """r16 (optimization round): pq_fit's fused single-loop Lloyd fit must
+    be BIT-identical to the original sequential form — m independent
+    kmeans_fit calls over sliced projections — on the real embeddings
+    fixture, including through the residual path (the sim_topk_ivfpq
+    shape) and at a ksub that exceeds some cluster populations (empty
+    clusters keep the previous centroid per subspace)."""
+    from mongo_polars_reconciliation_spark.extensions.similarity import (
+        ivf_residuals,
+        kmeans_fit,
+        pq_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    coarse = kmeans_fit(emb, k=4, n_iter=1)
+    res = ivf_residuals(emb, coarse).localCheckpoint(eager=False)
+    for m, ksub, n_iter in ((4, 8, 1), (2, 3, 2)):
+        fused = pq_fit(res, m=m, ksub=ksub, n_iter=n_iter)
+        head = res.select("embedding").head()
+        dim = len(head[0])
+        dsub = dim // m
+        sequential = []
+        for s in range(m):
+            sub = res.select(
+                F.col("vec_id"),
+                F.slice(F.col("embedding"), s * dsub + 1, dsub).alias(
+                    "embedding"
+                ),
+            )
+            sequential.append(
+                kmeans_fit(sub, k=ksub, n_iter=n_iter)
+            )
+        assert fused == sequential, f"fused pq_fit diverged at m={m}"
+
+
+def test_shingle_sets_explode_equals_shingles(spark):
+    """r16 (optimization round): the array-form shingle frame must explode
+    to exactly the rows of shingles(), and its row-local size must equal
+    the per-doc count jaccard_verify aggregated — on the real documents
+    fixture plus the short-doc edge shapes (< n tokens → no row either
+    way)."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        shingle_sets,
+        shingles,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(900001, "one two"), (900002, ""), (900003, None),
+         (900004, "a b c"), (900005, "x x x x x")],
+        "doc_id long, text string",
+    )
+    df = docs.unionByName(edge)
+    sets = shingle_sets(df, "doc_id", "text", 3)
+    got = sorted(
+        tuple(r)
+        for r in sets.select(
+            "doc_id", F.explode("__shset").alias("shingle")
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in shingles(df, "doc_id", "text", 3).collect())
+    assert got == want
+    got_sz = sorted(
+        tuple(r)
+        for r in sets.select("doc_id", F.size("__shset").alias("sz")).collect()
+    )
+    want_sz = sorted(
+        tuple(r)
+        for r in shingles(df, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .collect()
+    )
+    assert got_sz == want_sz
