@@ -731,6 +731,66 @@ def ivfpq_topk(
     ).select(id_col, "rank", "cos_r", "adc_r", "blk")
 
 
+# A/B hook for the per-query LUT implementation inside knn_join_ivfpq.
+# True = Arrow kernel (one UDF node computing residual + all m per-cell
+# LUTs); False = the literal-centroid Catalyst fold path (m·ksub
+# interpreted fold expressions per probe row + a broadcast join for the
+# cell centroid). Identical doubles either way — the kernel replays the
+# exact left-fold IEEE op sequence (see _nearest_cids_udf's contract);
+# parity-pinned in tests/test_properties.py.
+LUT_ARROW = True
+
+
+def _pq_luts_udf(coarse: list[list[float]], books: list[list[list[float]]]):
+    """Build a pandas_udf mapping (blk, vector) → the m per-subspace ADC
+    lookup tables of that vector's residual against its probed cell —
+    ``array<array<double>>``, outer index = subspace, inner = sub-centroid.
+
+    Bit-parity contract (r16, the ASSIGN_ARROW treatment applied to the
+    LUT projection): the residual is the elementwise double subtraction
+    ``zip_with(v, cent, x - c)`` computes, and each table entry is the
+    accumulator sequence ``((0.0 + t0²) + t1²) + ...`` over the subspace
+    dims — vectorized across the batch and the sub-centroids, sequential
+    in the dimension — the exact IEEE op order of the
+    ``_fold_sum(zip_with(qs, c, (x-y)·(x-y)))`` literal fold it replaces.
+    Why: the fold path is m·ksub interpreted expression-tree evaluations
+    PER PROBE ROW (m·ksub·dsub ≈ 2k scalar ops each at the pinned
+    geometry) plus a ~10k-node plan the driver re-analyzes per stage —
+    the same ANALYSIS/codegen wall the r7 assignment kernel removed."""
+    C = [[float(x) for x in c] for c in coarse]
+    B = [[[float(x) for x in c] for c in book] for book in books]
+    m = len(B)
+    dsub = len(B[0][0])
+
+    def fn(blks, vs):
+        import numpy as np
+        import pandas as pd
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        a = np.stack(vs.to_numpy())
+        carr = np.asarray(C, dtype=np.float64)
+        r = a - carr[blks.to_numpy()]
+        out_per_s = []
+        for s in range(m):
+            bs = np.asarray(B[s], dtype=np.float64)  # ksub × dsub
+            D = np.zeros((a.shape[0], bs.shape[0]), dtype=np.float64)
+            for j in range(dsub):
+                t = r[:, s * dsub + j][:, None] - bs[:, j][None, :]
+                D = D + t * t
+            out_per_s.append(D)
+        return pd.Series(
+            [
+                [out_per_s[s][i].tolist() for s in range(m)]
+                for i in range(a.shape[0])
+            ]
+        )
+
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    return F.pandas_udf(fn, ArrayType(ArrayType(DoubleType())))
+
+
 def knn_join_ivfpq(
     emb: DataFrame,
     coarse: list[list[float]],
@@ -761,10 +821,13 @@ def knn_join_ivfpq(
     of a row depends only on its own residual).
 
     Plan shape: residual-encode (map + one broadcast join) → probe
-    assignment (Arrow kernel, map-only) → LUT projection (m·ksub literal
-    folds per probe row — model-scale expression count) → blocked
-    equi-join on the cell id → per-query ADC cut (window over the
-    blocked pairs) → exact re-rank join on the survivor ids. A pair
+    assignment (Arrow kernel, map-only) → LUT projection (one Arrow
+    kernel node computing residual + all m per-cell tables; the
+    ``LUT_ARROW=False`` fallback is the original m·ksub literal folds
+    per probe row + a cell-centroid broadcast join — identical doubles,
+    parity-pinned) → blocked equi-join on the cell id → per-query ADC
+    cut (window over the blocked pairs) → exact re-rank join on the
+    survivor ids. A pair
     (q, x) arises at most once (x lives in ONE cell; q probes it or
     not), so no pair dedup is needed. Every ranking input is rounded
     with id tie-breaks; all folds share the engine accumulator order, so
@@ -774,11 +837,6 @@ def knn_join_ivfpq(
     m = len(books)
     dsub = len(books[0][0])
     spark = emb.sparkSession
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(coarse)]
-    cents_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(cent_rows, 1),
-        "__blk int, _cent array<double>",
-    )
 
     if res is None:
         res = ivf_residuals(emb, coarse, id_col, vec_col)
@@ -787,34 +845,59 @@ def knn_join_ivfpq(
     )
 
     probes = probe_assignments(emb, coarse, nprobe, id_col, vec_col)
-    qr = F.zip_with("__v", "_cent", lambda x, c: x - c)
-    lut_cols = []
-    for s, book in enumerate(books):
-        qs = F.slice(qr, s * dsub + 1, dsub)
-        lut_cols.append(
-            F.array(
-                *[
-                    _fold_sum(
-                        F.zip_with(
-                            qs,
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda x, y: (x - y) * (x - y),
+    if LUT_ARROW:
+        # one kernel node computes residual + all m LUTs (identical
+        # doubles — see _pq_luts_udf); the probed cell's centroid is
+        # captured in the kernel, so the cents_df broadcast join
+        # disappears from the plan too
+        luts = probes.select(
+            F.col(id_col).alias("__qid"),
+            F.col("__blk"),
+            _pq_luts_udf(coarse, books)(
+                F.col("__blk"), F.col("__v")
+            ).alias("__luts"),
+        )
+        adc = None
+        for s in range(m):
+            term = F.element_at(
+                F.element_at(F.col("__luts"), s + 1),
+                F.element_at(F.col("code"), s + 1) + F.lit(1),
+            )
+            adc = term if adc is None else adc + term
+    else:
+        cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(coarse)]
+        cents_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(cent_rows, 1),
+            "__blk int, _cent array<double>",
+        )
+        qr = F.zip_with("__v", "_cent", lambda x, c: x - c)
+        lut_cols = []
+        for s, book in enumerate(books):
+            qs = F.slice(qr, s * dsub + 1, dsub)
+            lut_cols.append(
+                F.array(
+                    *[
+                        _fold_sum(
+                            F.zip_with(
+                                qs,
+                                F.array(*[F.lit(float(x)) for x in c]),
+                                lambda x, y: (x - y) * (x - y),
+                            )
                         )
-                    )
-                    for c in book
-                ]
-            ).alias(f"__lut{s}")
+                        for c in book
+                    ]
+                ).alias(f"__lut{s}")
+            )
+        luts = probes.join(F.broadcast(cents_df), "__blk").select(
+            F.col(id_col).alias("__qid"), F.col("__blk"), *lut_cols
         )
-    luts = probes.join(F.broadcast(cents_df), "__blk").select(
-        F.col(id_col).alias("__qid"), F.col("__blk"), *lut_cols
-    )
-
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.col(f"__lut{s}"), F.element_at(F.col("code"), s + 1) + F.lit(1)
-        )
-        adc = term if adc is None else adc + term
+        adc = None
+        for s in range(m):
+            term = F.element_at(
+                F.col(f"__lut{s}"),
+                F.element_at(F.col("code"), s + 1) + F.lit(1),
+            )
+            adc = term if adc is None else adc + term
     pairs = (
         luts.join(codes, "__blk")
         .where(F.col("__qid") != F.col("__xid"))

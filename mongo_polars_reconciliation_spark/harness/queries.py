@@ -2168,11 +2168,32 @@ def dedup_ingest_waves(spark, sf_dir) -> DataFrame:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     root = scratch_path(tag, "ingest_waves")
     _shutil.rmtree(root, ignore_errors=True)
-    seed_ledger.unionByName(a1).write.parquet(f"{root}/state/admitted")
-    seed_bands.unionByName(band_state(adm1)).write.parquet(
-        f"{root}/state/bands"
-    )
-    hist.unionByName(adm1).write.parquet(f"{root}/state/docs")
+    # the three face writes are independent (disjoint dirs; every shared
+    # input — a1 eager, seed_ledger/seed_bands/hist already materialized
+    # by wave 1) — overlap them on a driver pool (r16, guide §2.6); this
+    # is the BATCH wave path, no crash-ordering contract (unlike the
+    # streaming loop, whose ledger write must stay last)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=3) as _pool:
+        for _f in [
+            _pool.submit(
+                lambda: seed_ledger.unionByName(a1).write.parquet(
+                    f"{root}/state/admitted"
+                )
+            ),
+            _pool.submit(
+                lambda: seed_bands.unionByName(band_state(adm1)).write.parquet(
+                    f"{root}/state/bands"
+                )
+            ),
+            _pool.submit(
+                lambda: hist.unionByName(adm1).write.parquet(
+                    f"{root}/state/docs"
+                )
+            ),
+        ]:
+            _f.result()
     tables = compact_ingest_state(
         spark,
         f"{root}/state",

@@ -82,16 +82,34 @@ def persist_results(
 
     ``buckets``: name → (frame, time column for the partitioned move).
     Returns name → final path (plus ``"aggregated_results"`` when
-    ``summary`` is given)."""
+    ``summary`` is given).
+
+    The per-bucket stage→publish chains are INDEPENDENT (distinct source
+    frames, distinct target dirs), so they run on a small driver thread
+    pool (r16, guide §2.6): Spark's scheduler happily overlaps the jobs,
+    and the next bucket's stage write back-fills executors idled by the
+    previous one's straggler tasks — the reference itself ran this loop
+    on a thread pool (second_conciliate.py:409-417). Two workers is
+    enough to fill the tail without starving any single write; results
+    are byte-identical (no shared mutable state, writes land in disjoint
+    dirs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     paths: dict[str, str] = {}
-    for name, (df, ts_col) in buckets.items():
+
+    def _persist_one(item: tuple[str, tuple[DataFrame, str]]) -> tuple[str, str]:
+        name, (df, ts_col) = item
         staging = f"{out_root}/__tmp_{name}"
         df.write.mode("overwrite").parquet(staging)
         staged = df.sparkSession.read.parquet(staging)
         final = f"{out_root}/{name}"
         write_time_partitioned(staged, final, ts_col, num_partitions)
         _fs_delete(df, staging)
-        paths[name] = final
+        return name, final
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for name, final in pool.map(_persist_one, buckets.items()):
+            paths[name] = final
     if summary is not None:
         path = f"{out_root}/aggregated_results"
         summary.coalesce(1).write.mode("overwrite").parquet(path)

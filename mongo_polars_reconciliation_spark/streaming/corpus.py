@@ -255,11 +255,24 @@ def incremental_neardup_ingest(
         # bands + docs BEFORE the admitted/ ledger (see docstring): a crash
         # anywhere in this window leaves the digest ledger short, so the
         # replayed trigger re-derives the same admissions and the duplicate
-        # band/doc appends are tolerated downstream
-        band_state(adm_docs, id_col, text_col, **band_kwargs).write.mode(
-            "append"
-        ).parquet(bands_dir)
-        adm_docs.write.mode("append").parquet(docs_dir)
+        # band/doc appends are tolerated downstream. The two PRE-ledger
+        # writes are mutually independent (both read the eager adm_docs
+        # checkpoint, land in disjoint dirs) and unordered within the
+        # crash window, so they overlap on a 2-thread pool (r16, guide
+        # §2.6); only the ledger write must come strictly after both.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(
+                lambda: band_state(adm_docs, id_col, text_col, **band_kwargs)
+                .write.mode("append")
+                .parquet(bands_dir)
+            )
+            f2 = pool.submit(
+                lambda: adm_docs.write.mode("append").parquet(docs_dir)
+            )
+            f1.result()
+            f2.result()
         admitted.write.mode("append").parquet(adm_dir)
 
     query = (
@@ -571,8 +584,9 @@ def _compact_faces(
             f"drop the stale table locations with the catalog's own tooling"
         )
     wh = wh_uri.removeprefix("file:")
-    out = {}
-    for face, (path, key) in faces.items():
+
+    def _compact_one(item) -> tuple[str, str]:
+        face, (path, key) = item
         table = f"{table_prefix}_{face}"
         # a crashed earlier compaction can leave the managed location
         # behind after its table entry is gone — saveAsTable then fails
@@ -584,8 +598,15 @@ def _compact_faces(
             cols = dedupe[face]
             df = (df.select(*cols) if cols else df).distinct()
         write_bucketed_state(df, table, buckets=buckets, key=key)
-        out[face] = table
-    return out
+        return face, table
+
+    # face rewrites are independent (distinct tables, distinct source
+    # dirs) — overlap them on a small driver pool (r16, guide §2.6) so
+    # one face's write tail back-fills with the next face's scan
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        return dict(pool.map(_compact_one, faces.items()))
 
 
 def ingest_novel_state(

@@ -4408,3 +4408,36 @@ def test_shingle_sets_explode_equals_shingles(spark):
         .collect()
     )
     assert got_sz == want_sz
+
+
+def test_knn_join_ivfpq_lut_kernel_equals_fold_path(spark):
+    """r16 (optimization round): the Arrow LUT kernel inside
+    knn_join_ivfpq must be BIT-identical to the literal-centroid Catalyst
+    fold path it replaces, on the real embeddings fixture at the pinned
+    geometry — every output column including the 6-dp-rounded adc_r."""
+    from mongo_polars_reconciliation_spark.extensions import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    coarse = sim.kmeans_fit(emb, k=4, n_iter=1)
+    res = sim.ivf_residuals(emb, coarse).localCheckpoint(eager=False)
+    books = sim.pq_fit(res, m=4, ksub=8, n_iter=1)
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in sim.knn_join_ivfpq(
+                emb, coarse, books, k=5, nprobe=2, rerank=20, res=res
+            ).collect()
+        )
+
+    old_flag = sim.LUT_ARROW
+    try:
+        sim.LUT_ARROW = True
+        got = run()
+        sim.LUT_ARROW = False
+        want = run()
+    finally:
+        sim.LUT_ARROW = old_flag
+    assert got == want and len(got) > 0
