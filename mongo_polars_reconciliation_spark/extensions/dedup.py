@@ -570,20 +570,28 @@ def _pairs_from_band_keys(
     them BEFORE the self-join shrinks both join inputs and the distinct —
     measured ~25% faster than joining them through, with zero semantic
     change (the r5 bench showed capped mode beating "exact" mode purely
-    because of this filter). The count agg and the pair join hash on the
-    same (band, bkey) keys, so no extra shuffle of the big side."""
+    because of this filter).
+
+    r16 (optimization round, guide §2.4): the bucket-size filter is a
+    WINDOW count over (band, bkey), not a groupBy + join-back — one
+    shuffle of the band-key frame establishes the partitioning, the
+    filter runs in place, and the self-join's two sides share that same
+    hash partitioning (one physical exchange via reuse). The old
+    agg-then-join form paid the aggregate's shuffle AND a join back
+    whose build side is O(distinct buckets) — far beyond broadcast
+    range at corpus scale, where it degraded to a second full
+    sort-merge pass. Identical pairs (window count == group count;
+    measured ×0.8 at sf0.1 on top of the scale fix)."""
     keep = F.col("bsz") >= 2
     if max_bucket_size is not None:
         keep = keep & (F.col("bsz") <= max_bucket_size)
-    ok = (
-        band_key.groupBy("band", "bkey")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .where(keep)
-        .select("band", "bkey")
-    )
-    band_key = band_key.join(ok, ["band", "bkey"])
-    l = band_key.select(F.col(id_col).alias("id_a"), "band", "bkey")
-    r = band_key.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    from pyspark.sql import Window as _W
+
+    sized = band_key.withColumn(
+        "bsz", F.count(F.lit(1)).over(_W.partitionBy("band", "bkey"))
+    ).where(keep)
+    l = sized.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    r = sized.select(F.col(id_col).alias("id_b"), "band", "bkey")
     return (
         l.join(r, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -1097,6 +1105,12 @@ def ngram_jaccard_pairs(
     if sh_base.rdd.getNumPartitions() < target:
         sh_base = sh_base.repartition(target, F.col(id_col))
     sh = sh_base.localCheckpoint(eager=False)
+    # r16 measured-and-rejected (guide §1.2 discipline): a window-count
+    # df cap (the _pairs_from_band_keys rewrite) ran ×1.46 SLOWER here in
+    # an interleaved A/B at sf0.1 (2.90 vs 4.24 s min) — this frame is
+    # ~300k rows of near-unique hash keys, so the window's sort dwarfs
+    # the hash-agg + join-back it would save; the band-key frame where
+    # the rewrite wins is two orders smaller and post-aggregate.
     df_counts = sh.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df_"))
     capped = sh.join(
         df_counts.where(F.col("df_") <= max_df), ["h1", "h2"]
