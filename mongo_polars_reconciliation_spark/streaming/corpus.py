@@ -46,10 +46,30 @@ def read_documents_stream(
     feed = scratch_path("corpus", name, "feed")
     shutil.rmtree(feed, ignore_errors=True)
     os.makedirs(feed)
-    for i in range(n_files):
+    # the per-part feed writes are independent (disjoint dirs, same
+    # read-only source) — overlap them on a small driver pool (r16,
+    # guide §2.6). The file source orders triggers by modification time,
+    # and sequential writes used to give part i an earlier mtime than
+    # part i+1 implicitly; with overlapped writes that guarantee must be
+    # made explicit, so the mtimes are pinned monotone per part AFTER
+    # the writes — the same discipline the order-sensitive harness
+    # queries already apply on top (their re-pin is now redundant but
+    # harmless).
+    import glob as _glob
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_part(i: int) -> None:
         docs.where(split_expr == i).write.mode("overwrite").parquet(
             f"{feed}/part{i}"
         )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(_write_part, range(n_files)))
+    now = _time.time()
+    for i in range(n_files):
+        for f in _glob.glob(f"{feed}/part{i}/*.parquet"):
+            os.utime(f, (now + 10 * i, now + 10 * i))
     return (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
