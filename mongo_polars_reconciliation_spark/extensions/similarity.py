@@ -324,6 +324,21 @@ def kmeans_fit(
     return cents
 
 
+# A/B hook for the driver-known-constant plumbing (r16 optimization
+# round, guide §1.2 fixed per-job work). True = tiny driver-known tables
+# become literal plan expressions — the centroid lookup in
+# ivf_residuals, the per-cell LUTs in ivfpq_topk and the query-vector
+# lookup in topk_ivf index constant arrays (one F.expr parse, see
+# functions/localrel.py) instead of parallelize+broadcast-join frames —
+# and artifact loads sort driver-side instead of via an orderBy
+# exchange. False = the original parallelize/broadcast-join/orderBy
+# forms. Identical doubles either way — pinned in
+# tests/test_properties.py. (The literal-plan artifact WRITE was
+# measured ~0.15 s slower than the single-slice parallelize write and
+# rejected — see save_centroids.)
+ARTIFACT_LOCAL_PLAN = True
+
+
 def save_centroids(spark, cents: list[list[float]], path: str) -> None:
     """Persist a fitted centroid table to parquet — the vector-side model
     artifact (r10, the ``bpe_save_merges`` treatment): a real pipeline
@@ -338,7 +353,11 @@ def save_centroids(spark, cents: list[list[float]], path: str) -> None:
     createDataFrame splits driver rows across defaultParallelism python
     partitions and the write then pays a Python-worker round trip per
     slice — measured ~4 s for 32 rows at local[32] vs 0.3 s single-slice
-    (and one slice means one output file, no coalesce needed)."""
+    (and one slice means one output file, no coalesce needed). r16
+    measured-and-rejected: an inline()-literal JVM write (no Python
+    worker at all) ran ~0.15 s SLOWER warm — codegen of the k×dim-
+    literal Generate costs more than the one worker round trip it
+    saves — so the single-slice parallelize stays."""
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), "cid int, c array<double>"
@@ -349,8 +368,12 @@ def load_centroids(spark, path: str) -> list[list[float]]:
     """Load a :func:`save_centroids` artifact back into the k×dim list the
     assignment kernels close over. The collect is nlist rows — the same
     driver-scale round-trip ``kmeans_fit`` itself performs per Lloyd
-    round, not a data collect."""
-    rows = spark.read.parquet(path).orderBy("cid").collect()
+    round, not a data collect. The cid sort runs driver-side over those
+    nlist rows (r16): an ``orderBy`` here planned a range-partitioned
+    sort (bounds-sampling job + exchange) to order rows a driver loop
+    can order for free."""
+    rows = spark.read.parquet(path).collect()
+    rows.sort(key=lambda r: r["cid"])
     if not rows:
         raise ValueError(f"load_centroids: no centroid rows at {path}")
     if [r["cid"] for r in rows] != list(range(len(rows))):
@@ -457,7 +480,8 @@ def save_pq_codebooks(
 ) -> None:
     """Persist PQ codebooks to parquet — (sub, cid, c array<double>) rows,
     bit-exact doubles, single-slice local relation (the
-    :func:`save_centroids` rationale). m×ksub rows — driver scale."""
+    :func:`save_centroids` rationale, incl. the r16 rejection of the
+    inline()-literal write). m×ksub rows — driver scale."""
     rows = [
         (s, i, [float(x) for x in c])
         for s, book in enumerate(books)
@@ -471,8 +495,11 @@ def save_pq_codebooks(
 
 def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
     """Load a :func:`save_pq_codebooks` artifact; validates contiguous
-    (sub, cid) coverage so a torn artifact fails loudly."""
-    rows = spark.read.parquet(path).orderBy("sub", "cid").collect()
+    (sub, cid) coverage so a torn artifact fails loudly. The (sub, cid)
+    sort is driver-side over m×ksub rows (the :func:`load_centroids`
+    rationale)."""
+    rows = spark.read.parquet(path).collect()
+    rows.sort(key=lambda r: (r["sub"], r["cid"]))
     if not rows:
         raise ValueError(f"load_pq_codebooks: no rows at {path}")
     m = rows[-1]["sub"] + 1
@@ -616,19 +643,39 @@ def ivf_residuals(
     nearest coarse centroid and re-expressed as the residual against that
     centroid — the IVF-PQ index-build projection (residuals are what the
     product codebooks quantize; FAISS ``IndexIVFPQ`` layout). Assignment
-    is the shared Arrow kernel; the centroid lookup is a broadcast hash
-    join on blk (the centroid table is nlist rows by construction), and
-    the subtraction a ``zip_with`` — map-side only, zero shuffles."""
+    is the shared Arrow kernel; the centroid lookup indexes a constant
+    nested-array literal by blk (nlist×dim doubles folded into the plan
+    once — r16; ``ARTIFACT_LOCAL_PLAN=False`` restores the original
+    broadcast hash join on blk, which paid a parallelize job + broadcast
+    build per materialization for the same nlist rows), and the
+    subtraction a ``zip_with`` — map-side only, zero shuffles, zero
+    joins. Identical doubles either way: both paths subtract the exact
+    same centroid doubles elementwise."""
     spark = emb.sparkSession
-    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(coarse)]
-    cents_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(cent_rows, 1),
-        "blk int, _cent array<double>",
-    )
     assigned = emb.select(
         F.col(id_col),
         _as_double(vec_col).alias("_v"),
         cluster_assign(_as_double(vec_col), coarse).alias("blk"),
+    )
+    if ARTIFACT_LOCAL_PLAN:
+        from mongo_polars_reconciliation_spark.functions.localrel import (
+            dbl_nested_array_col,
+        )
+
+        cent_arr = dbl_nested_array_col(coarse)
+        return assigned.select(
+            F.col(id_col),
+            F.zip_with(
+                "_v",
+                F.element_at(cent_arr, F.col("blk") + F.lit(1)),
+                lambda x, c: x - c,
+            ).alias(vec_col),
+            F.col("blk"),
+        )
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(coarse)]
+    cents_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(cent_rows, 1),
+        "blk int, _cent array<double>",
     )
     return assigned.join(F.broadcast(cents_df), "blk").select(
         F.col(id_col),
@@ -656,8 +703,9 @@ def ivfpq_topk(
     driver-side (nlist distances — model scale, not data scale), ONLY
     those cells' rows are residual-encoded and ADC-scored under a
     per-cell lookup table (the residual query differs per cell, so each
-    probed cell gets its own LUT — broadcast-joined on blk, m array
-    lookups + m-1 adds per row), and the best ``rerank`` rows by
+    probed cell gets its own LUT — a literal CASE keyed on blk, m array
+    lookups + m-1 adds per row; ``ARTIFACT_LOCAL_PLAN=False`` restores
+    the original broadcast-joined lut_df), and the best ``rerank`` rows by
     (adc_r, id) are exactly re-scored. At 100 TB the codes would be a
     precomputed table bucketed by blk, making the probe a partition-pruned
     scan of m-byte codes; this one-shot form recomputes them for the
@@ -688,22 +736,51 @@ def ivfpq_topk(
             for s, book in enumerate(books)
         ]
         lut_rows.append((cid, *luts))
-    lut_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(lut_rows, 1),
-        "blk int, " + ", ".join(f"_lut{s} array<double>" for s in range(m)),
-    )
 
     res = ivf_residuals(emb, coarse, id_col, vec_col).filter(
         F.col("blk").isin([int(p) for p in probed])
     )
     codes = pq_encode(res, books, id_col, vec_col, keep=("blk",))
-    scored = codes.join(F.broadcast(lut_df), "blk")
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.col(f"_lut{s}"), F.element_at(F.col("code"), s + 1) + F.lit(1)
+    if ARTIFACT_LOCAL_PLAN:
+        # per-cell LUTs as literal CASE expressions keyed on blk (r16):
+        # nprobe cells × m subspaces × ksub doubles folded into the plan
+        # — the fallback's lut_df paid a parallelize job + a broadcast
+        # join build for the same handful of driver-computed doubles.
+        # Every row's blk is one of ``probed`` (the filter above), so the
+        # CASE always matches; identical doubles by construction.
+        from mongo_polars_reconciliation_spark.functions.localrel import (
+            dbl_array_col,
         )
-        adc = term if adc is None else adc + term
+
+        scored = codes
+        lut_expr = {}
+        for s in range(m):
+            e = None
+            for row in lut_rows:
+                arr = dbl_array_col(row[1 + s])
+                cond = F.col("blk") == F.lit(int(row[0]))
+                e = F.when(cond, arr) if e is None else e.when(cond, arr)
+            lut_expr[s] = e
+        adc = None
+        for s in range(m):
+            term = F.element_at(
+                lut_expr[s], F.element_at(F.col("code"), s + 1) + F.lit(1)
+            )
+            adc = term if adc is None else adc + term
+    else:
+        lut_df = spark.createDataFrame(
+            spark.sparkContext.parallelize(lut_rows, 1),
+            "blk int, "
+            + ", ".join(f"_lut{s} array<double>" for s in range(m)),
+        )
+        scored = codes.join(F.broadcast(lut_df), "blk")
+        adc = None
+        for s in range(m):
+            term = F.element_at(
+                F.col(f"_lut{s}"),
+                F.element_at(F.col("code"), s + 1) + F.lit(1),
+            )
+            adc = term if adc is None else adc + term
     cand = (
         scored.select(
             F.col(id_col), F.col("blk"), F.round(adc, 6).alias("adc_r")
@@ -1090,12 +1167,27 @@ def topk_ivf(
     partitions. Centroid scoring happens on tiny aggregated rows (driver-side
     broadcast scale), the big scan is pruned by the label filter."""
     cents = label_centroids(emb, id_col, vec_col, label_col)
-    qdf = cents.sparkSession.createDataFrame(
-        [(i, float(v)) for i, v in enumerate(query_vec)], ["pos", "qval"]
-    )
+    if ARTIFACT_LOCAL_PLAN:
+        # query components as one literal array indexed by pos (r16): the
+        # fallback's qdf paid a default-parallelism parallelize (one
+        # Python task per slice) + a broadcast join for dim driver-known
+        # doubles. pos ∈ [0, dim) by construction (posexplode of
+        # dim-length vectors), so the lookup always hits; same doubles.
+        from mongo_polars_reconciliation_spark.functions.localrel import (
+            dbl_array_col,
+        )
+
+        qarr = dbl_array_col(query_vec)
+        joined = cents.withColumn(
+            "qval", F.element_at(qarr, F.col("pos") + F.lit(1))
+        )
+    else:
+        qdf = cents.sparkSession.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(query_vec)], ["pos", "qval"]
+        )
+        joined = cents.join(F.broadcast(qdf), "pos")
     cs = (
-        cents.join(F.broadcast(qdf), "pos")
-        .groupBy(label_col)
+        joined.groupBy(label_col)
         .agg(
             F.sum((F.col("cval") * F.col("qval")).cast("decimal(28,12)"))
             .cast("double")

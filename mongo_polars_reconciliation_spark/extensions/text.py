@@ -33,6 +33,13 @@ STOPWORDS: dict[str, list[str]] = {
 
 TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+# A/B hook (r16 optimization round): True routes tiny driver-known tables
+# (learned BPE merges, stopword dictionaries) through a pure-JVM literal
+# plan (functions.localrel) instead of a default-parallelism Python-RDD
+# createDataFrame — identical rows/order, zero Python-worker tasks.
+# False restores the original createDataFrame path.
+LOCAL_PLAN_JVM = True
+
 
 def tokens(df: DataFrame, text_col: str = "text", out: str = "toks") -> DataFrame:
     return df.withColumn(out, F.split(F.col(text_col), " "))
@@ -1310,10 +1317,38 @@ def language_id(
     stopword dictionary, score per (doc, lang), argmax with deterministic
     tie-break (score desc, lang asc). One shuffle on doc_id."""
     spark = df.sparkSession
-    sw = spark.createDataFrame(
-        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws], ["lang", "tok"]
-    )
-    langs = spark.createDataFrame([(lang,) for lang in STOPWORDS], ["lang"])
+    if LOCAL_PLAN_JVM:
+        # literal dictionary tables (r16): both frames are driver-known
+        # constants; the default createDataFrame materialized each as
+        # defaultParallelism pickled Python slices on every scan.
+        from mongo_polars_reconciliation_spark.functions.localrel import (
+            inline_local_df,
+        )
+
+        sw = inline_local_df(
+            spark,
+            [
+                F.struct(
+                    F.lit(lang).cast("string").alias("lang"),
+                    F.lit(w).cast("string").alias("tok"),
+                )
+                for lang, ws in STOPWORDS.items()
+                for w in ws
+            ],
+        )
+        langs = inline_local_df(
+            spark,
+            [
+                F.struct(F.lit(lang).cast("string").alias("lang"))
+                for lang in STOPWORDS
+            ],
+        )
+    else:
+        sw = spark.createDataFrame(
+            [(lang, w) for lang, ws in STOPWORDS.items() for w in ws],
+            ["lang", "tok"],
+        )
+        langs = spark.createDataFrame([(lang,) for lang in STOPWORDS], ["lang"])
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
@@ -2549,6 +2584,27 @@ def bpe_merge_fit(
     can occur at most count(l, r) times, and existing pair counts only
     fall when occurrences are consumed by the merge."""
     merges, _ = _bpe_fit(df, n_merges, text_col)
+    if LOCAL_PLAN_JVM and merges:
+        # literal plan instead of a Python-RDD local relation (r16): the
+        # default createDataFrame splits n_merges rows across
+        # defaultParallelism pickled slices — one Python-worker task per
+        # slice on EVERY materialization of the merge table. Same rows,
+        # same order (array order = list order).
+        from mongo_polars_reconciliation_spark.functions.localrel import (
+            inline_local_df,
+        )
+
+        structs = [
+            F.struct(
+                F.lit(int(rank)).cast("long").alias("merge_rank"),
+                F.lit(lhs).cast("string").alias("lhs"),
+                F.lit(rhs).cast("string").alias("rhs"),
+                F.lit(merged).cast("string").alias("merged"),
+                F.lit(int(cnt)).cast("long").alias("pair_count"),
+            )
+            for rank, lhs, rhs, merged, cnt in merges
+        ]
+        return inline_local_df(df.sparkSession, structs)
     return df.sparkSession.createDataFrame(
         merges,
         "merge_rank long, lhs string, rhs string, merged string, "

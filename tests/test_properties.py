@@ -4441,3 +4441,89 @@ def test_knn_join_ivfpq_lut_kernel_equals_fold_path(spark):
     finally:
         sim.LUT_ARROW = old_flag
     assert got == want and len(got) > 0
+
+
+def test_artifact_local_plan_equals_python_rdd_path(spark):
+    """r16 (optimization round, batch 2): the literal-plan plumbing
+    behind ARTIFACT_LOCAL_PLAN — driver-side load sort, the constant-
+    array centroid lookup in ivf_residuals, and the literal per-cell LUT
+    CASE in ivfpq_topk — must be BIT-identical to the orderBy/
+    parallelize/broadcast-join path it replaces: the saved artifacts
+    load back equal, and the end-to-end IVF-PQ probe equals the old path
+    row for row (every column incl. the 6-dp adc_r/cos_r)."""
+    import shutil
+
+    from mongo_polars_reconciliation_spark.extensions import similarity as sim
+    from mongo_polars_reconciliation_spark.scratch import scratch_path
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    coarse = sim.kmeans_fit(emb, k=4, n_iter=1)
+    res = sim.ivf_residuals(emb, coarse).localCheckpoint(eager=False)
+    books = sim.pq_fit(res, m=4, ksub=8, n_iter=1)
+    q = [float(x) for x in emb.orderBy("vec_id").head()["embedding"]]
+
+    def roundtrip(tag):
+        cpath = scratch_path("test_artifact_local_plan", f"{tag}_c")
+        bpath = scratch_path("test_artifact_local_plan", f"{tag}_b")
+        shutil.rmtree(cpath, ignore_errors=True)
+        shutil.rmtree(bpath, ignore_errors=True)
+        sim.save_centroids(spark, coarse, cpath)
+        sim.save_pq_codebooks(spark, books, bpath)
+        return (
+            sim.load_centroids(spark, cpath),
+            sim.load_pq_codebooks(spark, bpath),
+        )
+
+    def probe():
+        return sorted(
+            tuple(r)
+            for r in sim.ivfpq_topk(
+                emb, q, coarse, books, nprobe=2, k=10, rerank=20
+            ).collect()
+        )
+
+    old_flag = sim.ARTIFACT_LOCAL_PLAN
+    try:
+        sim.ARTIFACT_LOCAL_PLAN = True
+        new_art = roundtrip("new")
+        new_probe = probe()
+        sim.ARTIFACT_LOCAL_PLAN = False
+        old_art = roundtrip("old")
+        old_probe = probe()
+    finally:
+        sim.ARTIFACT_LOCAL_PLAN = old_flag
+    # exact float equality end to end: artifacts and probe rows
+    assert new_art == old_art == (coarse, books)
+    assert new_probe == old_probe and len(new_probe) == 10
+
+
+def test_text_local_plan_equals_createdataframe_path(spark):
+    """r16 (optimization round, batch 2): LOCAL_PLAN_JVM routes the BPE
+    merge table and the stopword dictionaries through a literal JVM plan
+    instead of a Python-RDD createDataFrame — rows, order and values must
+    match the original path exactly."""
+    from mongo_polars_reconciliation_spark.extensions import text as text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def run():
+        merges = [
+            tuple(r) for r in text.bpe_merge_fit(docs, n_merges=5).collect()
+        ]
+        langs = sorted(tuple(r) for r in text.language_id(docs).collect())
+        return merges, langs
+
+    old_flag = text.LOCAL_PLAN_JVM
+    try:
+        text.LOCAL_PLAN_JVM = True
+        got = run()
+        text.LOCAL_PLAN_JVM = False
+        want = run()
+    finally:
+        text.LOCAL_PLAN_JVM = old_flag
+    # merge-table row ORDER is part of the contract (merge_rank ascending
+    # as produced); compare unsorted
+    assert got == want
+    assert len(got[0]) == 5 and len(got[1]) > 0
