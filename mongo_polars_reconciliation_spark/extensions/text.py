@@ -40,6 +40,13 @@ TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 # False restores the original createDataFrame path.
 LOCAL_PLAN_JVM = True
 
+# A/B hook (r16): True folds the Bloom filter of bloom_decontaminate
+# into the plan as a literal array<long> bitmap tested row-locally
+# (zero joins, one aggregate); False restores the broadcast-joined
+# position table + per-gram count-distinct form. Identical flag
+# decisions — pinned in tests/test_properties.py.
+BLOOM_BITMAP_LITERAL = True
+
 
 def tokens(df: DataFrame, text_col: str = "text", out: str = "toks") -> DataFrame:
     return df.withColumn(out, F.split(F.col(text_col), " "))
@@ -2111,14 +2118,25 @@ def bloom_decontaminate(
     shards by union/bit-OR — what a 100 TB pipeline broadcasts where the
     exact gram set would not fit.
 
-    Spark realization: the "bitmap" is the distinct-position table
-    (≤ m_bits rows) on the BROADCAST side of a hash join — identical
-    membership semantics to a bit array (bit set ⇔ position present),
-    kept relational so the DuckDB oracle replays every flag bit-for-bit,
-    false positives included (same hashes ⇒ same collisions). Probe
-    grams carry only their (h1, h2) hash pair — the gram string never
-    shuffles. Returns flagged docs only (``contamination_probe``'s
-    contract): (doc, n_grams, n_flagged, flagged_frac_r)."""
+    Spark realization (r16, guide §2.4 remove shuffles outright): the
+    bitmap is a LITERAL array<long> of m_bits/64 words folded into the
+    plan (the benchmark's ≤ m_bits distinct positions are collected
+    driver-side — bounded by the filter geometry, not the benchmark
+    size), and each gram tests its k positions row-locally with shift/
+    mask arithmetic. Membership semantics are identical to the old
+    broadcast-joined position table (bit set ⇔ position present), so
+    the DuckDB oracle replays every flag bit-for-bit, false positives
+    included (same hashes ⇒ same collisions) — but the k×-exploded
+    (gram, j, p) frame, its broadcast hash join, and the
+    groupBy(doc, h1, h2) count-distinct shuffle are all gone: the whole
+    probe side is one map + ONE groupBy(doc) aggregate (per-doc totals
+    and distinct-flagged-gram counts fused; the old form paid a second
+    groupBy(doc) plus a doc-keyed join to marry them).
+    ``BLOOM_BITMAP_LITERAL=False`` restores the relational form;
+    equality pinned in tests/test_properties.py. Probe grams carry only
+    their (h1, h2) hash pair — the gram string never shuffles. Returns
+    flagged docs only (``contamination_probe``'s contract):
+    (doc, n_grams, n_flagged, flagged_frac_r)."""
     from mongo_polars_reconciliation_spark.extensions.dedup import shingles
     from mongo_polars_reconciliation_spark.functions.hashing import (
         POLY_P31,
@@ -2164,6 +2182,62 @@ def bloom_decontaminate(
         .select(F.col("jp.p").alias("p"))
         .distinct()
     )
+    if BLOOM_BITMAP_LITERAL:
+        # fold the ≤ m_bits distinct positions into a literal bitmap
+        # (m_bits/64 signed words) and test each gram's k positions
+        # row-locally: same membership decisions as the joined position
+        # table, zero joins, one aggregate.
+        words = [0] * ((m_bits + 63) // 64)
+        for r in bench_pos.collect():
+            p = int(r["p"])
+            words[p // 64] |= 1 << (p % 64)
+        bm_sql = "array(" + ",".join(
+            str(w - (1 << 64) if w >= (1 << 63) else w) + "L" for w in words
+        ) + ")"
+        sh2 = (
+            hashed_grams(docs, id_col)
+            .select(
+                F.col(id_col),
+                "h1",
+                "h2",
+                *[
+                    F.pmod(
+                        F.col("h1") + F.lit(j) * F.col("h2"), F.lit(m_bits)
+                    ).alias(f"__p{j}")
+                    for j in range(k_hashes)
+                ],
+            )
+            .withColumn("__bm", F.expr(bm_sql))
+        )
+        flag = reduce(
+            lambda a, b: a & b,
+            [
+                F.expr(
+                    f"(((element_at(__bm, cast(shiftright(__p{j}, 6) as int)"
+                    f" + 1) >> cast(pmod(__p{j}, 64) as int)) & 1) = 1)"
+                )
+                for j in range(k_hashes)
+            ],
+        )
+        return (
+            sh2.select(F.col(id_col), "h1", "h2", flag.alias("__flag"))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.count_distinct(
+                    F.when(F.col("__flag"), F.struct("h1", "h2"))
+                ).alias("n_flagged"),
+            )
+            .where(F.col("n_flagged") > 0)
+            .select(
+                F.col(id_col),
+                "n_grams",
+                "n_flagged",
+                floor4(F.col("n_flagged") / F.col("n_grams")).alias(
+                    "flagged_frac_r"
+                ),
+            )
+        )
     sh = hashed_grams(docs, id_col).localCheckpoint(eager=False)
     gpos = sh.select(
         F.col(id_col), "h1", "h2", positions().alias("jp")
@@ -2181,7 +2255,9 @@ def bloom_decontaminate(
         F.col(id_col),
         "n_grams",
         "n_flagged",
-        floor4(F.col("n_flagged") / F.col("n_grams")).alias("flagged_frac_r"),
+        floor4(F.col("n_flagged") / F.col("n_grams")).alias(
+            "flagged_frac_r"
+        ),
     )
 
 

@@ -441,16 +441,31 @@ BNLJ_BY_DESIGN = {
 }
 
 
-def test_bloom_filter_side_is_broadcast(spark):
-    """bloom_decontaminate's position table (≤ m_bits rows) must sit on
-    the broadcast side of a hash join — the relational realization of
-    "broadcast the bitmap"; a shuffle join here would defeat the whole
-    bounded-state design."""
-    plan = QUERIES["text_bloom_decontaminate"](
-        spark, SF_DIR
-    )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "BatchEvalPython" not in plan
+def test_bloom_filter_is_plan_literal_or_broadcast(spark):
+    """bloom_decontaminate's filter must never travel through a shuffle.
+    r16 default (BLOOM_BITMAP_LITERAL): the bitmap is a literal
+    array<long> in the plan and the probe side has NO join at all — the
+    strictly stronger form of "broadcast the bitmap". The
+    relational fallback keeps the original pin: the position table
+    (≤ m_bits rows) sits on the broadcast side of a hash join."""
+    from mongo_polars_reconciliation_spark.extensions import text as text
+
+    old_flag = text.BLOOM_BITMAP_LITERAL
+    try:
+        text.BLOOM_BITMAP_LITERAL = True
+        plan = QUERIES["text_bloom_decontaminate"](
+            spark, SF_DIR
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # no join of any strategy
+        assert "BatchEvalPython" not in plan
+        text.BLOOM_BITMAP_LITERAL = False
+        plan = QUERIES["text_bloom_decontaminate"](
+            spark, SF_DIR
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
+    finally:
+        text.BLOOM_BITMAP_LITERAL = old_flag
 
 
 # r15: retired from the driver registry (VERDICT r14 #2) but still swept

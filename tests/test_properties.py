@@ -4527,3 +4527,37 @@ def test_text_local_plan_equals_createdataframe_path(spark):
     # as produced); compare unsorted
     assert got == want
     assert len(got[0]) == 5 and len(got[1]) > 0
+
+
+def test_bloom_bitmap_literal_equals_joined_positions(spark):
+    """r16 (optimization round, batch 2): BLOOM_BITMAP_LITERAL folds the
+    benchmark's Bloom positions into a literal array<long> bitmap tested
+    row-locally; every flag decision — false positives included — and
+    every output row must equal the broadcast-joined position-table form
+    exactly, at a geometry small enough (m_bits=64) to force plenty of
+    collisions through both paths."""
+    from mongo_polars_reconciliation_spark.extensions import text as text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id % 7 = 3").selectExpr(
+        "doc_id + 100000 as doc_id", "text"
+    )
+
+    def run(m_bits):
+        return sorted(
+            tuple(r)
+            for r in text.bloom_decontaminate(
+                docs, bench, n=5, m_bits=m_bits
+            ).collect()
+        )
+
+    old_flag = text.BLOOM_BITMAP_LITERAL
+    try:
+        for m_bits in (64, 4096):
+            text.BLOOM_BITMAP_LITERAL = True
+            got = run(m_bits)
+            text.BLOOM_BITMAP_LITERAL = False
+            want = run(m_bits)
+            assert got == want and len(got) > 0
+    finally:
+        text.BLOOM_BITMAP_LITERAL = old_flag
