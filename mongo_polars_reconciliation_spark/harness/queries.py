@@ -1156,13 +1156,26 @@ def sim_topk_ivfpq(spark, sf_dir) -> DataFrame:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     cpath = scratch_path(tag, "ivfpq_coarse")
     bpath = scratch_path(tag, "ivfpq_books")
-    save_centroids(spark, coarse, cpath)
-    save_pq_codebooks(spark, books, bpath)
+    # the two artifact writes (and the two reloads) are independent jobs
+    # on disjoint dirs — overlap them on a 2-thread driver pool (r16,
+    # guide §2.6; the persist_results treatment). Byte-identical
+    # artifacts; measured 0.81 → 0.44 s min for the save+load pair.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fc = pool.submit(save_centroids, spark, coarse, cpath)
+        fb = pool.submit(save_pq_codebooks, spark, books, bpath)
+        fc.result()
+        fb.result()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lc = pool.submit(load_centroids, spark, cpath)
+        lb = pool.submit(load_pq_codebooks, spark, bpath)
+        coarse_loaded, books_loaded = lc.result(), lb.result()
     return ivfpq_topk(
         emb,
         query_vector(spark, sf_dir),
-        load_centroids(spark, cpath),
-        load_pq_codebooks(spark, bpath),
+        coarse_loaded,
+        books_loaded,
         nprobe=IVFPQ_ORACLE_NPROBE,
         k=10,
         rerank=PQ_ORACLE_RERANK,
@@ -1265,12 +1278,24 @@ def sim_knn_join_ivfpq_served(spark, sf_dir) -> DataFrame:
         books = pq_fit(
             res, m=PQ_ORACLE_M, ksub=PQ_ORACLE_KSUB, n_iter=PQ_ORACLE_N_ITER
         )
-        save_centroids(spark, coarse, cpath)
-        save_pq_codebooks(spark, books, bpath)
+        # independent writes, disjoint dirs — overlap (r16, guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fc = pool.submit(save_centroids, spark, coarse, cpath)
+            fb = pool.submit(save_pq_codebooks, spark, books, bpath)
+            fc.result()
+            fb.result()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lc = pool.submit(load_centroids, spark, cpath)
+        lb = pool.submit(load_pq_codebooks, spark, bpath)
+        coarse_loaded, books_loaded = lc.result(), lb.result()
     return knn_join_ivfpq(
         emb,
-        load_centroids(spark, cpath),
-        load_pq_codebooks(spark, bpath),
+        coarse_loaded,
+        books_loaded,
         k=IVFPQ_ORACLE_KJOIN,
         nprobe=IVFPQ_ORACLE_NPROBE,
         rerank=IVFPQ_ORACLE_RERANK_JOIN,
