@@ -362,6 +362,30 @@ def probe_ngram_jaccard(spark, docs):
     return time.perf_counter() - t0
 
 
+def probe_bloom_decontaminate(spark, docs):
+    """r16 batch 2: bloom_decontaminate after the literal-bitmap rewrite
+    (the broadcast-joined position table and the per-gram
+    groupBy(doc, h1, h2) became a row-local bit test + ONE groupBy(doc)).
+    The filter side is FIXED (≤ m_bits positions regardless of corpus or
+    benchmark size), so the probe side must scale linearly in the gram
+    count; the benchmark stays the 1x slice so the filter contents —
+    and the false-positive rate — are identical across factors. A
+    superlinear ratio would mean the single-aggregate shape regressed."""
+    from mongo_polars_reconciliation_spark.extensions.text import (
+        bloom_decontaminate,
+    )
+
+    docs = docs.localCheckpoint(eager=True)
+    bench = docs.where("doc_id % 7 = 3 and doc_id < 1000000").select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    t0 = time.perf_counter()
+    bloom_decontaminate(docs, bench, n=5).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - t0
+
+
 def probe_curation_v4(spark, docs):
     """r13 (VERDICT r12 #4): the FLAGSHIP composition — exact dedup →
     line-dedup TRIM → LSH near-dup → repetition → decontamination → LM
@@ -744,6 +768,8 @@ def main() -> None:
         ("clusters_star", docs_at, probe_clusters_star),
         # r13: capped inverted-index self-join fanout
         ("ngram_jaccard", docs_at, probe_ngram_jaccard),
+        # r16 batch 2: literal-bitmap Bloom probe side
+        ("bloom_decontaminate", docs_at, probe_bloom_decontaminate),
         # r13: Hamming-LSH block collisions (near-dup trio complete)
         ("simhash", docs_at, probe_simhash),
     ]
