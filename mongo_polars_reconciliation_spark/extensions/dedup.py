@@ -318,6 +318,7 @@ def ingest_novel_neardup(
         id_col,
         threshold,
         sizes=sizes_all,
+        sets=sets_all,
     ).select(F.col("id_b").alias(id_col)).distinct()
     kept2 = kept.join(dropped_hist, id_col, "left_anti").localCheckpoint(
         eager=False
@@ -330,9 +331,9 @@ def ingest_novel_neardup(
     pairs = _pairs_from_band_keys(
         bk2.select(id_col, "band", "bkey"), id_col, max_bucket_size
     )
-    edges = jaccard_verify(pairs, sh_b, id_col, threshold, sizes=sizes_b).select(
-        F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
-    )
+    edges = jaccard_verify(
+        pairs, sh_b, id_col, threshold, sizes=sizes_b, sets=sets_b
+    ).select(F.col("id_a").alias("lo"), F.col("id_b").alias("hi"))
     admitted = admit_sequential(
         kept2.select(id_col), edges, id_col, mis_max_iter
     )
@@ -618,12 +619,23 @@ def lsh_dropped_buckets(
     )
 
 
+# A/B hook (r16 optimization round, batch 2): True = callers passing the
+# shingle-ARRAY frame (``sets=``) verify pairs with a row-local
+# size(array_intersect(A, B)) after two id-keyed joins — no shingle
+# explode, no (id, shingle)-keyed join, no groupBy over the pair×shingle
+# expansion. False = the original exploded-join intersection for those
+# callers too. Identical jacc_r decisions — pinned in
+# tests/test_properties.py.
+JACCARD_ARRAY_INTERSECT = True
+
+
 def jaccard_verify(
     pairs: DataFrame,
     sh: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.6,
     sizes: DataFrame | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs only. Intersection via
     shingle join, union by |A|+|B|−∩; rounded before thresholding so the
@@ -635,7 +647,44 @@ def jaccard_verify(
     aggregation over the full shingle frame — at 100 TB that aggregation
     shuffles one row per corpus document for a verify that touches only
     the candidate docs. Value-identical: the exploded row count per doc
-    IS the array size."""
+    IS the array size.
+
+    ``sets`` (r16 batch 2): the :func:`shingle_sets` array frame itself.
+    When given (and ``JACCARD_ARRAY_INTERSECT``), the verify attaches
+    each pair's two DISTINCT-shingle arrays by two id-keyed joins and
+    computes ∩ as ``size(array_intersect(A, B))`` row-locally — the
+    exploded form's (id_b, shingle)-keyed join (which first expands each
+    pair to |A| rows) and its groupBy(id_a, id_b) disappear. Identical
+    decisions: arrays are distinct per doc, so the intersect size equals
+    the old per-pair matched-shingle count; docs with no shingles
+    (< n tokens) are absent from BOTH frames, so inner-join semantics
+    match; and the jacc_r arithmetic is the same integer division.
+    ``sh``/``sizes`` are ignored on this path."""
+    if sets is not None and JACCARD_ARRAY_INTERSECT:
+        a = sets.select(
+            F.col(id_col).alias("id_a"), F.col("__shset").alias("__sa")
+        )
+        b = sets.select(
+            F.col(id_col).alias("id_b"), F.col("__shset").alias("__sb")
+        )
+        inter = F.size(F.array_intersect("__sa", "__sb"))
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.floor(
+                        inter
+                        / (F.size("__sa") + F.size("__sb") - inter)
+                        * 10000
+                    )
+                    / 10000
+                ).alias("jacc_r"),
+            )
+            .where(F.col("jacc_r") >= threshold)
+        )
     if sizes is None:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -731,7 +780,7 @@ def minhash_near_dups(
     pairs = _pairs_from_band_keys(
         band_key, id_col, max_bucket_size
     ).localCheckpoint(eager=False)
-    return jaccard_verify(pairs, sh, id_col, threshold, sizes=sizes)
+    return jaccard_verify(pairs, sh, id_col, threshold, sizes=sizes, sets=sets)
 
 
 def simhash_signatures(

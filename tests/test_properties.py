@@ -4561,3 +4561,47 @@ def test_bloom_bitmap_literal_equals_joined_positions(spark):
             assert got == want and len(got) > 0
     finally:
         text.BLOOM_BITMAP_LITERAL = old_flag
+
+
+def test_jaccard_array_intersect_equals_exploded_join(spark):
+    """r16 (optimization round, batch 2): JACCARD_ARRAY_INTERSECT verifies
+    candidate pairs via row-local size(array_intersect(A, B)) over the
+    shingle-ARRAY frame instead of the exploded (id, shingle) join +
+    groupBy. Every jacc_r and every admit/drop decision must match the
+    exploded form exactly — checked on the full near-dup operator (pair
+    values) and on the ingest operator (admission set), real fixture."""
+    from mongo_polars_reconciliation_spark.extensions import dedup as dd
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    hist = docs.where("doc_id % 3 < 2")
+    batch = docs.where("doc_id % 3 = 2")
+    seed_ledger = hist.selectExpr(
+        "md5(cast(text as binary)) as text_hash"
+    ).distinct()
+    seed_bands = dd.band_state(hist)
+
+    def run():
+        pairs = sorted(
+            tuple(r)
+            for r in dd.minhash_near_dups(docs).collect()
+        )
+        admitted = sorted(
+            tuple(r)
+            for r in dd.ingest_novel_neardup(
+                batch, seed_ledger, seed_bands, hist, mis_max_iter=8
+            ).collect()
+        )
+        return pairs, admitted
+
+    old_flag = dd.JACCARD_ARRAY_INTERSECT
+    try:
+        dd.JACCARD_ARRAY_INTERSECT = True
+        got = run()
+        dd.JACCARD_ARRAY_INTERSECT = False
+        want = run()
+    finally:
+        dd.JACCARD_ARRAY_INTERSECT = old_flag
+    assert got == want
+    assert len(got[0]) > 0 and len(got[1]) > 0
