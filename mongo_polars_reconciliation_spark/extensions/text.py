@@ -47,6 +47,17 @@ LOCAL_PLAN_JVM = True
 # decisions — pinned in tests/test_properties.py.
 BLOOM_BITMAP_LITERAL = True
 
+# r17 size gate (VERDICT r16 #3 / ADVICE r16): the literal bitmap is an
+# O(m_bits) SQL string parsed by F.expr — fine at the default 4096-bit
+# geometry (64 words), but a production-sized filter (m_bits ≈ 2^30+,
+# the GB-scale bitmaps the 100 TB story implies) would fold tens of
+# millions of plan literals into the parser/analyzer long before
+# execution. Above this word count bloom_decontaminate routes itself to
+# the relational (broadcast position table) form, which degrades
+# gracefully; at or below it the literal path keeps its measured ×0.57.
+# 65536 words = 4 Mi bits ≈ 1.4 MB of expression text — parse-trivial.
+BLOOM_LITERAL_MAX_WORDS = 65536
+
 
 def tokens(df: DataFrame, text_col: str = "text", out: str = "toks") -> DataFrame:
     return df.withColumn(out, F.split(F.col(text_col), " "))
@@ -2136,7 +2147,20 @@ def bloom_decontaminate(
     equality pinned in tests/test_properties.py. Probe grams carry only
     their (h1, h2) hash pair — the gram string never shuffles. Returns
     flagged docs only (``contamination_probe``'s contract):
-    (doc, n_grams, n_flagged, flagged_frac_r)."""
+    (doc, n_grams, n_flagged, flagged_frac_r).
+
+    Size gate (r17): the literal path applies only while
+    ``m_bits/64 <= BLOOM_LITERAL_MAX_WORDS`` — a bigger filter would be
+    an O(m_bits) expression string through the parser/analyzer, so
+    large geometries route to the relational form automatically (both
+    paths are pinned bit-equal, so the gate is performance-only).
+
+    Note (r17, ADVICE r16): on the literal path the benchmark side is
+    collected EAGERLY at construction time (``bench_pos.collect()`` runs
+    the benchmark scan + distinct as Spark jobs before this function
+    returns); the relational path stays fully lazy. Callers composing
+    frames speculatively pay the benchmark-side cost up front there —
+    acceptable for the harness, a contract point for library use."""
     from mongo_polars_reconciliation_spark.extensions.dedup import shingles
     from mongo_polars_reconciliation_spark.functions.hashing import (
         POLY_P31,
@@ -2182,12 +2206,13 @@ def bloom_decontaminate(
         .select(F.col("jp.p").alias("p"))
         .distinct()
     )
-    if BLOOM_BITMAP_LITERAL:
+    n_words = (m_bits + 63) // 64
+    if BLOOM_BITMAP_LITERAL and n_words <= BLOOM_LITERAL_MAX_WORDS:
         # fold the ≤ m_bits distinct positions into a literal bitmap
         # (m_bits/64 signed words) and test each gram's k positions
         # row-locally: same membership decisions as the joined position
         # table, zero joins, one aggregate.
-        words = [0] * ((m_bits + 63) // 64)
+        words = [0] * n_words
         for r in bench_pos.collect():
             p = int(r["p"])
             words[p // 64] |= 1 << (p % 64)

@@ -335,3 +335,29 @@ def test_text_ingest_history_cap_equals_uncapped(spark):
     )
     assert got_exact == got_capped, (got_exact, got_capped)
     assert 1000 in got_capped  # the novel doc always admits
+
+
+def test_capped_plan_is_skew_safe(spark):
+    """r17 (VERDICT r16 #1): the CAPPED pair path must not co-locate a
+    bucket's rows before the cap can drop it. The r16 window form did —
+    ``count(1) over (partition by band, bkey)`` put every row of a
+    degenerate bucket on ONE window task, and AQE cannot split a window
+    partition. The skew-safe shape counts per-key populations with a
+    map-side partial aggregate and removes the (pigeonhole-tiny)
+    over-cap key set with a BROADCAST anti-join, so no operator ever
+    gathers an over-cap bucket. Pinned on the physical plan: no Window
+    node anywhere, and the prune is a broadcast LeftAnti. The UNCAPPED
+    path keeps the window form (its singleton prune) — also pinned so a
+    refactor cannot silently swap the two."""
+    sigs = _sigs(spark, 200)
+    capped = lsh_candidate_pairs(sigs, rows_per_band=RPB, max_bucket_size=50)
+    plan = capped._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        capped._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan, plan
+    assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan, plan
+    uncapped = lsh_candidate_pairs(sigs, rows_per_band=RPB)
+    uplan = uncapped._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        uncapped._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" in uplan, uplan

@@ -4605,3 +4605,77 @@ def test_jaccard_array_intersect_equals_exploded_join(spark):
         dd.JACCARD_ARRAY_INTERSECT = old_flag
     assert got == want
     assert len(got[0]) > 0 and len(got[1]) > 0
+
+
+def test_bloom_literal_size_gate_routes_large_m_to_relational(spark):
+    """r17 (VERDICT r16 #3 / ADVICE r16): the literal bitmap is an
+    O(m_bits) expression string, so bloom_decontaminate must route
+    itself to the relational form past BLOOM_LITERAL_MAX_WORDS even
+    with BLOOM_BITMAP_LITERAL on. Two pins: (a) a genuinely large
+    geometry picks the JOIN form (visible in the plan; construction
+    stays lazy — the literal path would have collected eagerly), and
+    (b) the gate is performance-only — forcing it at the bench geometry
+    returns rows identical to the literal path."""
+    from mongo_polars_reconciliation_spark.extensions import text as text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where("doc_id % 7 = 3").selectExpr(
+        "doc_id + 100000 as doc_id", "text"
+    )
+
+    assert text.BLOOM_BITMAP_LITERAL  # the shipped default this gates
+    big_m = (text.BLOOM_LITERAL_MAX_WORDS + 1) * 64
+    big = text.bloom_decontaminate(docs, bench, n=5, m_bits=big_m)
+    plan = big._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    assert "Join" in plan, plan  # relational form chosen, not the literal
+
+    def run(m_bits):
+        return sorted(
+            tuple(r)
+            for r in text.bloom_decontaminate(
+                docs, bench, n=5, m_bits=m_bits
+            ).collect()
+        )
+
+    old_gate = text.BLOOM_LITERAL_MAX_WORDS
+    try:
+        literal = run(4096)
+        text.BLOOM_LITERAL_MAX_WORDS = 0  # force the relational branch
+        relational = run(4096)
+    finally:
+        text.BLOOM_LITERAL_MAX_WORDS = old_gate
+    assert literal == relational and len(literal) > 0
+
+
+def test_ivfpq_lut_size_gate_routes_large_geometry_to_broadcast(spark):
+    """r17 (VERDICT r16 #3): ivfpq_topk's per-cell LUT CASE folds
+    nprobe × m × ksub double literals into the plan — past
+    IVFPQ_LUT_LITERAL_MAX_DOUBLES it must fall back to the broadcast
+    lut_df form. Forcing the gate at the pinned geometry must (a) show
+    the broadcast LUT columns in the plan and (b) return the literal
+    path's rows exactly."""
+    from mongo_polars_reconciliation_spark.extensions import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    coarse = sim.kmeans_fit(emb, k=4, n_iter=1)
+    res = sim.ivf_residuals(emb, coarse).localCheckpoint(eager=False)
+    books = sim.pq_fit(res, m=4, ksub=8, n_iter=1)
+    q = [float(x) for x in emb.orderBy("vec_id").head()["embedding"]]
+
+    def probe():
+        return sim.ivfpq_topk(emb, q, coarse, books, nprobe=2, k=10, rerank=20)
+
+    assert sim.ARTIFACT_LOCAL_PLAN  # the shipped default this gates
+    old_gate = sim.IVFPQ_LUT_LITERAL_MAX_DOUBLES
+    try:
+        literal = sorted(tuple(r) for r in probe().collect())
+        sim.IVFPQ_LUT_LITERAL_MAX_DOUBLES = 1  # force the broadcast branch
+        gated_df = probe()
+        plan = gated_df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+        assert "_lut0" in plan, plan  # broadcast lut_df columns present
+        gated = sorted(tuple(r) for r in gated_df.collect())
+    finally:
+        sim.IVFPQ_LUT_LITERAL_MAX_DOUBLES = old_gate
+    assert literal == gated and len(literal) == 10

@@ -386,6 +386,40 @@ def probe_bloom_decontaminate(spark, docs):
     return time.perf_counter() - t0
 
 
+def probe_lsh_hot_bucket(spark, docs):
+    """r17 (VERDICT r16 #1): CAPPED LSH pair generation with a
+    deliberately degenerate band bucket far past the cap — 20% of the
+    corpus carries the SAME text, so every one of its band buckets holds
+    1000 rows at 1x (100x the cap of 10) and 4000 at 4x, while the rest
+    of the corpus is organically unique. The r16 window form co-located
+    the monster bucket on ONE window task before the cap filter could
+    drop it (AQE cannot split a window partition); the r17 form counts
+    it with a map-side partial aggregate and anti-joins the over-cap
+    keys via broadcast, so nothing ever gathers the bucket. Linear wall
+    growth here is the skew-safety evidence; superlinear growth (or a
+    straggler-dominated base) would mean a co-locating operator crept
+    back into the capped path. Semantics: a bucket that hot is dropped
+    (the cap's documented behavior), so hot docs simply produce no
+    candidate pairs — the organic near-dup structure still scales
+    linearly by the prefix argument."""
+    from mongo_polars_reconciliation_spark.extensions.dedup import (
+        minhash_near_dups,
+    )
+
+    boiler = " ".join(f"tok{i}" for i in range(20))
+    injected = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(boiler))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    minhash_near_dups(injected, max_bucket_size=10).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def probe_curation_v4(spark, docs):
     """r13 (VERDICT r12 #4): the FLAGSHIP composition — exact dedup →
     line-dedup TRIM → LSH near-dup → repetition → decontamination → LM
@@ -770,6 +804,8 @@ def main() -> None:
         ("ngram_jaccard", docs_at, probe_ngram_jaccard),
         # r16 batch 2: literal-bitmap Bloom probe side
         ("bloom_decontaminate", docs_at, probe_bloom_decontaminate),
+        # r17: capped LSH with a 100x-cap degenerate bucket (skew safety)
+        ("lsh_hot_bucket", docs_at, probe_lsh_hot_bucket),
         # r13: Hamming-LSH block collisions (near-dup trio complete)
         ("simhash", docs_at, probe_simhash),
     ]
